@@ -1,0 +1,65 @@
+"""Shared column/SQL helpers used by the LLM-pipeline operators.
+
+Parity discipline: every operator that crosses the DuckDB oracle hash keeps
+its transformation expressible with byte-identical semantics on both engines
+(md5 hex, lexicographic mins, integer microseconds, double-precision folds),
+so the hash compare never fails on implementation noise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def normalize_text(col: Column) -> Column:
+    """lower → strip non-alnum → collapse whitespace → trim.
+
+    Spark regexp_replace replaces all matches; the DuckDB twin
+    (NORM_TEXT_DUCK) must pass the 'g' flag for the same behavior.
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+# DuckDB SQL fragment equivalent to normalize_text({col})
+NORM_TEXT_DUCK = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({col}), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def word_shingles(tokens_col: str, n: int = 3) -> Column:
+    """n-word shingles from a tokens array column; empty array when too short.
+
+    Guarded so Spark's sequence() never sees start > stop (which would
+    produce a *descending* sequence rather than an empty one).
+    """
+    joined = " || ' ' || ".join(f"{tokens_col}[i - 1 + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} "
+        f"THEN transform(sequence(1, size({tokens_col}) - {n - 1}), i -> {joined}) "
+        f"ELSE array() END"
+    )
+
+
+def hex_digit_sql(expr: str) -> str:
+    """Dialect-shared SQL: map one lowercase hex char to its integer value."""
+    cases = " ".join(f"WHEN '{c}' THEN {int(c, 16)}" for c in "0123456789abcdef")
+    return f"(CASE {expr} {cases} END)"
+
+
+def simhash_bit_weight_sql(md5_expr: str, bit: int) -> str:
+    """Dialect-shared SQL: ±1 weight of simhash bit ``bit`` (0..15) of the
+    first 16 bits of ``md5_expr`` (an md5-hex SQL expression).
+
+    Bit 15 is the high bit of hex char 1. Uses only CASE/substr/%/>= so the
+    identical text runs on Spark SQL and DuckDB.
+    """
+    hex_pos = 1 + (15 - bit) // 4       # which hex char (1-based)
+    bit_in_char = bit % 4               # bit index within that char
+    hv = hex_digit_sql(f"substr({md5_expr}, {hex_pos}, 1)")
+    lo = 2 ** bit_in_char
+    hi = 2 ** (bit_in_char + 1)
+    return f"(CASE WHEN ({hv} % {hi}) >= {lo} THEN 1 ELSE -1 END)"

@@ -1,0 +1,49 @@
+"""Table loaders for the driver-generated parquet test data.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and (on a real lake) partition pruning for free — the scan
+layer the reference lacks entirely (SURVEY.md §2.D: file scans ABSENT in
+reference, supplied by Spark built-ins here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table from ``sf_dir``.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    default; we read it as long nanos (runtime-settable legacy conf) and
+    truncate to microsecond timestamps with integer arithmetic — exactly
+    the ns→µs truncation DuckDB applies, so oracle parity holds.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql-expressed queries)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

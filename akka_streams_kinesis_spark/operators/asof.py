@@ -1,0 +1,112 @@
+"""As-of (point-in-time) join — the union+window algorithm that scales.
+
+Spark has no ASOF JOIN operator (DuckDB does). The naive expression —
+inequality join + row_number — explodes quadratically per key at 100 TB.
+The scale-correct algorithm used here:
+
+1. tag both sides and UNION them (left rows carry NULL right-payload),
+2. one shuffle on (key), sort by (ts, side-order),
+3. ``last(right_payload, ignorenulls)`` over rows-unbounded-preceding ≡
+   "most recent right row at or before my timestamp",
+4. keep left rows.
+
+One shuffle + one sort, linear in input — the same cost profile as a
+sort-merge join, and skew is handled by AQE.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import table
+from ..registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right[right_ts] <= left[left_ts]`` (``<`` when strict) matching ``on``.
+
+    Returns the left columns + the requested right payload columns
+    (NULL when no prior right row exists).
+    """
+    lcols = left.columns
+    # side ordering: right rows sort before left rows at equal timestamps so
+    # a non-strict as-of sees same-instant right rows; strict flips that.
+    right_order = 1 if strict else 0
+    left_order = 0 if strict else 1
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_order).alias("_side"),
+        F.struct(*lcols).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_order).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "_side",
+        "_left",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_payload],
+    )
+    out = filled.filter(F.col("_side") == left_order).select(
+        *[F.col(f"_left.{c}").alias(c) for c in lcols],
+        *[F.col(f"_r_{c}").alias(f"last_{c}") for c in right_payload],
+    )
+    return out
+
+
+@query(
+    "asof_join_last_login",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(p.value, 2) AS purchase_value,
+           l.ts              AS last_login_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+      ON p.user_id = l.user_id AND p.ts >= l.ts
+    """,
+)
+def asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent signup event of the same user at
+    or before the purchase. Oracle uses DuckDB's native ASOF JOIN; our side
+    uses the union+window algorithm above (one shuffle, no inequality-join
+    blow-up)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    logins = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        logins.withColumnRenamed("ts", "login_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="login_ts",
+        right_payload=["login_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("purchase_value"),
+        F.col("last_login_ts"),
+    )

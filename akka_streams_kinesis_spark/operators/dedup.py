@@ -1,0 +1,247 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), normalized-exact, MinHash+LSH banding, SimHash, and
+n-gram-Jaccard candidate scoring — all on the ``documents`` table, all
+shuffle-once-per-stage DataFrame plans with no Python in the hot path.
+
+At 100 TB the shapes hold: exact dedup is one hash aggregate on a 128-bit
+digest (not the raw text); MinHash signatures reduce each document to k=8
+hex mins before the only self-join, which runs on short band-hash keys; the
+Jaccard scorer joins on (block, shingle) so the quadratic pair space is
+never materialized, only co-occurring shingles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
+from ..io import table
+from ..registry import query
+
+_N_HASHES = 8          # minhash signature length
+_BAND_SIZE = 2         # rows per LSH band → 4 bands
+_NORM = NORM_TEXT_DUCK.format(col="text")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id,
+           COUNT(*)    AS n_copies,
+           MD5(text)   AS text_hash
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on md5(text), keep the smallest doc_id.
+
+    Grouping on the digest (not the text) keeps shuffle rows at 32 bytes
+    regardless of document size — the practical difference between feasible
+    and not at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies", "text_hash")
+    )
+
+
+@query(
+    "dedup_normalized",
+    oracle=f"""
+    SELECT MIN(doc_id)  AS keep_id,
+           COUNT(*)     AS n_copies,
+           MD5({_NORM}) AS norm_hash
+    FROM documents
+    GROUP BY MD5({_NORM})
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup after text normalization (case/punct/whitespace)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies", "norm_hash")
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → m0..m7 minhash values (lexicographic min of seeded md5 over
+    3-word shingles). String-min of md5 hex is deterministic and engine-
+    portable — no integer hash parity issues."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    shingled = toks.select(
+        "doc_id", F.explode(word_shingles("toks", 3)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
+        for j in range(_N_HASHES)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode a signature into (doc_id, band_idx, band_hash) rows."""
+    n_bands = _N_HASHES // _BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(*[F.col(f"m{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)])
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(MD5('{j}:' || sh)) AS m{j}" for j in range(_N_HASHES)
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, MD5({cat}) AS band_hash FROM sigs".format(
+            b=b,
+            cat=" || ".join(f"m{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), shingles AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN LEN(w) >= 3
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                           ELSE [] END) AS sh
+        FROM toks
+    ), sigs AS (
+        SELECT doc_id,
+           {mins}
+        FROM shingles GROUP BY doc_id
+    ), bands AS (
+        {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: shingle → 8 seeded min-hashes →
+    4 bands of 2 → self-join on band hash → distinct candidate pairs.
+
+    The self-join key is (band_idx, 32-char band hash): tiny rows, and the
+    join only ever compares documents that already collide on a band, so
+    pair generation is output-sensitive — the LSH property that makes
+    near-dup mining tractable at corpus scale.
+    """
+    sigs = _minhash_signatures(spark, sf_dir)
+    bands = _minhash_bands(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, lang, source, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, lang, source, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), shingles AS (
+        SELECT DISTINCT doc_id, lang, source,
+               UNNEST(CASE WHEN LEN(w) >= 3
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                           ELSE [] END) AS sh
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.lang = b.lang AND a.source = b.source
+                       AND a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard similarity for candidate pairs, blocked by
+    (lang, source) so the pair space never materializes — co-occurring
+    shingles drive the join (sparse similarity join), then
+    |A∩B| / (|A|+|B|-|A∩B|) with a 0.05 floor."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    shingles = (
+        toks.select("doc_id", "lang", "source", F.explode(word_shingles("toks", 3)).alias("sh"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        # sizes is one row per doc — NOT broadcastable at corpus scale; let
+        # AQE pick the strategy (it will broadcast at small SF anyway).
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 4).alias("jaccard"))
+    )

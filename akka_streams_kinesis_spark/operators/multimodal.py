@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference's whole data model is "opaque bytes + a partition key"
+(ByteBuffer records, KinesisSource.scala:68-69; PutRecordsRequestEntry,
+ToPutRecordsRequest.scala:9-11). This module carries that model into a
+multimodal table: ``binary`` payload columns with a metadata struct, and
+Arrow-batched ``mapInPandas`` decode/feature stages.
+
+Real image/audio decoding libraries are not in this container, so
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` behind a
+clearly-marked seam; ``fake_decode_features`` is the deterministic stand-in
+the tests and the oracle verify. The Spark-side plumbing — schema, batch
+iteration, partitioning — is the real production shape either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..io import table
+from ..registry import query
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode seam (PIL/OpenCV not available in this container)."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "environment; use fake_decode_features for the deterministic stub"
+    )
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Real audio decode seam (soundfile/ffmpeg not available here)."""
+    raise NotImplementedError(
+        "audio decoding requires an audio library not present in this "
+        "environment; use fake_decode_features for the deterministic stub"
+    )
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for a media decoder: derives (byte_size,
+    width, height, content digest) purely from the bytes."""
+    n = len(payload)
+    return n, n % 640 + 1, (n * 7) % 480 + 1, hashlib.sha256(payload).hexdigest()
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_size", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("content_sha", StringType()),
+    ]
+)
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload) rows.
+
+    ``mapInPandas`` streams whole Arrow record batches through Python — the
+    per-partition batch shape a real decoder wants (amortized library setup,
+    vectorizable post-processing) — instead of a per-row Python UDF.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode_features(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_size": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "content_sha": [f[3] for f in feats],
+                }
+            )
+
+    return binary_df.mapInPandas(_extract, schema=_FEATURE_SCHEMA)
+
+
+def to_binary_table(docs: DataFrame) -> DataFrame:
+    """documents → multimodal layout: opaque payload + typed metadata struct
+    (the Spark rendering of the reference's (data, partitionKey) record)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT)           AS byte_size,
+           CAST(LENGTH(text) % 640 + 1 AS BIGINT) AS width,
+           CAST((LENGTH(text) * 7) % 480 + 1 AS BIGINT) AS height,
+           SHA256(text)                           AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing: text → binary payload column (+meta
+    struct) → Arrow-batched mapInPandas "decode" → typed feature rows. The
+    oracle recomputes the deterministic fake features in SQL (ASCII corpus:
+    utf-8 byte length == char length), confirming the whole binary path."""
+    docs = table(spark, sf_dir, "documents")
+    binary = to_binary_table(docs).select("doc_id", "payload")
+    return extract_features(binary)

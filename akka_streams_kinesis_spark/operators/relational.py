@@ -1,0 +1,551 @@
+"""Relational operators: scans, filters, joins, aggregations, set ops, scalars.
+
+The reference (``/root/reference``) has NONE of these — it is a Kinesis
+connector (SURVEY.md §2.D cites the evidence of absence). This module
+supplies the full relational surface on Spark built-ins, expressed
+declaratively so Catalyst provides pushdown, pruning, join selection,
+whole-stage codegen and AQE without any custom rules.
+
+Scale notes (100 TB stance):
+- Small dimensions (region/nation/supplier) are explicitly ``broadcast()``
+  so the fact-side scan never shuffles for them.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  handles skew at runtime.
+- Every aggregate is expressed via ``groupBy().agg()`` → Catalyst emits
+  partial (map-side) + final aggregation automatically.
+- Floats that cross the DuckDB-oracle hash are rounded identically on both
+  sides (sum→2dp, avg/ratio→4dp) so IEEE summation-order noise cannot flip
+  the hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import table
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# Scans / filter / projection / simple aggregate
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
+           ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+           COUNT(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: filter → partial+final hash aggregate.
+
+    The filter is pushed into the parquet scan (PushedFilters on
+    l_shipdate); the groupBy keys have tiny cardinality (≤6 groups) so the
+    shuffle after partial aggregation moves ~nothing at any scale.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+agg — every predicate reaches the parquet
+    reader as a pushed filter; zero shuffle beyond the single-row final agg."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins: inner equi (fact⋈fact⋈dim), left outer, semi, anti, theta/range
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q3_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1996-06-30'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + agg + top-k.
+
+    customer (filtered to one segment) is orders-of-magnitude smaller than
+    lineitem, so we broadcast it; orders⋈lineitem is the one real shuffle,
+    on the orderkey both sides. ORDER BY ... LIMIT compiles to TakeOrdered
+    (per-partition top-k + driver merge) — no global sort at scale.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: every dimension (region→nation→customer)
+    broadcast; the single shuffle is orders⋈lineitem on orderkey."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey)                        AS order_cnt,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_semi_big_spenders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). The same shape as the reference's
+    shard-lineage membership checks (SURVEY §2.A S4/S5 map to semi/anti
+    joins over a shards relation)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_inactive_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the DataFrame expression of the
+    reference's root-shard discovery (`findOldestPossibleShards`,
+    KinesisSource.scala:115-125: shards whose parent is absent)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_range_price_bands",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*)                      AS n_cheaper_pairs,
+           ROUND(AVG(p2.p_retailprice - p.p_retailprice), 4) AS avg_gap
+    FROM part p
+    JOIN part p2 ON p.p_brand = p2.p_brand AND p.p_retailprice < p2.p_retailprice
+    GROUP BY p.p_brand
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: equi key (brand) + range residual. Catalyst plans a
+    sort-merge/shuffled-hash join on the equi key with the range condition
+    as a post-join filter — bounded work per brand partition, so the
+    quadratic blow-up is confined to the largest brand group (AQE splits a
+    skewed one)."""
+    p = table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    p2 = (
+        table(spark, sf_dir, "part")
+        .select(F.col("p_brand").alias("b2"), F.col("p_retailprice").alias("price2"))
+    )
+    return (
+        p.join(p2, (p.p_brand == p2.b2) & (p.p_retailprice < p2.price2))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_cheaper_pairs"),
+            F.round(F.avg(F.col("price2") - F.col("p_retailprice")), 4).alias("avg_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants: distinct, rollup, cube, grouping sets
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id)     AS distinct_users,
+           COUNT(*)                    AS n_events,
+           ROUND(SUM(value), 2)        AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation — Catalyst expands count(distinct) into a
+    two-phase aggregate (expand + partial + final) automatically."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query("agg_approx_distinct_users")  # no oracle: HLL sketch is impl-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). The 100 TB path: a fixed-size
+    sketch mergeable map-side, instead of the shuffle-heavy exact expand.
+    No DuckDB oracle — sketch estimates are implementation-specific — so the
+    driver records the weaker rows-only check."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*)                   AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_balance,
+           GROUPING(r.r_name)  AS g_region,
+           GROUPING(n.n_name)  AS g_nation
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy with GROUPING markers."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.grouping("r_name").cast("long").alias("g_region"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two independent dimensions."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same ANSI text as the oracle)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set operations
+# --------------------------------------------------------------------------
+
+@query(
+    "sort_limit_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: compiles to TakeOrderedAndProject — each partition
+    keeps its local top-10, the driver merges; no full sort ever happens."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@query(
+    "setops_segment_overlap",
+    oracle="""
+    SELECT 'both' AS tag, k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+    )
+    UNION ALL
+    SELECT 'building_only' AS tag, k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+    )
+    """,
+)
+def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result, tagged."""
+    building = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    spenders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    both = building.intersect(spenders).select(F.lit("both").alias("tag"), "k")
+    only = building.subtract(spenders).select(F.lit("building_only").alias("tag"), "k")
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# Scalar function families: string, date, JSON, math/case
+# --------------------------------------------------------------------------
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(SUBSTR(p_name, 1, 12))             AS name_prefix,
+           CONCAT(p_brand, '-', p_type)             AS brand_type,
+           LENGTH(p_name)                           AS name_len,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    WHERE p_type LIKE 'ECO%'
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: substring/upper/concat/length/regexp_replace/LIKE.
+    (DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.)"""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").like("ECO%")).select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 12)).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate)    AS order_year,
+           EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+           COUNT(*)                          AS n_orders,
+           ROUND(AVG(DATE_DIFF('day', DATE '1995-01-01', o_orderdate)), 4) AS avg_days_since_epoch
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/quarter extraction + day arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days"),
+        )
+        .groupBy("order_year", "order_quarter")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("days"), 4).alias("avg_days_since_epoch"),
+        )
+    )
+
+
+@query(
+    "scalar_json_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                              AS n,
+           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object over the events.props payload — the
+    decode step a ByteBuffer-stream consumer performs after the reference's
+    schema-free source hands back raw bytes (KinesisSource.scala:68-69)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "scalar_math_case_tiers",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_tier,
+           COUNT(*)                                   AS n,
+           ROUND(SUM(SQRT(l_extendedprice)), 2)       AS sum_sqrt_price,
+           ROUND(AVG(LN(l_extendedprice + 1)), 4)     AS avg_log_price,
+           ROUND(MAX(ABS(l_extendedprice - 1000)), 2) AS max_abs_dev
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + CASE family: sqrt/ln/abs with tiered grouping."""
+    l = table(spark, sf_dir, "lineitem")
+    tier = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_tier")
+    )
+    return l.groupBy(tier).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.sqrt("l_extendedprice")), 2).alias("sum_sqrt_price"),
+        F.round(F.avg(F.log(F.col("l_extendedprice") + 1)), 4).alias("avg_log_price"),
+        F.round(F.max(F.abs(F.col("l_extendedprice") - 1000)), 2).alias("max_abs_dev"),
+    )

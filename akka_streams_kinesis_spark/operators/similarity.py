@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths, as a real pipeline would ship them:
+
+- brute-force cosine top-k — the correctness baseline; JVM-side
+  ``aggregate``/``zip_with`` folds in DOUBLE precision (bit-reproducible
+  left-to-right, which is what lets a DuckDB oracle hash-match at 6 dp).
+- IVF/LSH-bucketed ANN — the scale path: a coarse sign-bit quantizer
+  partitions the corpus; each query only scans its own bucket, so the scan
+  cost drops by the bucket fan-out (256× here) at the price of recall.
+
+At 100 TB the brute-force plan is a broadcast of the (small) query set
+against a partitioned corpus scan — embarrassingly parallel, no shuffle on
+the corpus; the ANN plan turns the crossJoin into an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from ..io import table
+from ..registry import query
+
+_TOPK = 5
+_N_QUERIES = 10   # query set = vec_id < 10
+_IVF_BITS = 8     # sign bits of the first 8 dims → 256 buckets
+
+
+def _fold(a: str, b: str) -> Column:
+    """Σ a[i]*b[i] as a strict left-to-right DOUBLE fold (deterministic)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_sim(a: str, b: str) -> Column:
+    """Cosine similarity between two array<float> columns, double precision."""
+    return _fold(a, b) / (F.sqrt(_fold(a, a)) * F.sqrt(_fold(b, b)))
+
+
+# DuckDB twin: Σ over unnested index range, computed in DOUBLE. Summation
+# order noise is ~1e-15 relative in double, far below the 6 dp rounding.
+_DUCK_SIM = """
+    SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))
+      / (SQRT(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+       * SQRT(SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+"""
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    sims AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               ROUND({_DUCK_SIM}, 6) AS sim
+        FROM q
+        JOIN embeddings v ON q.vec_id <> v.vec_id
+        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        GROUP BY q.vec_id, v.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against the
+    corpus scan (no corpus shuffle), fold dot/norms JVM-side, then a
+    per-query top-k window. Ranking uses the 6-dp-rounded similarity with
+    vec_id tie-break so the cut is deterministic on both engines."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    v = e.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("v_emb"))
+    sims = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "vec_id", "sim", "rnk")
+    )
+
+
+def _bucket_spark() -> Column:
+    # built lazily: Column construction needs an active SparkSession
+    return F.concat(
+        *[
+            F.when(F.expr(f"embedding[{i}]") >= 0, "1").otherwise("0")
+            for i in range(_IVF_BITS)
+        ]
+    )
+
+_BUCKET_DUCK = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(_IVF_BITS)
+)
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, embedding, {_BUCKET_DUCK} AS bucket FROM embeddings
+    ), q AS (SELECT * FROM coded WHERE vec_id < {_N_QUERIES}),
+    sims AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id, q.bucket AS bucket,
+               ROUND({_DUCK_SIM}, 6) AS sim
+        FROM q
+        JOIN coded v ON q.bucket = v.bucket AND q.vec_id <> v.vec_id
+        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        GROUP BY q.vec_id, v.vec_id, q.bucket
+    ), ranked AS (
+        SELECT query_id, vec_id, bucket, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    )
+    SELECT query_id, vec_id, bucket, sim, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: sign-bit coarse quantizer (first 8 dims → 256 cells);
+    candidates come only from the query's own cell, turning the crossJoin
+    into an equi-join on bucket — the join Spark shuffles/broadcasts like
+    any other key join, scanning 1/256th of the corpus per query."""
+    e = table(spark, sf_dir, "embeddings")
+    coded = e.select("vec_id", "embedding", _bucket_spark().alias("bucket"))
+    q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    v = coded.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("bucket").alias("v_bucket"),
+    )
+    sims = (
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("v_bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "bucket",
+            F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id", "bucket", "sim", "rnk")
+    )

@@ -1,0 +1,233 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+document fingerprinting. All built-in-function plans (split/explode/regexp/
+md5) — one explode + one aggregate each, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import NORM_TEXT_DUCK, normalize_text
+from ..io import table
+from ..registry import query
+
+_NORM = NORM_TEXT_DUCK.format(col="text")
+
+# Marker-token sets for the n-gram/stopword language-ID heuristic. The
+# corpus is synthetic, so the lists are small but the operator shape is the
+# real one: token-set membership counts → argmax with a fixed tie order.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "to", "of"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+_LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+_STOPWORDS = ("the", "a", "and", "to", "of", "in", "is", "on", "for", "with")
+
+
+def _in_list_sql(col: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"(CASE WHEN {col} IN ({quoted}) THEN 1 ELSE 0 END)"
+
+
+def _langid_score_sql() -> str:
+    return ",\n           ".join(
+        f"SUM({_in_list_sql('tok', _LANG_MARKERS[lang])}) AS score_{lang}"
+        for lang in _LANG_ORDER
+    )
+
+
+def _langid_pick_sql() -> str:
+    """argmax over the per-language scores, ties broken by _LANG_ORDER."""
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in _LANG_ORDER) + ")"
+    chain = " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in _LANG_ORDER
+    )
+    return f"(CASE {chain} END)"
+
+
+_LANGID_AGG_SQL = f"""
+    SELECT doc_id,
+           {_langid_score_sql()}
+    FROM doc_tokens
+    GROUP BY doc_id
+"""
+
+_LANGID_FINAL_SQL = f"""
+    SELECT doc_id,
+           {_langid_pick_sql()} AS pred_lang,
+           GREATEST({', '.join('score_' + l for l in _LANG_ORDER)}) AS best_score
+    FROM scored
+"""
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), doc_tokens AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), scored AS (
+        {_LANGID_AGG_SQL}
+    )
+    {_LANGID_FINAL_SQL}
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: per-language token-hit counts → argmax
+    with a deterministic tie order. The scoring SQL text is shared verbatim
+    with the DuckDB oracle."""
+    d = table(spark, sf_dir, "documents")
+    d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).createOrReplaceTempView("doc_tokens")
+    spark.sql(_LANGID_AGG_SQL).createOrReplaceTempView("scored")
+    return spark.sql(_LANGID_FINAL_SQL)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {_NORM} AS t FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_raw,
+           LEN(STRING_SPLIT(t, ' ')) AS n_tokens,
+           ROUND(CAST(LENGTH(REPLACE(t, ' ', '')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(t, ' ')), 4) AS avg_token_len,
+           ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text), 4) AS punct_ratio
+    FROM base
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: raw length, token count, mean token
+    length, punctuation ratio. Pure scalar projection — embarrassingly
+    parallel, no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    t = normalize_text(F.col("text"))
+    n_tokens = F.size(F.split(t, " "))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_stopword_ratio",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), doc_tokens AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           SUM({_in_list_sql('tok', _STOPWORDS)}) AS n_stopwords,
+           ROUND(CAST(SUM({_in_list_sql('tok', _STOPWORDS)}) AS DOUBLE) / COUNT(*), 4)
+               AS stopword_ratio
+    FROM doc_tokens
+    GROUP BY doc_id
+    """,
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword density per document (quality-filter staple)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    is_stop = F.col("tok").isin(*_STOPWORDS).cast("long")
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(is_stop).alias("n_stopwords"),
+        F.round(F.sum(is_stop).cast("double") / F.count("*"), 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_top_tokens",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), doc_tokens AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    )
+    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM doc_tokens
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics: top-20 tokens by term frequency with
+    document frequency. explode → hash-agg (map-side partials carry the
+    heavy lifting) → TakeOrdered top-k."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN LENGTH(text) >= 8
+                           THEN LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6),
+                                               i -> SUBSTR(text, CAST(i AS INTEGER), 8))
+                           ELSE [] END) AS g
+        FROM documents
+    )
+    SELECT doc_id,
+           MIN(MD5(g))       AS fingerprint,
+           COUNT(DISTINCT g) AS n_distinct_grams
+    FROM grams
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min-md5 over character 8-grams
+    (the min-sampling end of a winnowing scheme). Lexicographic min of hex
+    digests is engine-portable; the aggregate is a single hash-agg whose
+    shuffle rows are (doc_id, 32-char digest) partials, not the grams."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN char_length(text) >= 8 "
+                "THEN transform(sequence(1, char_length(text) - 7), i -> substring(text, i, 8)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min(F.md5("g")).alias("fingerprint"),
+        F.countDistinct("g").alias("n_distinct_grams"),
+    )

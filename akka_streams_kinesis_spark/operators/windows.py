@@ -1,0 +1,191 @@
+"""Window functions + time-window aggregations + sessionization.
+
+The reference's only time-shaping operators are `groupedWithin` (count/time
+batching, SURVEY §2.C) and timestamp-positioned reads (`AtTimestamp`,
+KinesisSource.scala:31-35). Their batch analogs — tumbling-window
+aggregation and event-time sessionization — live here, alongside the ANSI
+window-function family the reference lacks (SURVEY §2.D).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts)  AS hour,
+           event_type,
+           COUNT(*)                AS n,
+           ROUND(SUM(value), 2)    AS total_value,
+           ROUND(AVG(value), 4)    AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (SURVEY §7 phase 0): tumbling 1-hour window per event type —
+    the batch-mode analog of the reference's whole purpose: time-positioned,
+    partitioned event consumption (KinesisSource.scala:31-35) composed with
+    `groupedWithin` batching (KinesisSourceTest.scala:245).
+
+    date_trunc keeps the key a scalar (not a struct) so the oracle hash
+    lines up; the aggregation is a single hash-agg shuffle on
+    (hour, event_type) — ~720 × 5 groups per month regardless of input
+    scale, so the reduce side is trivially small even at 100 TB.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the scale-correct top-k (no global
+    sort; one shuffle on the partition key, then a per-partition sort that
+    AQE sizes). Tie-broken by orderkey for determinism."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend,
+           ROUND(COALESCE(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey), 0), 2)
+               AS prev_price,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg3
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frames: running sum, lag, 3-row moving average —
+    one shuffle on o_custkey shared by all three frames (same window spec)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(cum), 2).alias("running_spend"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg3"),
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           RANK()       OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           NTILE(4)     OVER w AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: rank / dense_rank / ntile over one shared window."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*)  AS n_events,
+           MIN(ts)   AS session_start,
+           MAX(ts)   AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap: lag → new-session
+    flag → running sum = session id → per-session aggregate. The gap compare
+    uses integer microseconds (unix_micros / EPOCH_US) on both sides so there
+    is no float-epoch boundary noise. Streaming twin: F.session_window (see
+    streaming/windows.py)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1).when(gap_us > 1800 * 1000 * 1000, 1).otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

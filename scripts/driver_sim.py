@@ -1,0 +1,97 @@
+"""Simulate the driver's verify: vanilla SparkSession (no engine confs),
+entry() smoke at sf0.001, then every queries() entry vs its DuckDB oracle
+at sf0.01 with order-insensitive value compare. Mirrors CORRECTNESS_r{N}."""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as se  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return "\x00<NULL>"
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    # deliberately vanilla: the driver builds its own session
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    edf = se.entry(spark)
+    n = len(edf.collect())
+    print(f"entry(): {n} rows, schema={edf.schema.simpleString()[:120]} [{time.time()-t0:.1f}s]")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    n_pass = n_fail = 0
+    for name in sorted(qs):
+        t1 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows [{time.time()-t1:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            dres = con.execute(oracles[name])
+            dcols = [d[0] for d in dres.description]
+            drows = dres.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_vals = ok_cols and ok_count and multiset(srows, scols) == multiset(drows, dcols)
+        if ok_vals:
+            print(f"MATCH {name}: {len(srows)} rows [{time.time()-t1:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: cols={ok_cols} count={ok_count} ({len(srows)} vs {len(drows)})")
+            if ok_cols and ok_count:
+                sm, dm = multiset(srows, scols), multiset(drows, dcols)
+                diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:2]
+                print(f"      first diffs: {diffs}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, total {time.time()-t0:.1f}s")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
