@@ -39,9 +39,9 @@ from ..registry import query
            ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
-           ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+           ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 4)                  AS avg_qty,
+           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 4)             AS avg_price,
+           ROUND(ROUND(SUM(l_discount), 2) / COUNT(*), 4)                  AS avg_disc,
            COUNT(*)                                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -65,9 +65,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avg = round(sum,2)/count: the division inputs are then
+            # bit-identical on both engines, so no summation-order noise can
+            # flip the 4dp rounding at a tie boundary (money data ties often)
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count("*"), 4).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 2) / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -248,7 +251,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_brand,
            COUNT(*)                      AS n_cheaper_pairs,
-           ROUND(AVG(p2.p_retailprice - p.p_retailprice), 4) AS avg_gap
+           ROUND(ROUND(SUM(p2.p_retailprice - p.p_retailprice), 2) / COUNT(*), 4) AS avg_gap
     FROM part p
     JOIN part p2 ON p.p_brand = p2.p_brand AND p.p_retailprice < p2.p_retailprice
     GROUP BY p.p_brand
@@ -270,7 +273,9 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_cheaper_pairs"),
-            F.round(F.avg(F.col("price2") - F.col("p_retailprice")), 4).alias("avg_gap"),
+            F.round(
+                F.round(F.sum(F.col("price2") - F.col("p_retailprice")), 2) / F.count("*"), 4
+            ).alias("avg_gap"),
         )
     )
 

@@ -23,7 +23,7 @@ from ..registry import query
            event_type,
            COUNT(*)                AS n,
            ROUND(SUM(value), 2)    AS total_value,
-           ROUND(AVG(value), 4)    AS avg_value
+           ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -48,7 +48,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # round(sum,2)/count: boundary-safe avg (see relational.tpch_q1)
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
         )
     )
 

@@ -46,4 +46,5 @@ def load_all() -> None:
         similarity,
         textanalysis,
         multimodal,
+        streaming_queries,
     )
