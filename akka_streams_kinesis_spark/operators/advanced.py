@@ -1,0 +1,275 @@
+"""Advanced operator families rounding out SURVEY §2.D and the
+training-data-pipeline surface: statistical aggregates, exact percentiles,
+pivot, array/map scalar families, embedding near-dup mining, BPE-ish
+tokenization, multimodal frame sampling, reproducible sampling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..io import table
+from ..registry import query
+from .similarity import cosine_sim
+
+
+@query(
+    "agg_stats_variance",
+    oracle="""
+    SELECT event_type,
+           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+           ROUND(VAR_SAMP(value), 4)    AS var_value,
+           ROUND(MIN(value), 2)         AS min_value,
+           ROUND(MAX(value), 2)         AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: sample stddev/variance, min/max —
+    all single-pass partial+final aggregates."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 2) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 2) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 2) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the scale caveat is real: exact
+    percentile gathers per-group values — at 100 TB swap in
+    approx_percentile's mergeable sketch; both are one registry line)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 2).alias("p75"),
+    )
+
+
+@query(
+    "pivot_user_event_matrix",
+    oracle="""
+    SELECT user_id,
+           COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END), 0) AS click,
+           COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END), 0) AS error,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS purchase,
+           COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END), 0) AS signup,
+           COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END), 0) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: user × event-type count matrix. Explicit value list keeps the
+    plan a single aggregate (no extra distinct-values job) — the form that
+    scales."""
+    e = table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    p = e.groupBy("user_id").pivot("event_type", kinds).count()
+    return p.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "scalar_array_functions",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           LEN(w)                       AS n_tokens,
+           LEN(LIST_DISTINCT(w))        AS n_unique,
+           LIST_SORT(w)[1]              AS first_token,
+           LIST_SORT(w)[-1]             AS last_token,
+           CASE WHEN LIST_CONTAINS(w, 'spark') THEN 1 ELSE 0 END AS has_spark
+    FROM toks
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family: size/distinct/sort/element_at/contains over a
+    tokens array — all JVM-side, no explode needed."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sorted_w = F.sort_array(w)
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_unique"),
+        F.element_at(sorted_w, 1).alias("first_token"),
+        F.element_at(sorted_w, -1).alias("last_token"),
+        F.array_contains(w, "spark").cast("int").alias("has_spark"),
+    )
+
+
+@query(
+    "scalar_map_json_keys",
+    oracle="""
+    SELECT event_type,
+           LIST_SORT(JSON_KEYS(props)) AS prop_keys,
+           COUNT(*)                    AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: JSON payload → map type → key introspection (the typed
+    step after the schema-free decode, data model §1.2)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select("event_type", F.sort_array(F.map_keys(m)).alias("prop_keys"))
+        .groupBy("event_type", "prop_keys")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_NEAR_DUP_THRESHOLD = 0.3
+
+_DUCK_SIM_PAIR = """
+    SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      / (SQRT(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+       * SQRT(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+"""
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH sims AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               ROUND({_DUCK_SIM_PAIR}, 6) AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        GROUP BY a.vec_id, b.vec_id, a.label
+    )
+    SELECT vec_a, vec_b, label, sim FROM sims WHERE sim >= {_NEAR_DUP_THRESHOLD}
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup mining, IVF-blocked: candidate pairs come
+    only from the same coarse cell (the ``label`` cluster assignment), so
+    the pair space is Σ(cell²) instead of N² — the standard scale path for
+    embedding dedup. Cosine folds in double, 6 dp rounding (see
+    similarity.py for the parity argument)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    sims = (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(cosine_sim("emb_a", "emb_b"), 6).alias("sim"),
+        )
+    )
+    return sims.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD)
+
+
+@query(
+    "text_token_counts_bpe",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_subword_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / punctuation singletons) — the
+    pretraining-cost estimator. Pure projection, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+        ).alias("n_subword_tokens"),
+    )
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(UNNEST(RANGE(0, LENGTH(text) // 100 + 1)) * 10 AS BIGINT) AS frame_idx,
+           SHA256(text || ':' ||
+                  CAST(UNNEST(RANGE(0, LENGTH(text) // 100 + 1)) * 10 AS BIGINT)) AS frame_sha
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads: a 1→N Arrow-batched
+    mapInPandas stage (each "video" yields every 10th "frame"; the decode is
+    the deterministic stub — real codecs slot into the same seam, see
+    multimodal.decode_image). The oracle recomputes the stub in SQL."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_sha = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = len(raw) // 100 + 1  # fake "decoder": 100 bytes/frame
+                for k in range(n_frames):
+                    idx = k * 10  # sample every 10th frame
+                    out_doc.append(int(doc_id))
+                    out_idx.append(idx)
+                    out_sha.append(
+                        hashlib.sha256(raw + b":" + str(idx).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_sha": out_sha}
+            )
+
+    return docs.mapInPandas(_sample, schema=_FRAME_SCHEMA)
+
+
+@query("sample_reproducible")  # no oracle: sampling algorithms are engine-specific
+def sample_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample of lineitem — reproducible within Spark
+    (fixed seed) but not across engines, so the driver records the weaker
+    rows-only check. The 100 TB story: sampling is scan-local, no shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -227,7 +227,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    return grams.groupBy("doc_id").agg(
+    # two-level aggregate instead of countDistinct: the (doc_id, g) partial
+    # aggregation dedups map-side BEFORE the shuffle, and avoids the Expand
+    # node countDistinct+min would plan; md5 runs once per distinct gram.
+    distinct_grams = grams.groupBy("doc_id", "g").agg(F.lit(1).alias("_one"))
+    return distinct_grams.groupBy("doc_id").agg(
         F.min(F.md5("g")).alias("fingerprint"),
-        F.countDistinct("g").alias("n_distinct_grams"),
+        F.count("*").alias("n_distinct_grams"),
     )

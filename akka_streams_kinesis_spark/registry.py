@@ -46,5 +46,6 @@ def load_all() -> None:
         similarity,
         textanalysis,
         multimodal,
+        advanced,
         streaming_queries,
     )

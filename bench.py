@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full plan runs JVM-side, no
+driver collect cost), matching how a production job would be bounded by
+compute + shuffle rather than result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from akka_streams_kinesis_spark import get_session, registry
+
+registry.load_all()
+
+# Headline set: the shuffle-heavy / join-heavy / Python-boundary-crossing
+# representatives of each operator family.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "agg_rollup_region_nation",
+    "agg_distinct_users_per_type",
+    "window_topk_orders_per_customer",
+    "window_running_totals",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "asof_join_last_login",
+    "join_range_price_bands",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "similarity_ann_ivf",
+    "text_top_tokens",
+    "text_fingerprint",
+    "multimodal_binary_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("aks-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up (not timed): JVM codegen, parquet readers, shuffle machinery,
+    # and the Python/Arrow worker pool — so timings reflect steady state,
+    # which is what matters for a long-running cluster job.
+    from akka_streams_kinesis_spark.io import table
+
+    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
+        table(spark, sf_dir, name).limit(1).count()
+    for warm in ("tpch_q1_pricing_summary", "tpch_q3_top_orders", "multimodal_binary_features"):
+        registry.QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
