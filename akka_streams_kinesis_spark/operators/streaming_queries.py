@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from ..io import table
 from ..registry import query
 from ..sources.kinesis_sim import SimStream, TrimHorizon
-from ..streaming.windows import decode_json_payload, hourly_rollup, stream_dedup
+from ..streaming.windows import (
+    decode_json_payload,
+    hourly_rollup,
+    sessionize,
+    stream_dedup,
+)
 
 _EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
@@ -130,3 +135,69 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )
     return _run_available_now(counts, spark, mode="complete")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(DATE_TRUNC('milliseconds', ts)) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based session windows (F.session_window, 30 min) over
+    the simulated stream. The oracle is the BATCH sessionization algorithm
+    (lag + cumulative sum) — the two formulations provably agree on
+    (user, session_start, n_events), which is exactly what this checks.
+    session_window.end is last-event + gap (not max ts), so it stays out of
+    the compared columns; session_window timestamps carry millisecond
+    precision, so the oracle truncates its min-ts to match."""
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    sessions = sessionize(events, gap="30 minutes").select(
+        "user_id", F.col("session_start"), "n_events"
+    )
+    return _run_available_now(sessions, spark, mode="complete")
+
+
+@query(
+    "egress_writer_passthrough",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS error_code, COUNT(*) AS n FROM events
+    """,
+)
+def egress_writer_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer flow as a registry query: every event encoded (W9),
+    pushed through the chunking/retry writer against an always-succeeding
+    client, and counted by resulting error_code — the pass-through
+    guarantee (W1: every input comes out, Right on success) as an oracle
+    hash."""
+    from ..streaming.writer import encode_records, kinesis_write_flow
+    from ..testing import no_sleep, success_client
+
+    e = table(spark, sf_dir, "events")
+    encoded = encode_records(
+        e,
+        partition_key=F.col("user_id").cast("string"),
+        payload=F.encode(F.to_json(F.struct("event_id", "event_type")), "utf-8"),
+    )
+    flowed = kinesis_write_flow(encoded, success_client, "bench-stream", sleep_fn=no_sleep)
+    return flowed.groupBy("error_code").agg(F.count("*").alias("n"))

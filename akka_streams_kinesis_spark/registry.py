@@ -47,5 +47,6 @@ def load_all() -> None:
         textanalysis,
         multimodal,
         advanced,
+        subqueries,
         streaming_queries,
     )

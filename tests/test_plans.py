@@ -1,0 +1,72 @@
+"""Physical-plan pinning: the scale properties each operator's docstring
+claims must be visible in the executed plan — pushdown, pruning, broadcast
+choice, top-k without global sort, no cartesian products anywhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from akka_streams_kinesis_spark import registry
+from akka_streams_kinesis_spark.plans import (
+    has_pushed_filter,
+    join_strategies,
+    read_schema_columns,
+    uses_take_ordered,
+)
+
+registry.load_all()
+
+# streaming queries materialize stream dirs; plan checks are batch-only
+PLAN_CHECKED = sorted(
+    n for n in registry.QUERIES if not n.startswith("stream_")
+)
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = registry.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    cols = read_schema_columns(df)
+    # column pruning: the 16-column table is read as only the needed 7
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert "l_quantity" in cols and "l_shipdate" in cols
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = registry.QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, c), f"predicate on {c} not pushed to scan"
+
+
+def test_q3_broadcasts_customer_and_takeordered(spark, sf_dir):
+    df = registry.QUERIES["tpch_q3_top_orders"](spark, sf_dir)
+    st = join_strategies(df)
+    assert st["broadcast_hash"] >= 1
+    assert st["cartesian"] == 0
+    assert uses_take_ordered(df)
+
+
+def test_q5_star_join_no_cartesian(spark, sf_dir):
+    df = registry.QUERIES["tpch_q5_region_revenue"](spark, sf_dir)
+    st = join_strategies(df)
+    assert st["broadcast_hash"] >= 2  # dims broadcast
+    assert st["cartesian"] == 0
+
+
+def test_sort_limit_avoids_global_sort(spark, sf_dir):
+    df = registry.QUERIES["sort_limit_top_orders"](spark, sf_dir)
+    assert uses_take_ordered(df)
+
+
+def test_range_join_has_equi_component(spark, sf_dir):
+    # the brand equi-key must carry the join; a pure-theta plan would be
+    # BroadcastNestedLoop over the whole table
+    df = registry.QUERIES["join_range_price_bands"](spark, sf_dir)
+    st = join_strategies(df)
+    assert st["broadcast_nested_loop"] == 0 and st["cartesian"] == 0
+
+
+@pytest.mark.parametrize("name", PLAN_CHECKED)
+def test_no_cartesian_products_anywhere(spark, sf_dir, name):
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert join_strategies(df)["cartesian"] == 0, f"{name} plans a cartesian product"
