@@ -173,24 +173,31 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair space is Σ(cell²) instead of N² — the standard scale path for
     embedding dedup. Cosine folds in double, 6 dp rounding (see
     similarity.py for the parity argument)."""
+    from .similarity import _fold
+
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    # precompute each vector's squared norm ONCE (N folds) instead of per
+    # pair (2·pairs folds) — the dominant cost in interpreted higher-order
+    # functions; per-pair work drops to a single dot fold.
+    coded = e.select(
+        "vec_id", "embedding", "label", _fold("embedding", "embedding").alias("nrm2")
     )
-    b = e.select(
+    a = coded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        "label", F.col("nrm2").alias("nrm2_a"),
+    )
+    b = coded.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        F.col("label").alias("label_b"),
+        F.col("label").alias("label_b"), F.col("nrm2").alias("nrm2_b"),
     )
-    sims = (
+    sim = F.round(
+        _fold("emb_a", "emb_b") / (F.sqrt(F.col("nrm2_a")) * F.sqrt(F.col("nrm2_b"))), 6
+    )
+    return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            "label",
-            F.round(cosine_sim("emb_a", "emb_b"), 6).alias("sim"),
-        )
+        .select("vec_a", "vec_b", "label", sim.alias("sim"))
+        .filter(F.col("sim") >= _NEAR_DUP_THRESHOLD)
     )
-    return sims.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD)
 
 
 @query(

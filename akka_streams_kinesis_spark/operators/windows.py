@@ -190,3 +190,38 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH expanded AS (
+        SELECT UNNEST([TIME_BUCKET(INTERVAL '30 minutes', ts),
+                       TIME_BUCKET(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                   AS win_start,
+               event_type, value
+        FROM events
+    )
+    SELECT win_start, event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM expanded
+    GROUP BY win_start, event_type
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in
+    exactly two windows. Spark expands via the built-in window() generator;
+    the oracle expands the same two starts per event with time_bucket.
+    At scale the expansion factor is length/slide — bounded and explicit."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -48,5 +48,6 @@ def load_all() -> None:
         multimodal,
         advanced,
         subqueries,
+        udfs,
         streaming_queries,
     )

@@ -43,6 +43,12 @@ HEADLINE = [
     "text_top_tokens",
     "text_fingerprint",
     "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "embedding_near_dup_pairs",
+    "pivot_user_event_matrix",
+    "events_sliding_windows",
+    "udf_pandas_scalar_shannon",
+    "egress_writer_passthrough",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Streaming analytics semantics: watermark late-data handling and the
+windowing helpers over the simulated stream (SURVEY §2.D streaming rows)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta, timezone
+
+import pyspark.sql.functions as F
+import pytest
+
+from akka_streams_kinesis_spark.sources import SimStream, TrimHorizon
+from akka_streams_kinesis_spark.streaming.windows import (
+    decode_json_payload,
+    hourly_rollup,
+)
+
+T0 = datetime(2024, 3, 1, 10, 0, 0, tzinfo=timezone.utc)
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _event(eid, ts, etype="click", value=1.0):
+    payload = json.dumps(
+        {
+            "event_id": eid,
+            "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+            "user_id": 1,
+            "event_type": etype,
+            "value": value,
+        }
+    ).encode()
+    return (f"u{eid % 3}", payload)
+
+
+def _stamp_new_files(stream, offset, seen, base):
+    """Give each put's files a distinct, increasing mtime: the file stream
+    source orders batches by modification time, and same-millisecond files
+    would make batch order (and thus watermark advancement) ambiguous."""
+    import os
+
+    for root, _dirs, files in os.walk(stream.data_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            if p not in seen:
+                os.utime(p, (base + offset, base + offset))
+                seen.add(p)
+
+
+def _drain_append(spark, stream, out_dir, ckpt):
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=1)
+    events = decode_json_payload(records, SCHEMA)
+    agg = hourly_rollup(events, watermark="1 hour")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 1 h watermark: a record arriving
+    after the watermark passed its window is dropped — the late-data
+    contract the reference has no answer to (it re-reads by timestamp
+    instead; SURVEY §2.D watermark row)."""
+    stream = SimStream.create(str(tmp_path / "s"), n_shards=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    import time
+
+    seen: set = set()
+    base = time.time() - 1000
+    # drain 1: two events in [10:00, 11:00), then a far-ahead event that
+    # advances the watermark past the window end → the window is emitted
+    # (n=2) and its state evicted at the end of the drain.
+    stream.put_records([_event(1, T0), _event(2, T0 + timedelta(minutes=10))])
+    _stamp_new_files(stream, 0, seen, base)
+    stream.put_records([_event(3, T0 + timedelta(hours=4))])
+    _stamp_new_files(stream, 10, seen, base)
+    r1 = _drain_append(spark, stream, out, ckpt)
+    win10 = r1.filter(F.col("hour") == T0.replace(tzinfo=None)).collect()
+    assert len(win10) == 1 and win10[0]["n"] == 2
+
+    # drain 2 (resumed from checkpoint): a LATE event for the already-
+    # finalized window. Its state is evicted and the watermark (13:00) is
+    # past the window end, so the row is dropped: the output gains no new
+    # or duplicate [10:00] row. (Note the contract: Spark only *guarantees*
+    # the drop after eviction — a late row arriving while the window state
+    # is still live is merged, which drain 1 relies on for n=2.)
+    stream.put_records([_event(4, T0 + timedelta(minutes=20))])
+    _stamp_new_files(stream, 20, seen, base)
+    r2 = _drain_append(spark, stream, out, ckpt)
+    win10_after = r2.filter(F.col("hour") == T0.replace(tzinfo=None)).collect()
+    assert len(win10_after) == 1
+    assert win10_after[0]["n"] == 2  # late event did NOT change the result
+
+
+def test_windows_emit_in_order_of_watermark(spark, tmp_path):
+    """Each availableNow drain emits exactly the windows finalized by the
+    watermark at that point — incremental, no recomputation."""
+    stream = SimStream.create(str(tmp_path / "s2"), n_shards=1)
+    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+
+    stream.put_records([_event(1, T0)])
+    stream.put_records([_event(2, T0 + timedelta(hours=3))])
+    r1 = _drain_append(spark, stream, out, ckpt)
+    n1 = r1.count()
+    assert n1 == 1  # only the 10:00 window is final (watermark = 13:00 - 1h)
+
+    stream.put_records([_event(3, T0 + timedelta(hours=6))])
+    r2 = _drain_append(spark, stream, out, ckpt)
+    assert r2.count() == 2  # the 13:00 window finalized; 16:00 still open
