@@ -201,3 +201,37 @@ def egress_writer_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flowed = kinesis_write_flow(encoded, success_client, "bench-stream", sleep_fn=no_sleep)
     return flowed.groupBy("error_code").agg(F.count("*").alias("n"))
+
+
+@query(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals folded across micro-batches with checkpointed keyed state. Each
+    batch emits the running (count, sum) per active user; the LAST state
+    per user must equal the plain batch aggregate — which is exactly what
+    the oracle checks (running counts are monotone, so max(struct) picks
+    the final state)."""
+    from ..streaming.stateful import running_user_totals
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    running = running_user_totals(events)
+    updates = _run_available_now(running, spark, mode="update")
+    final = F.max(F.struct("n_events_so_far", "total_so_far")).alias("fin")
+    return (
+        updates.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("fin.n_events_so_far").alias("n_events"),
+            F.round(F.col("fin.total_so_far"), 2).alias("total_value"),
+        )
+    )

@@ -114,3 +114,41 @@ def test_windows_emit_in_order_of_watermark(spark, tmp_path):
     stream.put_records([_event(3, T0 + timedelta(hours=6))])
     r2 = _drain_append(spark, stream, out, ckpt)
     assert r2.count() == 2  # the 13:00 window finalized; 16:00 still open
+
+
+def test_stateful_running_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState keyed state is checkpointed: a second drain
+    resumes from the first drain's state, not from zero."""
+    from akka_streams_kinesis_spark.streaming.stateful import running_user_totals
+
+    stream = SimStream.create(str(tmp_path / "s3"), n_shards=1)
+    out, ckpt = str(tmp_path / "o3"), str(tmp_path / "c3")
+
+    def drain():
+        records = stream.read_stream(spark, TrimHorizon())
+        events = decode_json_payload(records, SCHEMA)
+
+        def sink(batch_df, _bid):
+            # file sinks don't accept update mode; foreachBatch does
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            running_user_totals(events)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    # all events for user 1 (_event uses user_id=1 in payload)
+    stream.put_records([_event(1, T0), _event(2, T0 + timedelta(minutes=1))])
+    r1 = drain()
+    assert r1.orderBy(F.col("n_events_so_far").desc()).first()["n_events_so_far"] == 2
+
+    stream.put_records([_event(3, T0 + timedelta(minutes=2))])
+    r2 = drain()
+    # resumed state: 2 (from drain 1) + 1 new = 3, not 1
+    assert r2.orderBy(F.col("n_events_so_far").desc()).first()["n_events_so_far"] == 3
