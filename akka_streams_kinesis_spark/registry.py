@@ -39,6 +39,7 @@ def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from .operators import (  # noqa: F401
         relational,
+        tpch_extra,
         windows,
         asof,
         dedup,
