@@ -179,6 +179,57 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT v.user_id, COUNT(*) AS n_view_purchase_pairs
+    FROM events v
+    JOIN events p ON v.user_id = p.user_id
+                 AND p.ts >= v.ts
+                 AND p.ts <= v.ts + INTERVAL 2 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: each purchase matched to every
+    view by the same user in the preceding 2 hours. Both sides carry
+    watermarks and the join has a two-sided time-range condition — the two
+    things Structured Streaming needs to bound and evict join state.
+
+    The watermark delay is set to the full replay horizon (35 days ≥ the
+    dataset span) because this entry drains a historical backfill with
+    availableNow — file order is not event-time order, and a tight
+    watermark would (correctly, per the contract) drop disorder. A live
+    deployment would set the delay to its real arrival skew; state cost
+    scales with delay × rate, not with stream length. Matches emit in
+    append mode as the watermark passes them; the batch re-aggregate after
+    the drain turns emitted pairs into per-user counts for the oracle."""
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "35 days")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "35 days")
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    drained = _run_available_now(pairs, spark, mode="append")
+    return drained.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count("*").alias("n_view_purchase_pairs")
+    )
+
+
+@query(
     "egress_writer_passthrough",
     oracle="""
     SELECT CAST(NULL AS VARCHAR) AS error_code, COUNT(*) AS n FROM events
