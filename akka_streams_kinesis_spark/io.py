@@ -43,6 +43,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ahead of an explosive operator (explode,
+    pairwise join, per-row n-gram generation).
+
+    A small or single-file input arrives as ONE scan split, so everything
+    downstream of it — including a 100-1000× row fan-out — runs in a single
+    task. The Exchange this inserts costs one pass over the (small, pre-
+    explosion) input and buys full-cluster parallelism for the expensive
+    stage. At lake scale the scan already has thousands of splits, but the
+    rule still holds whenever the fan-out source is compact (a sampled
+    corpus, a candidate list, a query set); sizing to
+    ``defaultParallelism`` keeps every core busy without tiny-task churn.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql-expressed queries)."""
     for name in TABLES:

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..io import table
+from ..io import fanout, table
 from ..registry import query
 from .similarity import cosine_sim
 
@@ -172,10 +172,18 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     only from the same coarse cell (the ``label`` cluster assignment), so
     the pair space is Σ(cell²) instead of N² — the standard scale path for
     embedding dedup. Cosine folds in double, 6 dp rounding (see
-    similarity.py for the parity argument)."""
+    similarity.py for the parity argument).
+
+    The cell join is SALTED: a bare equi-join on ``label`` caps parallelism
+    at the number of cells (10 here, maybe thousands at corpus scale — still
+    far under the cluster's task slots, and skewed by cell size). Giving the
+    build side a salt ``hash(vec_id) % S`` and replicating the probe side
+    across all S salts multiplies tasks by S while emitting exactly the same
+    pairs; per-pair work is one dot fold thanks to precomputed norms."""
     from .similarity import _fold
 
-    e = table(spark, sf_dir, "embeddings")
+    n_salts = 8
+    e = fanout(table(spark, sf_dir, "embeddings"))
     # precompute each vector's squared norm ONCE (N folds) instead of per
     # pair (2·pairs folds) — the dominant cost in interpreted higher-order
     # functions; per-pair work drops to a single dot fold.
@@ -185,16 +193,23 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = coded.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
         "label", F.col("nrm2").alias("nrm2_a"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
     )
     b = coded.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
         F.col("label").alias("label_b"), F.col("nrm2").alias("nrm2_b"),
+        (F.crc32(F.col("vec_id").cast("string")) % n_salts).cast("int").alias("salt_b"),
     )
     sim = F.round(
         _fold("emb_a", "emb_b") / (F.sqrt(F.col("nrm2_a")) * F.sqrt(F.col("nrm2_b"))), 6
     )
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("salt") == F.col("salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select("vec_a", "vec_b", "label", sim.alias("sim"))
         .filter(F.col("sim") >= _NEAR_DUP_THRESHOLD)
     )
@@ -247,7 +262,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas stage (each "video" yields every 10th "frame"; the decode is
     the deterministic stub — real codecs slot into the same seam, see
     multimodal.decode_image). The oracle recomputes the stub in SQL."""
-    docs = table(spark, sf_dir, "documents").select(
+    docs = fanout(table(spark, sf_dir, "documents")).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 

@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
-from ..io import table
+from ..io import fanout, table
 from ..registry import query
 
 _N_HASHES = 8          # minhash signature length
@@ -76,7 +76,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → m0..m7 minhash values (lexicographic min of seeded md5 over
     3-word shingles). String-min of md5 hex is deterministic and engine-
     portable — no integer hash parity issues."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
     )
@@ -210,7 +210,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source) so the pair space never materializes — co-occurring
     shingles drive the join (sparse similarity join), then
     |A∩B| / (|A|+|B|-|A∩B|) with a 0.05 floor."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "lang", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
     )

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..io import table
+from ..io import fanout, table
 from ..registry import query
 
 
@@ -121,6 +121,6 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct) → Arrow-batched mapInPandas "decode" → typed feature rows. The
     oracle recomputes the deterministic fake features in SQL (ASCII corpus:
     utf-8 byte length == char length), confirming the whole binary path."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fanout(table(spark, sf_dir, "documents"))
     binary = to_binary_table(docs).select("doc_id", "payload")
     return extract_features(binary)

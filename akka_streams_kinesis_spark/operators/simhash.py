@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import NORM_TEXT_DUCK, normalize_text, simhash_bit_weight_sql
-from ..io import table
+from ..io import fanout, table
 from ..registry import query
 
 _BITS = 16
@@ -64,7 +64,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sign vector packs into a BIGINT. Documents sharing a fingerprint are
     near-dup candidates. One explode + one hash aggregate — linear, and the
     shuffle carries only (doc_id, 16 small ints) partial sums."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),

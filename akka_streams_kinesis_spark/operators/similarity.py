@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from ..io import table
+from ..io import fanout, table
 from ..registry import query
 
 _TOPK = 5
@@ -77,7 +77,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    v = e.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("v_emb"))
+    # fanout: the corpus side does |q|×N fold evaluations; spread them over
+    # every core instead of the scan's (possibly single) input split
+    v = fanout(e).select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("v_emb"))
     sims = (
         v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
@@ -134,7 +136,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come only from the query's own cell, turning the crossJoin
     into an equi-join on bucket — the join Spark shuffles/broadcasts like
     any other key join, scanning 1/256th of the corpus per query."""
-    e = table(spark, sf_dir, "embeddings")
+    e = fanout(table(spark, sf_dir, "embeddings"))
     coded = e.select("vec_id", "embedding", _bucket_spark().alias("bucket"))
     q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import NORM_TEXT_DUCK, normalize_text
-from ..io import table
+from ..io import fanout, table
 from ..registry import query
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
@@ -82,7 +82,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID: per-language token-hit counts → argmax
     with a deterministic tie order. The scoring SQL text is shared verbatim
     with the DuckDB oracle."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     d.select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     ).createOrReplaceTempView("doc_tokens")
@@ -150,7 +150,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword density per document (quality-filter staple)."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     )
@@ -181,7 +181,7 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token statistics: top-20 tokens by term frequency with
     document frequency. explode → hash-agg (map-side partials carry the
     heavy lifting) → TakeOrdered top-k."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     )
@@ -216,7 +216,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the min-sampling end of a winnowing scheme). Lexicographic min of hex
     digests is engine-portable; the aggregate is a single hash-agg whose
     shuffle rows are (doc_id, 32-char digest) partials, not the grams."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         F.explode(

@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
 
-from ..io import table
+from ..io import fanout, table
 from ..registry import query
 
 
@@ -56,7 +56,9 @@ def udf_scalar_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(float(-(p * np.log(p)).sum()))
         return pd.Series(out)
 
-    d = table(spark, sf_dir, "documents")
+    # fanout: Arrow batches go to one Python worker per partition — a
+    # single-split scan would serialize the whole UDF through one process
+    d = fanout(table(spark, sf_dir, "documents"))
     return d.select("doc_id", F.round(char_entropy("text"), 4).alias("char_entropy"))
 
 
