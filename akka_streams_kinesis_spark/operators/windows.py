@@ -225,3 +225,78 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "window_range_frame_trailing_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER w                     AS n_trailing_orders,
+           ROUND(SUM(o_totalprice) OVER w, 2)  AS trailing_90d_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(EPOCH(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: each order's trailing-90-day spend for its
+    customer — a value-based frame (7776000 s = 90 days on an epoch-seconds
+    ordering), unlike the row-counted frames elsewhere in this module.
+    One shuffle on o_custkey; the frame scan is a sliding two-pointer over
+    each sorted partition, linear per customer at any scale."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_trailing_orders"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
+    )
+
+
+@query(
+    "unpivot_nation_balances",
+    oracle="""
+    WITH cb AS (SELECT c_nationkey AS nk, ROUND(SUM(c_acctbal), 2) AS v
+                FROM customer GROUP BY 1),
+         sb AS (SELECT s_nationkey AS nk, ROUND(SUM(s_acctbal), 2) AS v
+                FROM supplier GROUP BY 1)
+    SELECT nk AS nationkey, 'customer_balance' AS metric, v AS balance FROM cb
+    UNION ALL
+    SELECT nk AS nationkey, 'supplier_balance' AS metric, v AS balance FROM sb
+    """,
+)
+def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): per-nation customer/supplier balance
+    columns become (metric, balance) rows — the inverse of
+    pivot_user_event_matrix. Spark's unpivot is a zero-shuffle Expand over
+    the (tiny) aggregated input; at scale the aggregation before the
+    unpivot is what keeps the expanded row count bounded."""
+    cb = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("customer_balance"))
+    )
+    sb = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supplier_balance"))
+    )
+    wide = cb.join(sb, F.col("nationkey") == F.col("s_nk"), "full").select(
+        F.coalesce(F.col("nationkey"), F.col("s_nk")).alias("nationkey"),
+        "customer_balance",
+        "supplier_balance",
+    )
+    long = wide.unpivot(
+        ids=["nationkey"],
+        values=["customer_balance", "supplier_balance"],
+        variableColumnName="metric",
+        valueColumnName="balance",
+    )
+    # UNION ALL oracle emits no row for a missing side; unpivot emits NULL
+    return long.filter(F.col("balance").isNotNull())

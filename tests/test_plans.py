@@ -70,3 +70,32 @@ def test_range_join_has_equi_component(spark, sf_dir):
 def test_no_cartesian_products_anywhere(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
     assert join_strategies(df)["cartesian"] == 0, f"{name} plans a cartesian product"
+
+
+def test_q10_takeordered_and_broadcast_nation(spark, sf_dir):
+    df = registry.QUERIES["tpch_q10_returned_items"](spark, sf_dir)
+    st = join_strategies(df)
+    assert st["broadcast_hash"] >= 1  # nation
+    assert uses_take_ordered(df)
+    assert has_pushed_filter(df, "l_returnflag")
+
+
+def test_q4_semi_join_pushes_date_filter(spark, sf_dir):
+    df = registry.QUERIES["tpch_q4_order_priority"](spark, sf_dir)
+    assert has_pushed_filter(df, "o_orderdate")
+    cols = read_schema_columns(df)
+    assert "l_quantity" not in cols  # semi join keeps no lineitem payload
+
+
+def test_q19_derives_single_side_implications(spark, sf_dir):
+    # Catalyst must extract brand-IN / quantity-range implications from the
+    # OR-of-ANDs and push them below the join
+    df = registry.QUERIES["tpch_q19_disjunctive_revenue"](spark, sf_dir)
+    assert has_pushed_filter(df, "p_brand")
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_near_dup_salted_join_is_hash_not_nested_loop(spark, sf_dir):
+    df = registry.QUERIES["embedding_near_dup_pairs"](spark, sf_dir)
+    st = join_strategies(df)
+    assert st["broadcast_nested_loop"] == 0 and st["cartesian"] == 0
