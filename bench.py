@@ -26,6 +26,11 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "tpch_q5_region_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_suppliers",
+    "window_range_frame_trailing_spend",
     "agg_rollup_region_nation",
     "agg_distinct_users_per_type",
     "window_topk_orders_per_customer",
