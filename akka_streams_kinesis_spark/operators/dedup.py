@@ -109,7 +109,8 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """Shared oracle CTE chain: documents → shingles → signatures → bands."""
     mins = ",\n           ".join(
         f"MIN(MD5('{j}:' || sh)) AS m{j}" for j in range(_N_HASHES)
     )
@@ -139,7 +140,12 @@ def _minhash_oracle() -> str:
         FROM shingles GROUP BY doc_id
     ), bands AS (
         {band_rows}
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    {_minhash_ctes()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -244,4 +250,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.05)
         .select("doc_a", "doc_b", "n_common", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(_N_HASHES)
+    )
+    return f"""
+    {_minhash_ctes()},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST({matches} AS DOUBLE) / {_N_HASHES}, 4) AS est_jaccard
+    FROM cands c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE {matches} >= {_N_HASHES // 2}
+    """
+
+
+@query("dedup_minhash_similarity", oracle=_minhash_estimate_oracle())
+def dedup_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash similarity ESTIMATION on LSH candidates: for each banded
+    candidate pair, est_jaccard = fraction of agreeing signature components
+    (the unbiased MinHash estimator); pairs below 1/2 agreement are culled.
+
+    This is the verify step of the classic two-stage near-dup pipeline
+    (candidates from `dedup_minhash_lsh`, here re-joined to the 8-column
+    signatures — two hash joins on doc_id whose build rows are 8 digests,
+    never the documents)."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    bands = _minhash_bands(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("sa_id"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(_N_HASHES)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("sb_id"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(_N_HASHES)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(_N_HASHES)
+    )
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("sa_id"))
+        .join(sb, F.col("doc_b") == F.col("sb_id"))
+        .withColumn("n_match", n_match)
+        .filter(F.col("n_match") >= _N_HASHES // 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_match").cast("double") / _N_HASHES, 4).alias("est_jaccard"),
+        )
     )

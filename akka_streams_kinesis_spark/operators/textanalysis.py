@@ -235,3 +235,127 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("g")).alias("fingerprint"),
         F.count("*").alias("n_distinct_grams"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), doc_tokens AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM doc_tokens GROUP BY doc_id, tok
+    ), idf AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, idf.df,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / idf.df), 4) AS tfidf
+        FROM tf JOIN idf ON tf.tok = idf.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, tok) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per (doc, token), document frequency per
+    token, top-3 terms per document by tf·ln(N/df).
+
+    Plan shape at scale: the tf aggregate rides the (doc-partitioned)
+    explode; df is a second aggregate over tf's (already deduped) output —
+    NOT over raw tokens, which cuts its input by the in-doc repeat factor;
+    N broadcasts as a single-row build side. Ranking uses the ROUNDED score
+    plus token tiebreak so the top-3 cut is identical on both engines."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy(F.col("tok").alias("i_tok")).agg(F.count("*").alias("df"))
+    n_docs = table(spark, sf_dir, "documents").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        tf.join(idf, F.col("tok") == F.col("i_tok"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+    )
+
+
+@query(
+    "pipeline_quality_dedup_filter",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, lang, {_NORM} AS t, text FROM documents
+    ), feats AS (
+        SELECT doc_id, lang,
+               LEN(STRING_SPLIT(t, ' ')) AS n_tokens,
+               ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / LENGTH(text), 4) AS punct_ratio
+        FROM norm
+    ), keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY MD5(t)
+    )
+    SELECT f.doc_id, f.lang, f.n_tokens, f.punct_ratio
+    FROM feats f
+    JOIN keepers k ON f.doc_id = k.doc_id
+    WHERE f.n_tokens >= 20 AND f.punct_ratio <= 0.2
+    """,
+)
+def pipeline_quality_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline in one plan: normalize → exact-dedup
+    keep set (min doc_id per normalized hash) → quality features → threshold
+    filter. This is the composition a pretraining data pipeline actually
+    runs; here it is ONE Catalyst plan — the dedup aggregate and the feature
+    projection share the single documents scan, and the keep-set join is a
+    semi join on doc_id.
+
+    Thresholds are plain numeric comparisons on 4dp-rounded ratios, so the
+    filter cut is engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    t = normalize_text(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(t, " ")).alias("n_tokens"),
+        F.round(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+    )
+    keepers = (
+        d.select("doc_id", F.md5(t).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    return (
+        feats.join(keepers, feats.doc_id == keepers.keep_id, "left_semi")
+        .filter((F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2))
+        .select("doc_id", "lang", "n_tokens", "punct_ratio")
+    )
