@@ -166,3 +166,32 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "vec_id", "bucket", "sim", "rnk")
     )
+
+
+@query(
+    "similarity_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings
+    CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroids (element-wise mean over each label's vectors) —
+    the building block of k-means / IVF coarse-quantizer training.
+
+    posexplode turns the vector column into (label, dim, value) rows so the
+    centroid is one hash aggregate on (label, dim): map-side partial sums
+    shrink the shuffle to n_labels × dim rows regardless of corpus size —
+    the same partial-aggregate shape Spark would use for any scalar mean.
+    Float noise vs the oracle is ~1e-14 against 6 dp rounding (per-cell sums
+    of a few hundred unit-scale values)."""
+    e = fanout(table(spark, sf_dir, "embeddings"))
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return exploded.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid")
+    )
