@@ -152,3 +152,68 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
     r2 = drain()
     # resumed state: 2 (from drain 1) + 1 new = 3, not 1
     assert r2.orderBy(F.col("n_events_so_far").desc()).first()["n_events_so_far"] == 3
+
+
+def test_stream_stream_join_evicts_state_at_watermark(spark, tmp_path):
+    """Interval-join state is bounded by the watermark: a view whose join
+    window the watermark has passed is evicted, so a purchase arriving
+    after that — even one inside the view's 30-min interval — produces no
+    pair. (The registry query uses a replay-wide watermark on purpose; this
+    test pins the tight-watermark eviction contract.)"""
+    import time as _time
+
+    stream = SimStream.create(str(tmp_path / "s4"), n_shards=1)
+    out, ckpt = str(tmp_path / "o4"), str(tmp_path / "c4")
+    seen, base = set(), _time.time() - 3600
+
+    def drain():
+        records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=1)
+        events = decode_json_payload(records, SCHEMA)
+        views = (
+            events.filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "30 minutes")
+        )
+        purchases = (
+            events.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "30 minutes")
+        )
+        pairs = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    # batch 1: a view and an in-window purchase → one pair emits
+    stream.put_records([_event(1, T0, "view")])
+    _stamp_new_files(stream, 0, seen, base)
+    stream.put_records([_event(2, T0 + timedelta(minutes=10), "purchase")])
+    _stamp_new_files(stream, 10, seen, base)
+    assert drain().count() == 1
+
+    # batch 2: far-future events on BOTH sides push the global watermark
+    # past T0+30min (global watermark = min over inputs); 7h purchase is
+    # outside the 6h view's window, so no new pair
+    stream.put_records([_event(3, T0 + timedelta(hours=6), "view")])
+    _stamp_new_files(stream, 20, seen, base)
+    stream.put_records([_event(4, T0 + timedelta(hours=7), "purchase")])
+    _stamp_new_files(stream, 30, seen, base)
+    assert drain().count() == 1
+
+    # batch 3: a purchase INSIDE the original view's interval, arriving
+    # after eviction → dropped, still exactly one pair
+    stream.put_records([_event(5, T0 + timedelta(minutes=20), "purchase")])
+    _stamp_new_files(stream, 40, seen, base)
+    assert drain().count() == 1
