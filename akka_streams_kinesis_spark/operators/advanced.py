@@ -295,3 +295,56 @@ def sample_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "agg_collect_sorted_lists",
+    oracle="""
+    SELECT o_custkey,
+           LIST(o_orderkey ORDER BY o_orderkey)          AS order_keys,
+           STRING_AGG(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq
+    FROM orders
+    WHERE o_totalprice > 450000
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: per-customer sorted key list + ordered
+    string_agg. collect_list has no deterministic order in a distributed
+    aggregate, so determinism comes from collecting (key, payload) structs
+    and sorting AFTER collection — sort_array + transform, the portable way
+    to get DuckDB's ORDER BY-qualified aggregates."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    pairs = F.sort_array(
+        F.collect_list(F.struct("o_orderkey", "o_orderstatus"))
+    )
+    return o.groupBy("o_custkey").agg(pairs.alias("p")).select(
+        "o_custkey",
+        F.expr("transform(p, x -> x.o_orderkey)").alias("order_keys"),
+        F.array_join(F.expr("transform(p, x -> x.o_orderstatus)"), ",").alias("status_seq"),
+    )
+
+
+@query(
+    "agg_corr_covar_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_extendedprice, l_quantity), 4)       AS price_qty_corr,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS price_qty_covar,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS price_per_unit
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates: correlation, sample covariance and
+    regression slope of price against quantity per return flag — single-pass
+    mergeable moments (partial aggregation map-side, like any sum/count), so
+    one small shuffle at any scale. 3 groups × ~20k rows each: float noise
+    ~1e-10 relative against 2-4 dp rounding."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_unit"),
+    )
