@@ -124,3 +124,82 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout(table(spark, sf_dir, "documents"))
     binary = to_binary_table(docs).select("doc_id", "payload")
     return extract_features(binary)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", LongType()),
+        StructField("src_h", LongType()),
+        StructField("dst_w", LongType()),
+        StructField("dst_h", LongType()),
+        StructField("thumb_sha", StringType()),
+    ]
+)
+
+_THUMB_MAX = 128  # target bounding box for the fake "resize"
+
+
+def resize_thumbnail(binary_df: DataFrame, box: int = _THUMB_MAX) -> DataFrame:
+    """Aspect-preserving "resize" over opaque payloads (mapInPandas).
+
+    A real implementation decodes pixels (decode_image seam) and rescales;
+    the deterministic stand-in derives source dims from the bytes
+    (fake_decode_features), fits them into a ``box``×``box`` bounding box
+    with integer arithmetic, and fingerprints the would-be thumbnail as
+    sha256(payload ‖ dst dims). Batch shape, schema, and the 1→1 row
+    contract are the production ones."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "src_w", "src_h", "dst_w", "dst_h", "thumb_sha")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                _, w, h, _ = fake_decode_features(raw)
+                scale_num, scale_den = (box, max(w, h)) if max(w, h) > box else (1, 1)
+                dw = max(1, (w * scale_num) // scale_den)
+                dh = max(1, (h * scale_num) // scale_den)
+                rows["doc_id"].append(int(doc_id))
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["dst_w"].append(dw)
+                rows["dst_h"].append(dh)
+                rows["thumb_sha"].append(
+                    hashlib.sha256(raw + f":{dw}x{dh}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_resize_thumbnails",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CAST(LENGTH(text) % 640 + 1 AS BIGINT)       AS src_w,
+               CAST((LENGTH(text) * 7) % 480 + 1 AS BIGINT) AS src_h
+        FROM documents
+    ), scaled AS (
+        SELECT doc_id, text, src_w, src_h,
+               CASE WHEN GREATEST(src_w, src_h) > {_THUMB_MAX}
+                    THEN GREATEST(CAST(src_w * {_THUMB_MAX} // GREATEST(src_w, src_h) AS BIGINT), 1)
+                    ELSE src_w END AS dst_w,
+               CASE WHEN GREATEST(src_w, src_h) > {_THUMB_MAX}
+                    THEN GREATEST(CAST(src_h * {_THUMB_MAX} // GREATEST(src_w, src_h) AS BIGINT), 1)
+                    ELSE src_h END AS dst_h
+        FROM dims
+    )
+    SELECT doc_id, src_w, src_h, dst_w, dst_h,
+           SHA256(text || ':' || dst_w || 'x' || dst_h) AS thumb_sha
+    FROM scaled
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage of the multimodal pipeline: binary payloads →
+    aspect-fit thumbnail dims + content fingerprint, Arrow-batched. The
+    oracle recomputes the deterministic stub in SQL (ASCII corpus: byte
+    length == char length), pinning the full binary round trip."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    binary = to_binary_table(docs).select("doc_id", "payload")
+    return resize_thumbnail(binary)
