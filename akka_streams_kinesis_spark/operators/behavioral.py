@@ -1,0 +1,118 @@
+"""Behavioral analytics over the event stream: conversion funnels and
+cohort retention — the queries an events pipeline (the reference's whole
+reason to exist: partitioned, time-ordered event delivery,
+KinesisSource.scala:59-63) feeds downstream.
+
+Both are pure DataFrame plans: per-user aggregates + broadcast-or-shuffle
+joins on user_id, no window state, no Python. At 100 TB the per-user
+aggregates partial-aggregate map-side and every join shares the user_id
+shuffle key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "behavior_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that first
+    qualifying click. Each stage is MIN-timestamp per user joined to the
+    previous stage with a time inequality — three aggregates and two joins,
+    all sharing the user_id key, so the whole funnel is one shuffle
+    partitioning reused across stages."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v.select(F.col("user_id").alias("v_uid"), "t_view"),
+              (F.col("user_id") == F.col("v_uid")) & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select(F.col("user_id").alias("c_uid"), "t_click"),
+              (F.col("user_id") == F.col("c_uid")) & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+@query(
+    "behavior_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(DATE_DIFF('week', f.cohort_week, DATE_TRUNC('week', e.ts)) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted in
+    each later week they return. first-week per user + a user_id join +
+    distinct — the distinct rides the same (user, cohort, offset) hash
+    aggregate, map-side deduped. DATE_TRUNC('week') is ISO-Monday on both
+    engines, and week_offset is integer week arithmetic on the truncated
+    dates, so the bucketing is engine-stable."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy(F.col("user_id").alias("f_uid")).agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, F.col("user_id") == F.col("f_uid"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )

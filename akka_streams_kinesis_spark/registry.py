@@ -48,6 +48,7 @@ def load_all() -> None:
         textanalysis,
         multimodal,
         advanced,
+        behavioral,
         subqueries,
         udfs,
         streaming_queries,
