@@ -31,13 +31,20 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right[right_ts] <= left[left_ts]`` (``<`` when strict) matching ``on``.
+    """For each left row, attach the nearest right row matching ``on``:
+    ``backward`` (default) takes the most recent right row with
+    ``right[right_ts] <= left[left_ts]`` (``<`` when strict); ``forward``
+    takes the earliest right row with ``right[right_ts] >= left[left_ts]``
+    (``>`` when strict) — the same union+window pass over the opposite sort
+    order.
 
     Returns the left columns + the requested right payload columns
-    (NULL when no prior right row exists).
+    (NULL when no prior/next right row exists).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     # side ordering: right rows sort before left rows at equal timestamps so
     # a non-strict as-of sees same-instant right rows; strict flips that.
@@ -59,9 +66,10 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_payload],
     )
     unioned = l_tagged.unionByName(r_tagged)
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -109,4 +117,42 @@ def asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round("value", 2).alias("purchase_value"),
         F.col("last_login_ts"),
+    )
+
+
+@query(
+    "asof_forward_time_to_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT MIN(p.ts) FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = c.user_id
+              AND p.ts >= c.ts) AS next_purchase_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+    """,
+)
+def asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every click, the user's NEXT purchase at or after
+    it (the time-to-convert primitive). Same union+window algorithm as the
+    backward join, run over the descending timestamp order — still one
+    shuffle on user_id, no inequality-join blow-up. The oracle states the
+    semantics directly as a correlated MIN."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_payload=["purchase_ts"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("last_purchase_ts").alias("next_purchase_ts")
     )

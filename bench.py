@@ -37,16 +37,22 @@ HEADLINE = [
     "window_running_totals",
     "events_hourly_rollup",
     "events_sessionize",
+    "behavior_funnel_view_click_purchase",
+    "behavior_weekly_retention",
     "asof_join_last_login",
+    "asof_forward_time_to_purchase",
     "join_range_price_bands",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_similarity",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "similarity_cosine_topk",
     "similarity_ann_ivf",
     "text_top_tokens",
     "text_fingerprint",
+    "text_tfidf_top_terms",
+    "pipeline_quality_dedup_filter",
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "embedding_near_dup_pairs",

@@ -95,3 +95,17 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_fanout_repartitions_single_split_input(spark, sf_dir):
+    """fanout() spreads a single-file scan across defaultParallelism
+    partitions (the 'single-split trap': without it, any explosive operator
+    downstream of a compact input runs in one task)."""
+    from akka_streams_kinesis_spark.io import fanout
+
+    d = table(spark, sf_dir, "documents")
+    assert d.rdd.getNumPartitions() == 1  # the trap this guards against
+    f = fanout(d)
+    assert f.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert f.count() == d.count()
+    assert fanout(d, 7).rdd.getNumPartitions() == 7
