@@ -1,0 +1,67 @@
+"""Property test for the custom as-of join (union+window algorithm).
+
+The operator is OUR algorithm (asof.py) rather than a Spark built-in, so it
+gets the strongest check in the suite: on randomized keyed event sets, every
+(direction, strict) variant must agree with an obviously-correct brute-force
+reference implementation, including tie timestamps, keys with no right rows,
+and duplicate timestamps on both sides.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from akka_streams_kinesis_spark.operators.asof import asof_join
+
+T0 = datetime(2024, 1, 1)  # naive: matches Spark's collected timestamps (UTC session)
+
+# (key, minutes-offset) pairs; tiny domains force key collisions and ties
+_side = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5)), min_size=0, max_size=8
+)
+
+
+def _brute_force(lefts, rights, direction, strict):
+    out = []
+    for i, (k, lt) in enumerate(lefts):
+        if direction == "backward":
+            cand = [rt for (rk, rt) in rights if rk == k and (rt < lt if strict else rt <= lt)]
+            match = max(cand) if cand else None
+        else:
+            cand = [rt for (rk, rt) in rights if rk == k and (rt > lt if strict else rt >= lt)]
+            match = min(cand) if cand else None
+        out.append((i, k, lt, match))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("direction,strict", [
+    ("backward", False), ("backward", True), ("forward", False), ("forward", True),
+])
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lefts=_side, rights=_side)
+def test_asof_matches_brute_force(spark, direction, strict, lefts, rights):
+    left_rows = [(i, k, T0 + timedelta(minutes=m)) for i, (k, m) in enumerate(lefts)]
+    right_rows = [(k, T0 + timedelta(minutes=m)) for (k, m) in rights]
+    left = spark.createDataFrame(left_rows or [(0, 0, T0)], "lid long, k long, lts timestamp")
+    right = spark.createDataFrame(right_rows or [(99, T0)], "k long, rts timestamp")
+    if not left_rows:
+        left = left.limit(0)
+    if not right_rows:
+        right = right.limit(0)
+
+    got = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_payload=["rts"], strict=strict, direction=direction,
+    ).collect()
+    got_norm = sorted((r["lid"], r["k"], r["lts"], r["last_rts"]) for r in got)
+
+    want = _brute_force(
+        [(k, t) for (_, k, t) in left_rows],
+        [(k, t) for (k, t) in right_rows],
+        direction, strict,
+    ) if left_rows else []
+    assert got_norm == want
