@@ -348,3 +348,18 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_covar"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_unit"),
     )
+
+
+@query("agg_approx_percentiles_sketch")  # no oracle: sketch is impl-specific
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch) — the 100 TB
+    replacement for agg_exact_percentiles: fixed-size per-partition sketches
+    merge map-side instead of gathering each group's values. No DuckDB
+    oracle (sketch internals are implementation-specific), so the driver
+    records the weaker rows-only check; accuracy is pinned against the
+    exact percentiles in tests/test_sketches.py instead."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
+            .alias("approx_p25_p50_p75")
+    )

@@ -203,3 +203,60 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout(table(spark, sf_dir, "documents"))
     binary = to_binary_table(docs).select("doc_id", "payload")
     return resize_thumbnail(binary)
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("est_duration_ms", LongType()),
+        StructField("est_sample_rate", LongType()),
+        StructField("channel_sha", StringType()),
+    ]
+)
+
+
+def extract_audio_features(binary_df: DataFrame) -> DataFrame:
+    """Audio-modality twin of extract_features: duration/sample-rate
+    metadata derived deterministically from the opaque payload (a real
+    decoder plugs into the decode_audio seam; batch shape and schema are
+    production-real)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_bytes", "est_duration_ms",
+                                    "est_sample_rate", "channel_sha")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                rate = 8000 * (n % 3 + 1)          # fake: 8/16/24 kHz
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(n)
+                rows["est_duration_ms"].append((n * 1000) // (rate * 2))
+                rows["est_sample_rate"].append(rate)
+                rows["channel_sha"].append(hashlib.sha256(b"ch0:" + raw).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_extract, schema=_AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           CAST(LENGTH(text) * 1000 // ((8000 * (LENGTH(text) % 3 + 1)) * 2) AS BIGINT)
+               AS est_duration_ms,
+           CAST(8000 * (LENGTH(text) % 3 + 1) AS BIGINT) AS est_sample_rate,
+           SHA256('ch0:' || text) AS channel_sha
+    FROM documents
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path of the multimodal surface: opaque payload → estimated
+    duration/sample-rate + per-channel fingerprint via Arrow-batched
+    mapInPandas (deterministic stub behind the decode_audio seam; the
+    oracle recomputes it in SQL over the ASCII corpus)."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    binary = to_binary_table(docs).select("doc_id", "payload")
+    return extract_audio_features(binary)

@@ -1,0 +1,51 @@
+"""Sketch-based aggregates: accuracy pinned against their exact twins
+(the rows-only registry entries get their real check here)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from akka_streams_kinesis_spark import registry
+
+registry.load_all()
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    approx = {
+        r["o_orderpriority"]: r["approx_p25_p50_p75"]
+        for r in registry.QUERIES["agg_approx_percentiles_sketch"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"])
+        for r in registry.QUERIES["agg_exact_percentiles"](spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for prio, (p25, p50, p75) in exact.items():
+        for a, e in zip(approx[prio], (p25, p50, p75)):
+            assert abs(a - e) / e < 0.05, f"{prio}: approx {a} vs exact {e}"
+
+
+def test_hll_close_to_exact_distinct(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.QUERIES["agg_approx_distinct_users"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["distinct_users"]
+        for r in registry.QUERIES["agg_distinct_users_per_type"](spark, sf_dir).collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.05, f"{k}: HLL {approx[k]} vs exact {e}"
+
+
+def test_raw_sql_surface(spark, sf_dir):
+    """Users can address every table through plain spark.sql after
+    register_views — the SQL entry surface of the engine."""
+    from akka_streams_kinesis_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT r_name, COUNT(*) AS n FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name"
+    ).collect()
+    assert sum(r["n"] for r in got) == 25 and len(got) == 5
