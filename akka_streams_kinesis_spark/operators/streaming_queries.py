@@ -108,7 +108,11 @@ def stream_ingest_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the batch flagship because ingest is lossless — the
     correctness statement for the whole source+decode pipeline."""
     stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
-    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    # backfill-sized trigger batches: for an availableNow replay the
+    # per-micro-batch fixed cost (offset WAL, state commit) dominates with
+    # small batches; 512 files/trigger is the production backfill setting,
+    # while the incremental-semantics tests elsewhere keep tiny triggers.
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
     events = decode_json_payload(records, _EVENT_SCHEMA)
     rollup = hourly_rollup(events)
     return _run_available_now(rollup, spark, mode="complete")
