@@ -186,20 +186,23 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, source, {_NORM} AS t FROM documents
     ), toks AS (
         SELECT doc_id, lang, source, STRING_SPLIT(t, ' ') AS w FROM norm
-    ), shingles AS (
-        SELECT DISTINCT doc_id, lang, source,
+    ), raw_shingles AS (
+        SELECT doc_id, lang, source,
                UNNEST(CASE WHEN LEN(w) >= 3
                            THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
                                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                            ELSE [] END) AS sh
         FROM toks
+    ), shingles AS (
+        SELECT DISTINCT doc_id,
+               MD5(lang || CHR(1) || source || CHR(1) || sh) AS h
+        FROM raw_shingles
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
     ), common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM shingles a
-        JOIN shingles b ON a.lang = b.lang AND a.source = b.source
-                       AND a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.doc_a, c.doc_b, c.n_common,
@@ -215,13 +218,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard similarity for candidate pairs, blocked by
     (lang, source) so the pair space never materializes — co-occurring
     shingles drive the join (sparse similarity join), then
-    |A∩B| / (|A|+|B|-|A∩B|) with a 0.05 floor."""
+    |A∩B| / (|A|+|B|-|A∩B|) with a 0.05 floor.
+
+    The (lang, source, shingle) blocking key is collapsed to one md5 digest
+    BEFORE the distinct and the self-join: shuffle rows shrink to
+    (doc_id, 32 chars) regardless of shingle length, and the join key is
+    hash-uniform — no popular-shingle skew. Equality on the digest is
+    equality on the triple for both engines (identical md5 on both sides),
+    so the result set is unchanged."""
     d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "lang", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
     )
     shingles = (
-        toks.select("doc_id", "lang", "source", F.explode(word_shingles("toks", 3)).alias("sh"))
+        toks.select(
+            "doc_id", "lang", "source", F.explode(word_shingles("toks", 3)).alias("sh")
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))).alias("h"),
+        )
         .distinct()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -230,10 +246,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
