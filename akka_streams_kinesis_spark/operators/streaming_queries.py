@@ -290,3 +290,33 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("fin.total_so_far"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "stream_rollup_table_maintenance",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d-%H') AS hour_part,
+           event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_rollup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The landing-table path: stream → UPDATE-mode hourly aggregate →
+    foreachBatch dynamic-partition-overwrite parquet table → read back.
+    The read-back table must equal the batch aggregate of the source —
+    the convergence + idempotence contract of the incremental sink
+    (tests/test_streaming_analytics.py drives the multi-drain cases)."""
+    from ..streaming.rollup_sink import start_rollup_table
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    run_id = uuid.uuid4().hex[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rollup_tbl_{run_id}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"rollup_ckpt_{run_id}")
+    q = start_rollup_table(events, path, ckpt, watermark="40 days")
+    q.awaitTermination()
+    return spark.read.parquet(path).select("hour_part", "event_type", "n", "total_value")

@@ -217,3 +217,44 @@ def test_stream_stream_join_evicts_state_at_watermark(spark, tmp_path):
     stream.put_records([_event(5, T0 + timedelta(minutes=20), "purchase")])
     _stamp_new_files(stream, 40, seen, base)
     assert drain().count() == 1
+
+
+def test_rollup_table_incrementally_maintained(spark, tmp_path):
+    """The partition-overwrite rollup sink converges to the batch truth
+    across drains: updated hours are rewritten, untouched hours keep their
+    files, and re-draining is idempotent."""
+    from akka_streams_kinesis_spark.streaming.rollup_sink import start_rollup_table
+
+    stream = SimStream.create(str(tmp_path / "s5"), n_shards=1)
+    table_path, ckpt = str(tmp_path / "rollup"), str(tmp_path / "c5")
+
+    def drain():
+        records = stream.read_stream(spark, TrimHorizon())
+        events = decode_json_payload(records, SCHEMA)
+        q = start_rollup_table(events, table_path, ckpt)
+        q.awaitTermination()
+        return spark.read.parquet(table_path)
+
+    # hour A: two clicks; hour B: one purchase
+    stream.put_records([
+        _event(1, T0, "click"), _event(2, T0 + timedelta(minutes=5), "click"),
+        _event(3, T0 + timedelta(hours=1), "purchase"),
+    ])
+    t1 = drain()
+    got1 = {(r["hour_part"], r["event_type"]): r["n"] for r in t1.collect()}
+    assert got1[("2024-03-01-10", "click")] == 2
+    assert got1[("2024-03-01-11", "purchase")] == 1
+
+    # more clicks land in hour A (state still live within the watermark);
+    # hour B untouched
+    stream.put_records([_event(4, T0 + timedelta(minutes=10), "click")])
+    t2 = drain()
+    got2 = {(r["hour_part"], r["event_type"]): r["n"] for r in t2.collect()}
+    assert got2[("2024-03-01-10", "click")] == 3
+    assert got2[("2024-03-01-11", "purchase")] == 1
+    assert len(got2) == 2  # no duplicate rows: partition was overwritten
+
+    # idempotence: draining with nothing new changes nothing
+    t3 = drain()
+    got3 = {(r["hour_part"], r["event_type"]): r["n"] for r in t3.collect()}
+    assert got3 == got2
