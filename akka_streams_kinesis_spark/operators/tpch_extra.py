@@ -656,3 +656,50 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("big_price"),
         )
     )
+
+
+@query(
+    "join_band_lookup_nested_loop",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('tiny',   0.0,      100000.0),
+        ('small',  100000.0, 200000.0),
+        ('mid',    200000.0, 300000.0),
+        ('large',  300000.0, 400000.0),
+        ('jumbo',  400000.0, 1000000000.0))
+    SELECT b.band, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS band_total
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join (no equi component): every order matched to its
+    price band by a range-only condition. This is the ONE join shape where
+    BroadcastNestedLoopJoin is the right plan — the band table is tiny by
+    construction (banding tables always are), so each task scans its order
+    rows against 5 broadcast rows; cost is linear in the fact side at any
+    scale. A non-broadcastable build side here would be a design error,
+    not a planner one."""
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 100000.0),
+            ("small", 100000.0, 200000.0),
+            ("mid", 200000.0, 300000.0),
+            ("large", 300000.0, 400000.0),
+            ("jumbo", 400000.0, 1000000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+        )
+    )

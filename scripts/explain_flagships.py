@@ -1,0 +1,75 @@
+"""Regenerate PLANS.md: formatted physical plans for representative queries,
+with the scale property each plan is supposed to exhibit. Run after changing
+any of the listed operators: ``python scripts/explain_flagships.py``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from akka_streams_kinesis_spark import get_session, registry  # noqa: E402
+
+registry.load_all()
+
+# (query, the property a reviewer should verify in the plan)
+SHOWCASE = [
+    ("tpch_q1_pricing_summary",
+     "PushedFilters on l_shipdate; ReadSchema is the 7 needed columns; "
+     "partial+final HashAggregate pair around one small Exchange."),
+    ("tpch_q3_top_orders",
+     "BroadcastHashJoin for the filtered customer dim; the only big Exchange "
+     "is orders⋈lineitem on orderkey; TakeOrderedAndProject instead of a "
+     "global Sort for the top-10."),
+    ("join_band_lookup_nested_loop",
+     "BroadcastNestedLoopJoin — correct HERE because the build side is a "
+     "5-row banding table and the condition has no equi component."),
+    ("asof_join_last_login",
+     "No join operator at all: union + single Exchange on user_id + one "
+     "running-Window — the linear as-of algorithm (no inequality-join "
+     "pair blow-up)."),
+    ("dedup_minhash_lsh",
+     "Exchange carries (doc_id, 8×32-char digests) partial mins, never "
+     "documents; the self-join keys are band hashes (short, uniform)."),
+    ("embedding_near_dup_pairs",
+     "Salted equi-join on (label, salt): parallelism = cells × 8 instead "
+     "of cells; norms are precomputed once before the join."),
+    ("text_fingerprint",
+     "Round-robin Exchange (fanout) BEFORE the 300× gram explode so the "
+     "fan-out parallelizes; the (doc_id, gram) aggregate dedups map-side."),
+    ("stream_ingest_hourly_rollup",
+     "(streaming — see the drain rate in bench.py; plan not dumped here)"),
+]
+
+
+def main() -> None:
+    spark = get_session("explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+    out = [
+        "# PLANS — reviewed physical plans (regenerate: `python scripts/explain_flagships.py`)",
+        "",
+        "Every operator's docstring claims a scale property; this file shows the",
+        "actual plan at sf0.01 so the claim can be checked against the physical",
+        "operators. `tests/test_plans.py` pins the load-bearing ones in CI.",
+        "",
+    ]
+    for name, prop in SHOWCASE:
+        out.append(f"## {name}\n")
+        out.append(f"**Property:** {prop}\n")
+        if name.startswith("stream_"):
+            continue
+        df = registry.QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        out.append("```\n" + plan.strip() + "\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
