@@ -554,3 +554,38 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.log(F.col("l_extendedprice") + 1)), 4).alias("avg_log_price"),
         F.round(F.max(F.abs(F.col("l_extendedprice") - 1000)), 2).alias("max_abs_dev"),
     )
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.o_orderstatus, 'NONE')            AS status_or_none,
+           CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END AS has_order,
+           NULLIF(c.c_mktsegment, 'BUILDING')           AS seg_unless_building,
+           ROUND(IFNULL(o.o_totalprice, 0.0), 2)        AS price_or_zero
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+    WHERE c.c_custkey % 20 = 0
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar family over an outer join's null-extended rows:
+    coalesce / nullif / ifnull / IS NULL — the functions every pipeline uses
+    to normalize missing data after outer joins and sparse decodes."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 450000),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("o_orderstatus"), F.lit("NONE")).alias("status_or_none"),
+            F.when(F.col("o_orderkey").isNull(), 0).otherwise(1).alias("has_order"),
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_unless_building"),
+            F.round(F.ifnull(F.col("o_totalprice"), F.lit(0.0)), 2).alias("price_or_zero"),
+        )
+    )

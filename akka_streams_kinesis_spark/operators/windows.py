@@ -300,3 +300,40 @@ def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # UNION ALL oracle emits no row for a missing side; unpivot emits NULL
     return long.filter(F.col("balance").isNotNull())
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS latest_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           LEAD(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window analytics: first/last/nth/lead over each
+    customer's order history. The UNBOUNDED..UNBOUNDED frame makes
+    last_value the true latest order (the default frame would stop at the
+    current row); the (date, key) ordering breaks same-day ties so both
+    engines pick identical rows. LEAD ignores the frame by definition —
+    included to pin that contract too."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_lead = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.lead("o_orderkey").over(w_lead).alias("next_order"),
+    )
