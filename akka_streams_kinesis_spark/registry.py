@@ -40,6 +40,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         relational,
         tpch_extra,
+        tpch_extra2,
         windows,
         asof,
         dedup,
