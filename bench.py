@@ -30,6 +30,13 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q18_large_volume_customers",
     "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_speed_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q20_excess_share_suppliers",
     "window_range_frame_trailing_spend",
     "agg_rollup_region_nation",
     "agg_distinct_users_per_type",
