@@ -22,6 +22,15 @@ SHOWCASE = [
      "BroadcastHashJoin for the filtered customer dim; the only big Exchange "
      "is orders⋈lineitem on orderkey; TakeOrderedAndProject instead of a "
      "global Sort for the top-10."),
+    ("tpch_q2_min_cost_supplier",
+     "The persisted supply-cost aggregate appears as ONE InMemoryTableScan "
+     "feeding both the per-part MIN branch and the argmin join-back — the "
+     "lineitem scan+shuffle runs once, not per consumer; dims broadcast; "
+     "TakeOrderedAndProject for the top-100."),
+    ("tpch_q11_important_stock",
+     "Scalar-fraction HAVING: the 0.001×SUM threshold is a 1-row "
+     "BroadcastNestedLoopJoin build side over the persisted per-part "
+     "value aggregate (InMemoryTableScan on both branches)."),
     ("join_band_lookup_nested_loop",
      "BroadcastNestedLoopJoin — correct HERE because the build side is a "
      "5-row banding table and the condition has no equi component."),
