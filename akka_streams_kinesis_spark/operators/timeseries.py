@@ -1,0 +1,157 @@
+"""Time-series operators over the events stream table: gap-filled
+resampling onto a fixed grid, and z-score outlier detection.
+
+The reference's whole domain is time-positioned event streams
+(KinesisSource.scala:31-35 — AtTimestamp/TrimHorizon positioning); these are
+the batch analytics a consumer of that stream runs once the events land:
+regularize the series (gaps = hours where a shard produced nothing) and
+screen for anomalous values.
+
+Scale notes (100 TB stance):
+- The only fact-table work in either query is one hash-aggregate shuffle to
+  (hour, event_type) / (event_type) — thousands of groups regardless of
+  input size.
+- The time grid is generated with sequence()+explode from a 1-row bounds
+  aggregate — never a driver-side loop — and stays [hours × types] rows, so
+  the gap-fill join is a broadcast of the *aggregated* side, not the grid.
+- Outlier moments (n, Σv, Σv²) are computed in one pass and rounded to
+  fixed decimals BEFORE deriving mean/std, so both engines (and any
+  partition order) derive bit-identical thresholds: values are 2-decimal
+  money, so Σv at 2dp and Σv² at 4dp are exact reconstructions of the
+  mathematical sums.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "events_gap_fill_resample",
+    oracle="""
+    WITH hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT MIN(DATE_TRUNC('hour', ts)) AS tmin,
+               MAX(DATE_TRUNC('hour', ts)) AS tmax
+        FROM events
+    ),
+    grid AS (
+        SELECT UNNEST(GENERATE_SERIES(tmin, tmax, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT g.hour, t.event_type,
+           COALESCE(h.n, 0) AS n,
+           COALESCE(h.total_value, 0.0) AS total_value
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = t.event_type
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events onto a dense hourly grid per event type, zero-filling
+    hours with no traffic.
+
+    The grid is sequence(min_hour, max_hour, 1h) exploded from the 1-row
+    bounds aggregate crossed with the distinct types — [hours × types] rows
+    total, independent of fact size, so the cross join and the gap-fill
+    left join both broadcast. The fact table is touched exactly twice-ish
+    cheap: one (hour, type) hash-agg and one min/max + distinct-type pass
+    (both trivially combinable map-side)."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h_hour"),
+        F.col("event_type").alias("h_type"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("tmin"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("tmax"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(tmin, tmax, interval 1 hour)")).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(
+            F.broadcast(hourly),
+            (F.col("h_hour") == F.col("hour"))
+            & (F.col("h_type") == F.col("event_type")),
+            "left",
+        )
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH moments AS (
+        SELECT event_type AS m_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS s1,
+               ROUND(SUM(value * value), 4) AS s2
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT m_type, s1 / n AS mean,
+               SQRT((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS std
+        FROM moments
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mean) / s.std, 4) AS zscore
+    FROM events e
+    JOIN stats s ON s.m_type = e.event_type
+    WHERE ABS((e.value - s.mean) / s.std) > 3.0
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier screen: events more than 3 sample standard
+    deviations from their type's mean.
+
+    mean/std are derived from (n, Σv@2dp, Σv²@4dp) — exact for 2-decimal
+    inputs — instead of avg()/stddev(), so the threshold compare is
+    bit-identical across engines and partition orders (see the
+    oracle-parity notes on summation-order rounding flips). The moments
+    aggregate is one map-side-combinable pass; stats broadcast back onto
+    the fact scan, so the screen itself is a broadcast join + filter —
+    no second shuffle."""
+    e = table(spark, sf_dir, "events")
+    moments = e.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("s1"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    stats = moments.select(
+        "m_type",
+        mean.alias("mean"),
+        F.sqrt((F.col("s2") - F.col("n") * mean * mean) / (F.col("n") - 1)).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(stats), F.col("m_type") == F.col("event_type"))
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -41,6 +41,7 @@ def load_all() -> None:
         relational,
         tpch_extra,
         tpch_extra2,
+        timeseries,
         windows,
         asof,
         dedup,
