@@ -44,21 +44,6 @@ def _reused(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
-def _supply_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived partsupp stand-in: per (part, supplier) minimum unit price
-    observed in lineitem. One shuffle of (l_partkey, l_suppkey, unit_price)."""
-    l = table(spark, sf_dir, "lineitem")
-    return (
-        l.select(
-            "l_partkey",
-            "l_suppkey",
-            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("unit_price").alias("supply_cost"))
-    )
-
-
 # --------------------------------------------------------------------------
 # Q2: minimum-cost supplier per part (correlated MIN subquery → argmin join)
 # --------------------------------------------------------------------------
@@ -98,28 +83,41 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum supply cost (derived from lineitem — no partsupp in this
     schema), with a MIN(suppkey) tiebreak so the pick is deterministic.
 
-    The correlated ``cost = (SELECT MIN(..) WHERE partkey = outer)`` is
-    decorrelated into groupBy(l_partkey) + equijoin back on (partkey, cost)
-    — equality on doubles is safe here because both sides are the same
-    identically-computed values, not re-derived arithmetic. part/supplier/
-    nation attach via broadcast; ORDER BY+LIMIT compiles to TakeOrdered."""
-    cost = _reused(_supply_cost(spark, sf_dir))
-    best = cost.groupBy(F.col("l_partkey").alias("b_pk")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
-    pick = (
-        cost.join(
-            best,
-            (F.col("b_pk") == F.col("l_partkey"))
-            & (F.col("supply_cost") == F.col("min_cost")),
-        )
-        .groupBy("l_partkey", "min_cost")
-        .agg(F.min("l_suppkey").alias("best_supp"))
-    )
+    The correlated ``cost = (SELECT MIN(..) WHERE partkey = outer)`` is a
+    per-part-independent reduction, so two rewrites beat the oracle's
+    literal join-back shape with identical results:
+    (1) the part filter pushes BELOW the aggregate — the broadcast join
+    against the ~2.5%-selective part dim prunes lineitem before any
+    shuffle; (2) argmin-with-tiebreak collapses to one
+    ``MIN(struct(cost, suppkey))`` aggregation — lexicographic struct min
+    IS "min cost, then min suppkey", removing the join-back, its
+    double-equality, and the need to persist the cost relation. One fact
+    shuffle on (partkey, suppkey), one tiny struct-min shuffle, broadcast
+    dims, TakeOrdered top-100."""
     p = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_size").between(10, 14) & (F.col("p_type") == "LARGE"))
         .select("p_partkey", "p_name")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    cost = (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("supply_cost"))
+    )
+    pick = (
+        cost.groupBy("l_partkey")
+        .agg(F.min(F.struct("supply_cost", "l_suppkey")).alias("m"))
+        .select(
+            "l_partkey",
+            F.col("m.supply_cost").alias("min_cost"),
+            F.col("m.l_suppkey").alias("best_supp"),
+        )
     )
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -358,12 +356,13 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     and blacklisted suppliers (negative account balance stands in for the
     original's complaint-comment filter). The part↔supplier relation is the
     DISTINCT pair projection of lineitem; the supplier blacklist is a
-    broadcast left-anti join (NOT IN with non-nullable keys)."""
-    ps = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    broadcast left-anti join (NOT IN with non-nullable keys).
+
+    Both broadcast joins sit BELOW the distinct: the ~13%-selective part
+    filter and the supplier blacklist prune lineitem rows before the
+    (partkey, suppkey) dedup shuffle — distinct-then-filter and
+    filter-then-distinct commute, and the cheap side of a dedup is always
+    the pruned one."""
     p = (
         table(spark, sf_dir, "part")
         .filter(
@@ -378,10 +377,16 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
-    return (
-        ps.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
+        .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+    )
+    return (
+        ps.groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
 
