@@ -23,10 +23,10 @@ SHOWCASE = [
      "is orders⋈lineitem on orderkey; TakeOrderedAndProject instead of a "
      "global Sort for the top-10."),
     ("tpch_q2_min_cost_supplier",
-     "The persisted supply-cost aggregate appears as ONE InMemoryTableScan "
-     "feeding both the per-part MIN branch and the argmin join-back — the "
-     "lineitem scan+shuffle runs once, not per consumer; dims broadcast; "
-     "TakeOrderedAndProject for the top-100."),
+     "Part filter broadcast-joined BELOW the supply-cost aggregate (prunes "
+     "lineitem before any shuffle); argmin-with-tiebreak is ONE "
+     "min(struct(cost,suppkey)) aggregate — no join-back, no second fact "
+     "scan; TakeOrderedAndProject for the top-100."),
     ("tpch_q11_important_stock",
      "Scalar-fraction HAVING: the 0.001×SUM threshold is a 1-row "
      "BroadcastNestedLoopJoin build side over the persisted per-part "
