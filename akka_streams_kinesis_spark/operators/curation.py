@@ -1,0 +1,372 @@
+"""Corpus-curation operators: the end-of-pipeline steps a training-data
+build needs after dedup/quality scoring — cluster near-dup candidates into
+keep-one groups, carve stable train/valid/test splits, pack documents into
+fixed-token context windows, stratified-sample by language, detect
+boilerplate passages, and emit a per-(lang, source) dataset card.
+
+Scale posture (100 TB): every operator here is one or two hash shuffles on
+small keys. The hash-split and stratified sample are *stateless* row-local
+predicates (md5 of the key), so they need no shuffle at all and no
+membership table — the property that makes them usable on a 1000-executor
+cluster where a join against a split-assignment table would be another
+100 TB shuffle. Connected components is the one iterative operator; it
+uses min-label propagation with per-round localCheckpoint (lineage
+truncation), converging in O(component diameter) rounds — near-dup
+clusters are tiny cliques, so 2-4 rounds in practice (cf. the
+large-star/small-star formulation of Kiveris et al. for adversarial
+diameters).
+
+Reference parity: the reference library (a Kinesis connector) has no
+analytic surface; these operators are part of the driver-mandated
+training-data-pipeline extension (BASELINE.json) layered on the same
+documents table as the dedup family (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
+from ..io import fanout, table
+from ..registry import query
+from .dedup import _minhash_ctes, dedup_minhash
+
+_NORM = NORM_TEXT_DUCK.format(col="text")
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_components — near-dup candidate pairs → connected components
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+    {_minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)}
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src AS doc_id, src AS rep FROM edges
+        UNION
+        SELECT e.dst AS doc_id, r.rep
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    ), members AS (
+        SELECT doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.cluster_rep, s.cluster_size
+    FROM members m
+    JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+          FROM members GROUP BY cluster_rep) s
+      ON s.cluster_rep = m.cluster_rep
+"""
+
+
+@query("dedup_cluster_components", oracle=_CC_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH candidate pairs: the step that
+    turns pairwise near-dup hits into keep-one-per-cluster groups (pairs
+    alone under-delete: a~b, b~c must collapse to one survivor, not two).
+
+    Algorithm: undirected min-label propagation. Each node starts labeled
+    with its own id; every round each node takes the min of its label and
+    its neighbors' labels; fixpoint = every node labeled with its
+    component's min id. Convergence is detected with a monotone invariant
+    (sum of labels strictly decreases until fixpoint), one tiny agg action
+    per round. localCheckpoint after each round truncates the lineage so
+    plan depth stays O(1) instead of O(rounds).
+
+    The DuckDB oracle computes the same fixpoint with a recursive CTE
+    (min reachable id), so this iterative operator is still fully
+    hash-gated.
+    """
+    pairs = dedup_minhash(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("rep", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("rep")).first()[0]
+    for _ in range(20):  # >> observed diameter of near-dup clusters
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "rep")
+        labels = (
+            labels.unionAll(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("rep")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+
+    sizes = labels.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "rep").select(
+        "doc_id", F.col("rep").alias("cluster_rep"), "cluster_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_train_valid_test — stable hash split
+# ---------------------------------------------------------------------------
+
+# Split by the first byte of md5(doc_id): hex strings compare
+# lexicographically, so 'cd' = 0xcd/0x100 ~ 80.1% train, 'e6' ~ +9.8% valid,
+# rest test. Pure row-local predicate: no shuffle, no membership table, and
+# the assignment is stable under re-runs, repartitioning, and incremental
+# corpus growth — the three properties a 100 TB split actually needs.
+_SPLIT_CASE = (
+    "CASE WHEN SUBSTR(MD5(CAST(doc_id AS {st})), 1, 2) < 'cd' THEN 'train' "
+    "WHEN SUBSTR(MD5(CAST(doc_id AS {st})), 1, 2) < 'e6' THEN 'valid' "
+    "ELSE 'test' END"
+)
+
+
+@query(
+    "split_train_valid_test",
+    oracle=f"""
+    SELECT {_SPLIT_CASE.format(st="VARCHAR")} AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/valid/test split keyed on md5(doc_id),
+    summarized per (split, lang). The same one-line predicate splits the
+    full corpus on a cluster with zero coordination."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.expr(_SPLIT_CASE.format(st="STRING")).alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("toks"),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences_bins — greedy concat-then-chunk packing into context windows
+# ---------------------------------------------------------------------------
+
+_CTX = 4096  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences_bins",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT lang, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok) / {_CTX}.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS bin_tokens,
+           ROUND(SUM(n_tok) / {_CTX}.0, 4) AS fill_ratio
+    FROM packed
+    GROUP BY lang, bin_id
+    """,
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: per language, stream documents in doc_id
+    order, concatenate token counts, and chunk into {_CTX}-token training
+    bins (a doc belongs to the bin where its first token lands — the
+    standard concat-then-chunk packing used to build pretraining batches).
+
+    One window over (lang, doc_id) + one hash agg. At scale the window
+    partitions by a bounded key set; for a single giant language you'd
+    sub-shard the partition key (lang, doc_id DIV B) and offset bins by a
+    per-shard prefix — same plan shape, no new operator.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(_CTX)),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.round(F.sum("n_tok") / float(_CTX), 4).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_by_language — deterministic hash-threshold sampling
+# ---------------------------------------------------------------------------
+
+# Per-language keep fractions as first-byte hex thresholds ('80' = 128/256
+# = 50%...). The 's:' prefix decorrelates this hash from the split hash
+# above — the same doc_id must not be "lucky" in every sampler.
+_STRATA = {"en": "80", "es": "40", "fr": "40", "de": "40", "zh": "c0"}
+_KEEP_CASE = (
+    "CASE WHEN SUBSTR(MD5('s:' || CAST(doc_id AS {st})), 1, 2) < ("
+    + "CASE "
+    + " ".join(f"WHEN lang = '{l}' THEN '{t}'" for l, t in _STRATA.items())
+    + " ELSE '00' END) THEN 1 ELSE 0 END"
+)
+
+
+@query(
+    "sample_stratified_by_language",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           SUM({_KEEP_CASE.format(st="VARCHAR")}) AS n_sampled,
+           ROUND(SUM({_KEEP_CASE.format(st="VARCHAR")}) * 1.0 / COUNT(*), 4)
+               AS sample_rate
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sample_stratified_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language target fractions (rebalance
+    a multilingual corpus), via a seeded md5 threshold per row. Stateless
+    and reproducible: no sort, no sampling state, identical keep-set on any
+    cluster layout."""
+    d = table(spark, sf_dir, "documents")
+    keep = F.expr(_KEEP_CASE.format(st="STRING"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep).alias("n_sampled"),
+        F.round(F.sum(keep) * 1.0 / F.count("*"), 4).alias("sample_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_repeated_shingles — boilerplate passage detection
+# ---------------------------------------------------------------------------
+
+_BP_MIN_DOCS = 10
+_BP_N = 5
+
+
+@query(
+    "text_repeated_shingles",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), shingles AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(CASE WHEN LEN(w) >= {_BP_N}
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_BP_N - 1}),
+                                               i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_BP_N))})
+                           ELSE [] END) AS sh
+        FROM toks
+    )
+    SELECT sh AS shingle, COUNT(*) AS n_docs
+    FROM shingles
+    GROUP BY sh
+    HAVING COUNT(*) >= {_BP_MIN_DOCS}
+    """,
+)
+def text_repeated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: {_BP_N}-word passages that repeat across
+    >= {_BP_MIN_DOCS} distinct documents (headers, footers, licence
+    blurbs). distinct-(doc, shingle) BEFORE the count keeps the agg a
+    plain hash count instead of a count-distinct Expand; the explode runs
+    after fanout() so a single-file corpus still uses every core.
+    """
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    sh = toks.select(
+        "doc_id", F.explode(word_shingles("toks", _BP_N)).alias("shingle")
+    ).distinct()
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_dataset_card — per (lang, source) corpus statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_dataset_card",
+    oracle="""
+    WITH per_text AS (
+        SELECT lang, source, MD5(text) AS h,
+               COUNT(*) AS cnt,
+               SUM(LEN(STRING_SPLIT(text, ' '))) AS sum_tok,
+               SUM(n_chars) AS sum_chars
+        FROM documents
+        GROUP BY lang, source, MD5(text)
+    )
+    SELECT lang, source,
+           SUM(cnt)  AS n_docs,
+           COUNT(*)  AS n_unique,
+           SUM(sum_tok) AS n_tokens,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(cnt), 4) AS dup_rate,
+           ROUND(SUM(sum_chars) * 1.0 / SUM(cnt), 2) AS avg_chars
+    FROM per_text
+    GROUP BY lang, source
+    """,
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: per (lang, source) doc/token counts, exact-dup rate,
+    and mean length — the summary table a corpus release ships with.
+
+    Two-level aggregation (pre-group on the md5 digest, then roll up)
+    instead of COUNT(DISTINCT ...) alongside other aggs: the latter plans
+    an Expand that doubles the scanned rows; the former is two ordinary
+    partial+final hash aggs (see tests/test_plans.py pins for the same
+    pattern elsewhere).
+    """
+    d = table(spark, sf_dir, "documents")
+    per_text = (
+        d.select(
+            "lang",
+            "source",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("lang", "source", "h")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    return per_text.groupBy("lang", "source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.sum("sum_tok").alias("n_tokens"),
+        F.round(1.0 - F.count("*") * 1.0 / F.sum("cnt"), 4).alias("dup_rate"),
+        F.round(F.sum("sum_chars") * 1.0 / F.sum("cnt"), 2).alias("avg_chars"),
+    )

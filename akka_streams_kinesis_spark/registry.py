@@ -54,4 +54,5 @@ def load_all() -> None:
         subqueries,
         udfs,
         streaming_queries,
+        curation,
     )

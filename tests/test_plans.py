@@ -99,3 +99,31 @@ def test_near_dup_salted_join_is_hash_not_nested_loop(spark, sf_dir):
     df = registry.QUERIES["embedding_near_dup_pairs"](spark, sf_dir)
     st = join_strategies(df)
     assert st["broadcast_nested_loop"] == 0 and st["cartesian"] == 0
+
+
+def test_hash_split_is_single_agg_no_join(spark, sf_dir):
+    # split/sample are row-local md5 predicates: the plan must be scan →
+    # partial agg → one exchange → final agg, with no join anywhere
+    from akka_streams_kinesis_spark.plans import num_shuffles, join_strategies
+
+    for name in ("split_train_valid_test", "sample_stratified_by_language"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert sum(join_strategies(df).values()) == 0, f"{name} plans a join"
+        assert num_shuffles(df) == 1, f"{name} should shuffle exactly once"
+
+
+def test_dataset_card_two_level_agg_avoids_expand(spark, sf_dir):
+    from akka_streams_kinesis_spark.plans import num_shuffles, physical_plan
+
+    df = registry.QUERIES["curation_dataset_card"](spark, sf_dir)
+    assert "Expand" not in physical_plan(df)
+    assert num_shuffles(df) <= 2  # pre-group on digest, then roll up
+
+
+def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
+    # groupBy(lang, bin_id) after a window partitioned by lang must reuse
+    # the hash(lang) distribution instead of adding a second exchange
+    from akka_streams_kinesis_spark.plans import num_shuffles
+
+    df = registry.QUERIES["pack_sequences_bins"](spark, sf_dir)
+    assert num_shuffles(df) == 1
