@@ -83,7 +83,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min reachable id), so this iterative operator is still fully
     hash-gated.
     """
-    pairs = dedup_minhash(spark, sf_dir)
+    # persist the candidate pairs, not just the edge union: the two union
+    # branches would otherwise each re-run the whole minhash pipeline
+    # (shingle → sign → band → self-join) inside the first action
+    pairs = dedup_minhash(spark, sf_dir).persist()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
@@ -112,6 +115,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev = cur
     edges.unpersist()
+    pairs.unpersist()
 
     sizes = labels.groupBy("rep").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "rep").select(
@@ -265,8 +269,11 @@ def sample_stratified_by_language(spark: SparkSession, sf_dir: str) -> DataFrame
 # text_repeated_shingles — boilerplate passage detection
 # ---------------------------------------------------------------------------
 
-_BP_MIN_DOCS = 10
-_BP_N = 5
+# 3-word passages repeating across >=5 docs: chosen so the detector fires
+# at every test SF (4/5-grams never cross df>=10 on the synthetic corpus —
+# an empty result would make this a vacuous gate).
+_BP_MIN_DOCS = 5
+_BP_N = 3
 
 
 @query(
@@ -279,7 +286,7 @@ _BP_N = 5
     ), shingles AS (
         SELECT DISTINCT doc_id,
                UNNEST(CASE WHEN LEN(w) >= {_BP_N}
-                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_BP_N - 1}),
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_BP_N - 2}),
                                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_BP_N))})
                            ELSE [] END) AS sh
         FROM toks

@@ -66,6 +66,10 @@ HEADLINE = [
     "pivot_user_event_matrix",
     "events_sliding_windows",
     "udf_pandas_scalar_shannon",
+    "dedup_cluster_components",
+    "text_repeated_shingles",
+    "curation_dataset_card",
+    "pack_sequences_bins",
     "egress_writer_passthrough",
 ]
 
