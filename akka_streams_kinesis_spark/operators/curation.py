@@ -377,3 +377,125 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.count("*") * 1.0 / F.sum("cnt"), 4).alias("dup_rate"),
         F.round(F.sum("sum_chars") * 1.0 / F.sum("cnt"), 2).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_quality_prune — per-language quantile pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_quality_prune",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, lang, {_NORM} AS t FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               ROUND(LEN(LIST_DISTINCT(STRING_SPLIT(t, ' '))) * 1.0
+                     / LEN(STRING_SPLIT(t, ' ')), 4) AS score
+        FROM norm
+    ), tiled AS (
+        SELECT doc_id, lang, score,
+               NTILE(4) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS q
+        FROM scored
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           MIN(score) AS min_score_kept,
+           MAX(score) AS max_score_kept
+    FROM tiled WHERE q = 1
+    GROUP BY lang
+    """,
+)
+def curation_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top quality quartile per language — quality here is lexical
+    diversity (distinct words / words), the cheap repetition screen a
+    pretraining pipeline runs before expensive scoring. NTILE over
+    (lang, score) makes the cut a per-stratum quantile rather than a global
+    threshold, so low-resource languages aren't wiped out by a global bar.
+    Summary returns only deterministic picks (counts, min/max of 4-dp
+    scores) — no float sums to drift between engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id"))
+    tiled = scored.withColumn("q", F.ntile(4).over(w))
+    return (
+        tiled.filter(F.col("q") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("score").alias("min_score_kept"),
+            F.max("score").alias("max_score_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_decontaminate_train — benchmark-leak screen across the hash split
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+
+
+@query(
+    "curation_decontaminate_train",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(CASE WHEN LEN(w) >= {_DECON_N}
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_DECON_N - 2}),
+                                               i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_DECON_N))})
+                           ELSE [] END) AS s
+        FROM toks
+    ), split AS (
+        SELECT doc_id, {_SPLIT_CASE.format(st="VARCHAR")} AS split FROM documents
+    ), test_sh AS (
+        SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE split = 'test'
+    )
+    SELECT sh.doc_id, COUNT(*) AS n_shared
+    FROM sh
+    JOIN split ON split.doc_id = sh.doc_id AND split.split = 'train'
+    JOIN test_sh ON test_sh.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def curation_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split documents that share any
+    {_DECON_N}-gram with the held-out test split (the n-gram-overlap screen
+    used before training on scraped corpora), reporting how many of the
+    train doc's distinct {_DECON_N}-grams leak. The test-side shingle set
+    is DISTINCT-collapsed before the join — at scale it's the small side
+    (test splits are ~10% and dedup'd), which Spark can broadcast, so the
+    train-side scan never shuffles its shingles."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    sh = toks.select(
+        "doc_id", F.explode(word_shingles("toks", _DECON_N)).alias("s")
+    ).distinct()
+    split = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
+    )
+    test_sh = (
+        sh.join(split.filter(F.col("split") == "test"), "doc_id")
+        .select("s")
+        .distinct()
+    )
+    return (
+        sh.join(split.filter(F.col("split") == "train"), "doc_id")
+        .join(F.broadcast(test_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

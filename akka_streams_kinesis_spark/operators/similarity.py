@@ -195,3 +195,140 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
         F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_hyperplane_lsh — cosine-LSH with OR-amplified bands
+# ---------------------------------------------------------------------------
+
+# 12 seeded Gaussian hyperplanes → sign bits → 2 bands of 6 bits. A vector
+# lands in 2 buckets (one per band); candidates = bucket collisions in ANY
+# band (OR-amplification: recall ~ 1-(1-p^6)^2 vs a single 12-bit cell's
+# p^12). Weights are fixed 4-dp literals so Spark and the DuckDB oracle
+# quantize with bit-identical planes.
+import random as _random
+
+_HP_K = 12
+_HP_BAND = 6
+_HP_DIM = 64
+_rnd = _random.Random(421)
+_PLANES = [
+    [round(_rnd.gauss(0.0, 1.0), 4) for _ in range(_HP_DIM)] for _ in range(_HP_K)
+]
+_HP_TOPK = 3
+
+
+def _hp_dot(plane: list[float]) -> Column:
+    # NOTE: an unrolled 64-term sum per plane (768 expression nodes total)
+    # was measured SLOWER than this fold (8.7s vs 3.9s at sf0.1): the
+    # generated code blows past JIT/codegen method limits and compile time
+    # dominates. The interpreted HOF pays ~10× per element but stays O(K·D)
+    # small here.
+    arr = "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in plane) + ")"
+    return F.expr(
+        f"aggregate(zip_with(embedding, {arr}, (x, w) -> CAST(x AS DOUBLE) * w), "
+        f"CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+
+
+def _hp_oracle() -> str:
+    values = ",\n               ".join(
+        f"({p}, CAST([{', '.join(str(w) for w in plane)}] AS DOUBLE[]))"
+        for p, plane in enumerate(_PLANES)
+    )
+    return f"""
+    WITH planes AS (
+        SELECT * FROM (VALUES {values}) AS t(p, w)
+    ), dots AS (
+        SELECT e.vec_id, p.p,
+               SUM(CAST(e.embedding[i] AS DOUBLE) * p.w[i]) AS d
+        FROM embeddings e
+        CROSS JOIN planes p
+        CROSS JOIN UNNEST(RANGE(1, {_HP_DIM + 1})) AS t(i)
+        GROUP BY e.vec_id, p.p
+    ), codes AS (
+        SELECT vec_id, p // {_HP_BAND} AS band_idx,
+               STRING_AGG(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS code
+        FROM dots GROUP BY vec_id, p // {_HP_BAND}
+    ), cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id
+        FROM codes q
+        JOIN codes v ON q.band_idx = v.band_idx AND q.code = v.code
+        WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> v.vec_id
+    ), sims AS (
+        SELECT c.query_id, c.vec_id, ROUND({_DUCK_SIM}, 6) AS sim
+        FROM cands c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings v ON v.vec_id = c.vec_id
+        CROSS JOIN UNNEST(RANGE(1, {_HP_DIM + 1})) AS t(i)
+        GROUP BY c.query_id, c.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= {_HP_TOPK}
+    """
+
+
+@query("similarity_hyperplane_lsh", oracle=_hp_oracle())
+def hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (cosine) LSH ANN: quantize each embedding to 12
+    sign bits against seeded Gaussian hyperplanes, split into 2 bands of 6,
+    take bucket collisions in any band as candidates, rerank exactly with
+    the double-precision cosine fold. Complements `similarity_ann_ivf`:
+    data-independent planes + OR-amplified recall vs a single coarse cell.
+
+    Scale shape: the banded self-join is an equi-join on (band, 6-bit
+    code); candidate count is output-sensitive, and the exact rerank only
+    touches candidates. The 12 plane dots are one projection over the
+    corpus scan — no shuffle until the (tiny) candidate join."""
+    e = fanout(table(spark, sf_dir, "embeddings"))
+    dots = e.select(
+        "vec_id", *[_hp_dot(p).alias(f"d{j}") for j, p in enumerate(_PLANES)]
+    )
+    n_bands = _HP_K // _HP_BAND
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(
+                    *[
+                        F.when(F.col(f"d{b * _HP_BAND + j}") >= 0, "1").otherwise("0")
+                        for j in range(_HP_BAND)
+                    ]
+                ).alias("code"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    codes = dots.select("vec_id", F.explode(bands).alias("bc")).select(
+        "vec_id", F.col("bc.band_idx").alias("band_idx"), F.col("bc.code").alias("code")
+    )
+    q = codes.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "code"
+    )
+    cands = (
+        codes.join(F.broadcast(q), ["band_idx", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qe = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ve = emb.select("vec_id", F.col("embedding").alias("v_emb"))
+    sims = (
+        cands.join(F.broadcast(qe), "query_id")
+        .join(ve, "vec_id")
+        .select(
+            "query_id", "vec_id", F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HP_TOPK)
+        .select("query_id", "vec_id", "sim", "rnk")
+    )

@@ -155,3 +155,77 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+_EWMA_BETA = 0.9      # decay: weight of an observation halves every ~6.6 steps
+_EWMA_USERS = 100     # bound the per-event output to a fixed user cohort
+
+
+@query(
+    "events_ewma_value",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+        FROM events
+        WHERE user_id < {_EWMA_USERS}
+    ), sums AS (
+        SELECT user_id, event_id, i,
+               SUM(value * POW({_EWMA_BETA}, -i)) OVER w AS num,
+               SUM(POW({_EWMA_BETA}, -i)) OVER w AS den
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           ROUND(POW({_EWMA_BETA}, i) * num / (POW({_EWMA_BETA}, i) * den), 4) AS ewma
+    FROM sums
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of `value` per user (the
+    adjust=True form: ewma_i = Σ β^(i-j) x_j / Σ β^(i-j)), expressed as two
+    cumulative window sums — ewma_i = β^i·Σ(x_j β^(-j)) / β^i·Σ(β^(-j)) —
+    so a recurrence becomes a plain running sum Catalyst executes in one
+    window pass, no UDF and no iteration.
+
+    Numerics: the β^(-j) rescaling grows like 1.11^j, so the trick is safe
+    for bounded per-key runs (double overflows past j≈7000); a 100 TB
+    deployment would segment longer series (restart the weights every N
+    rows and stitch with the carry term) — same plan shape. All terms are
+    positive (no cancellation) and both engines compute the identical
+    formula, so 4-dp rounding is stable.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < _EWMA_USERS)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            - 1
+        ).alias("i"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    beta = F.lit(float(_EWMA_BETA))
+    scaled = seq.select(
+        "user_id",
+        "event_id",
+        "i",
+        F.sum(F.col("value") * F.pow(beta, -F.col("i"))).over(w).alias("num"),
+        F.sum(F.pow(beta, -F.col("i"))).over(w).alias("den"),
+    )
+    bi = F.pow(beta, F.col("i"))
+    return scaled.select(
+        "user_id",
+        "event_id",
+        F.round((bi * F.col("num")) / (bi * F.col("den")), 4).alias("ewma"),
+    )

@@ -70,6 +70,9 @@ HEADLINE = [
     "text_repeated_shingles",
     "curation_dataset_card",
     "pack_sequences_bins",
+    "curation_decontaminate_train",
+    "similarity_hyperplane_lsh",
+    "events_ewma_value",
     "egress_writer_passthrough",
 ]
 
