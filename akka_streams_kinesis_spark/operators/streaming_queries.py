@@ -320,3 +320,43 @@ def stream_rollup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_rollup_table(events, path, ckpt, watermark="40 days")
     q.awaitTermination()
     return spark.read.parquet(path).select("hour_part", "event_type", "n", "total_value")
+
+
+@query(
+    "source_pyds_ingest_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts)  AS hour,
+           event_type,
+           COUNT(*)                AS n,
+           ROUND(SUM(value), 2)    AS total_value,
+           ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def source_pyds_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource V2 source (`sources/pyds.py`) driving the same
+    lossless-ingest statement as `stream_ingest_hourly_rollup`: events →
+    sharded stream files → `spark.read.format("kinesis_sim_py")` (one
+    InputPartition per shard, Arrow-batch reads) → JSON decode → hourly
+    rollup, hash-matched against plain SQL over the original table.
+
+    Uses the batch reader so the oracle check exercises the DataSource
+    scan itself; the streaming reader's offset/resume/reshard semantics
+    are covered in tests/test_pyds_source.py."""
+    from ..sources import pyds
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    pyds.register(spark)
+    records = (
+        spark.read.format(pyds.FORMAT_NAME).option("path", stream.path).load()
+    )
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
+        )
+    )

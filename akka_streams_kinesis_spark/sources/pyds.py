@@ -1,0 +1,303 @@
+"""Python DataSource V2 (`pyspark.sql.datasource`, Spark 4) for the
+file-backed simulated Kinesis stream — the reference's source surface
+(`KinesisSource.scala:71-79`) expressed at the DataSource level instead of
+as a wrapper over the file source.
+
+Why this exists alongside ``kinesis_sim.SimStream``: the wrapper proves the
+semantics on Spark's built-in parquet source; this module proves the same
+semantics where a *real* connector would live — a ``DataSource`` with a
+batch reader (one InputPartition per shard = "one poll loop per shard",
+`KinesisSource.scala:211-223`), planner-side shard pruning via
+``pushFilters``, and a ``DataSourceStreamReader`` whose offsets are the
+per-shard next-sequence-number cursor (`KinesisSource.scala:55-65` — the
+reissue token IS the checkpointed offset, SURVEY §2.A S8/S9).
+
+Usage::
+
+    from akka_streams_kinesis_spark.sources.pyds import register
+    register(spark)
+    df = (spark.read.format("kinesis_sim_py")
+          .option("path", stream_dir)
+          .option("starting_position", "at_timestamp:2024-01-01T00:00:00")
+          .load())
+    sdf = spark.readStream.format("kinesis_sim_py").option(...).load()
+
+Options:
+  path               stream directory (shards.json + data/shard_id=*/)
+  starting_position  trim_horizon (default) | latest | at_timestamp:<ISO>
+  now                <ISO> clock injection for the AtTimestamp clamp
+                     min(since, now) (`KinesisSource.scala:100-102`; the
+                     reference injects java.time.Clock the same way)
+
+Scale notes: partition planning lists shard directories only (no data
+read); `latest`/`at_timestamp` offset resolution reads just the
+sequence_number/ts columns of the affected shard (column-pruned parquet
+scan); all record bytes flow executor-side as Arrow batches, never through
+the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Iterable, Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FORMAT_NAME = "kinesis_sim_py"
+
+SCHEMA = StructType(
+    [
+        StructField("sequence_number", LongType()),
+        StructField("partition_key", StringType()),
+        StructField("data", BinaryType()),
+        StructField("ts", TimestampType()),
+        StructField("shard_id", StringType()),
+    ]
+)
+
+_COLS = [f.name for f in SCHEMA.fields]
+
+
+def _parse_iso(s: str) -> datetime:
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _shard_dirs(path: str) -> dict[str, str]:
+    """shard_id → data directory, from the on-disk layout."""
+    out = {}
+    for d in sorted(glob.glob(os.path.join(path, "data", "shard_id=*"))):
+        out[os.path.basename(d).split("=", 1)[1]] = d
+    return out
+
+
+def _shard_files(shard_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+
+
+def _max_seq(shard_dir: str) -> int | None:
+    """Max sequence number in a shard, reading only the seq column."""
+    import pyarrow.parquet as pq
+
+    best: int | None = None
+    for f in _shard_files(shard_dir):
+        col = pq.read_table(f, columns=["sequence_number"])["sequence_number"]
+        if len(col):
+            m = max(col.to_pylist())
+            best = m if best is None else max(best, m)
+    return best
+
+
+def _first_seq_at_or_after(shard_dir: str, since: datetime) -> int | None:
+    """Smallest sequence number whose ts >= since (arrival-time positioning:
+    AT_TIMESTAMP reads from the first record that arrived at/after t)."""
+    import pyarrow.parquet as pq
+
+    best: int | None = None
+    for f in _shard_files(shard_dir):
+        t = pq.read_table(f, columns=["sequence_number", "ts"])
+        for seq, ts in zip(
+            t["sequence_number"].to_pylist(), t["ts"].to_pylist()
+        ):
+            if ts is not None and ts >= since and (best is None or seq < best):
+                best = seq
+    return best
+
+
+@dataclass
+class ShardPartition(InputPartition):
+    """One scan unit per shard — the analog of the reference's per-shard
+    poll loop (S12). ``lo``/``hi`` bound sequence numbers [lo, hi);
+    ``since`` is an optional event-time floor applied executor-side."""
+
+    shard_id: str
+    files: List[str] = field(default_factory=list)
+    lo: int = 0
+    hi: int | None = None
+    since: datetime | None = None
+
+
+def _read_partition(part: ShardPartition) -> Iterator:
+    """Executor-side scan of one shard: parquet → Arrow batches with the
+    positioned-read bounds applied. Yields Arrow RecordBatches (the fast
+    path — record bytes never pass through Python row objects)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    for f in part.files:
+        t = pq.read_table(f)
+        t = t.append_column("shard_id", pa.array([part.shard_id] * len(t)))
+        mask = None
+
+        def _and(m, cond):
+            return cond if m is None else pc.and_(m, cond)
+
+        if part.lo > 0:
+            mask = _and(mask, pc.greater_equal(t["sequence_number"], part.lo))
+        if part.hi is not None:
+            mask = _and(mask, pc.less(t["sequence_number"], part.hi))
+        if part.since is not None:
+            mask = _and(mask, pc.greater_equal(t["ts"], part.since))
+        if mask is not None:
+            t = t.filter(mask)
+        t = t.select(_COLS)
+        if len(t):
+            yield from t.to_batches()
+
+
+class KinesisSimBatchReader(DataSourceReader):
+    """Bounded positioned scan (the batch analog of S1), with shard pruning
+    pushed to partition planning via ``pushFilters`` — the DataSource-level
+    equivalent of the wrapper's Hive-partition pruning."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.position = options.get("starting_position", "trim_horizon").lower()
+        self.now = _parse_iso(options["now"]) if "now" in options else None
+        self.wanted_shards: set[str] | None = None
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("shard_id",):
+                self.wanted_shards = {f.value}
+            elif isinstance(f, In) and f.attribute == ("shard_id",):
+                self.wanted_shards = set(f.value)
+            else:
+                yield f  # everything else stays in Spark's Filter node
+
+    def partitions(self) -> list[ShardPartition]:
+        dirs = _shard_dirs(self.path)
+        if self.wanted_shards is not None:
+            dirs = {s: d for s, d in dirs.items() if s in self.wanted_shards}
+        parts = []
+        for shard_id, d in dirs.items():
+            p = ShardPartition(shard_id=shard_id, files=_shard_files(d))
+            if self.position == "latest":
+                m = _max_seq(d)
+                p.lo = 0 if m is None else m + 1  # nothing newer yet
+            elif self.position.startswith("at_timestamp:"):
+                since = _parse_iso(self.position.split(":", 1)[1])
+                now = self.now or datetime.utcnow()
+                p.since = min(since, now)  # S3 work-conserving clamp
+            if p.files:
+                parts.append(p)
+        return parts
+
+    def read(self, partition: ShardPartition) -> Iterator:
+        yield from _read_partition(partition)
+
+
+class KinesisSimStreamReader(DataSourceStreamReader):
+    """Unbounded scan: offset = {shard_id: next sequence number} — exactly
+    the reference's resume-AFTER_SEQUENCE_NUMBER cursor (S8), checkpointed
+    by Spark's offset WAL. Shards that appear after the query starts (a
+    reshard's children) get floor 0: the Latest→TrimHorizon rewrite (S7)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.position = options.get("starting_position", "trim_horizon").lower()
+        self.now = _parse_iso(options["now"]) if "now" in options else None
+
+    def initialOffset(self) -> dict:
+        dirs = _shard_dirs(self.path)
+        if self.position == "latest":
+            out = {}
+            for s, d in dirs.items():
+                m = _max_seq(d)
+                out[s] = (m if m is not None else -1) + 1
+            return out
+        if self.position.startswith("at_timestamp:"):
+            since = _parse_iso(self.position.split(":", 1)[1])
+            now = self.now or datetime.utcnow()
+            since = min(since, now)
+            out = {}
+            for s, d in dirs.items():
+                first = _first_seq_at_or_after(d, since)
+                if first is None:
+                    m = _max_seq(d)
+                    first = (m if m is not None else -1) + 1
+                out[s] = first
+            return out
+        return {s: 0 for s in dirs}  # trim_horizon
+
+    def latestOffset(self) -> dict:
+        out = {}
+        for s, d in _shard_dirs(self.path).items():
+            m = _max_seq(d)
+            out[s] = (m if m is not None else -1) + 1
+        return out
+
+    def partitions(self, start: dict, end: dict) -> list[ShardPartition]:
+        parts = []
+        dirs = _shard_dirs(self.path)
+        for shard_id, hi in end.items():
+            lo = int(start.get(shard_id, 0))  # unseen shard ⇒ from its start (S7)
+            hi = int(hi)
+            if hi > lo and shard_id in dirs:
+                parts.append(
+                    ShardPartition(
+                        shard_id=shard_id,
+                        files=_shard_files(dirs[shard_id]),
+                        lo=lo,
+                        hi=hi,
+                    )
+                )
+        return parts
+
+    def read(self, partition: ShardPartition) -> Iterator:
+        yield from _read_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in Spark's checkpoint WAL
+
+
+class KinesisSimDataSource(DataSource):
+    """`spark.read/readStream.format("kinesis_sim_py")` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> KinesisSimBatchReader:
+        return KinesisSimBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> KinesisSimStreamReader:
+        return KinesisSimStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a SparkSession.
+
+    Sets `spark.sql.python.filterPushdown.enabled` at RUNTIME (it's a
+    regular SQL conf): Spark refuses to instantiate a reader that
+    implements pushFilters() while the flag is off, and the external
+    driver's session is vanilla — session-build confs would not reach it
+    (same pattern as the parquet-nanos conf in io.table)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KinesisSimDataSource)

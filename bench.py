@@ -73,6 +73,7 @@ HEADLINE = [
     "curation_decontaminate_train",
     "similarity_hyperplane_lsh",
     "events_ewma_value",
+    "source_pyds_ingest_rollup",
     "egress_writer_passthrough",
 ]
 

@@ -47,6 +47,18 @@ SHOWCASE = [
     ("text_fingerprint",
      "Round-robin Exchange (fanout) BEFORE the 300× gram explode so the "
      "fan-out parallelizes; the (doc_id, gram) aggregate dedups map-side."),
+    ("split_train_valid_test",
+     "Stateless md5-threshold split: scan → partial+final HashAggregate "
+     "around ONE Exchange; no join, no membership table."),
+    ("pack_sequences_bins",
+     "groupBy(lang, bin_id) REUSES the window's hash(lang) distribution — "
+     "one Exchange total for window + aggregate."),
+    ("curation_dataset_card",
+     "Two-level aggregate (digest pre-group, then rollup) — no Expand "
+     "node, unlike COUNT(DISTINCT) alongside other aggs."),
+    ("similarity_hyperplane_lsh",
+     "Banded candidate join is a BroadcastHashJoin on (band_idx, code); "
+     "the exact cosine rerank only touches candidate pairs."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
 ]
