@@ -65,23 +65,71 @@ _CC_ORACLE = f"""
 """
 
 
+def connected_components(undirected_edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by min-label propagation over an edge list
+    ``(src, dst)`` (already symmetrized). Returns ``(doc_id, rep)`` where
+    rep is the component's minimum node id.
+
+    Each node starts labeled with its own id; every round each node takes
+    the min over {its label, its neighbors' labels, its label's label}.
+    The last term is pointer jumping (path halving): without it, a path
+    graph needs O(diameter) rounds (one hop per round); with it, label
+    chains collapse doubling-fast, so rounds are O(log diameter) — the
+    same reason GraphFrames' large-star/small-star converges
+    logarithmically. Fixpoint = component min everywhere.
+
+    Convergence is detected with a monotone invariant (sum of labels
+    strictly decreases until fixpoint), one tiny agg action per round.
+    localCheckpoint after each round truncates the lineage so plan depth
+    stays O(1) instead of O(rounds). Property-tested against a union-find
+    ground truth on random graphs incl. long chains
+    (tests/test_cc_property.py).
+    """
+    edges = undirected_edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("rep", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("rep")).first()[0]
+    for i in range(max_rounds):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "rep")
+        shortcut = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.rep") == F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id"), F.col("b.rep").alias("rep"))
+        )
+        labels = (
+            labels.unionAll(msgs)
+            .unionAll(shortcut)
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("rep")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    edges.unpersist()
+    return labels
+
+
 @query("dedup_cluster_components", oracle=_CC_ORACLE)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over MinHash-LSH candidate pairs: the step that
     turns pairwise near-dup hits into keep-one-per-cluster groups (pairs
     alone under-delete: a~b, b~c must collapse to one survivor, not two).
 
-    Algorithm: undirected min-label propagation. Each node starts labeled
-    with its own id; every round each node takes the min of its label and
-    its neighbors' labels; fixpoint = every node labeled with its
-    component's min id. Convergence is detected with a monotone invariant
-    (sum of labels strictly decreases until fixpoint), one tiny agg action
-    per round. localCheckpoint after each round truncates the lineage so
-    plan depth stays O(1) instead of O(rounds).
-
     The DuckDB oracle computes the same fixpoint with a recursive CTE
     (min reachable id), so this iterative operator is still fully
-    hash-gated.
+    hash-gated; see connected_components() for the algorithm.
     """
     # persist the candidate pairs, not just the edge union: the two union
     # branches would otherwise each re-run the whole minhash pipeline
@@ -91,30 +139,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
-
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("rep", F.col("doc_id"))
-        .localCheckpoint()
     )
-    prev = labels.agg(F.sum("rep")).first()[0]
-    for _ in range(20):  # >> observed diameter of near-dup clusters
-        msgs = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "rep")
-        labels = (
-            labels.unionAll(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("rep").alias("rep"))
-            .localCheckpoint()
-        )
-        cur = labels.agg(F.sum("rep")).first()[0]
-        if cur == prev:
-            break
-        prev = cur
-    edges.unpersist()
+    labels = connected_components(edges)
     pairs.unpersist()
 
     sizes = labels.groupBy("rep").agg(F.count("*").alias("cluster_size"))

@@ -332,3 +332,69 @@ def hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _HP_TOPK)
         .select("query_id", "vec_id", "sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_int8 — symmetric per-vector quantization QA
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(SUM(err) / COUNT(*), 6) AS avg_q_err,
+           ROUND(MAX(scale), 6) AS max_scale
+    FROM (
+        SELECT label, vec_id, scale,
+               ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+                     x -> ABS(CAST(x AS DOUBLE)
+                              - ROUND(CAST(x AS DOUBLE) / scale) * scale)))
+                     / LEN(embedding), 6) AS err
+        FROM (
+            SELECT label, vec_id, embedding,
+                   LIST_MAX(LIST_TRANSFORM(embedding,
+                            x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        )
+    )
+    GROUP BY label
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization QA: scale = max|x|/127,
+    q = round(x/scale), reported as mean reconstruction error per label —
+    the audit a pipeline runs before swapping a float32 embedding store for
+    int8 (4× smaller, the difference between 100 TB and 25 TB of vectors).
+
+    Engine parity: the scale uses MAX (order-exact, no float-summation
+    ambiguity); only the final error mean crosses a float sum, rounded at
+    6 dp after a per-vector 6-dp round."""
+    e = fanout(table(spark, sf_dir, "embeddings"))
+    scaled = e.select(
+        "label",
+        "vec_id",
+        "embedding",
+        (
+            F.expr(
+                "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+            )
+            / 127.0
+        ).alias("scale"),
+    )
+    err = (
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)),"
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        / F.size("embedding")
+    )
+    per_vec = scaled.select("label", "vec_id", "scale", F.round(err, 6).alias("err"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("err") / F.count("*"), 6).alias("avg_q_err"),
+        F.round(F.max("scale"), 6).alias("max_scale"),
+    )

@@ -360,3 +360,92 @@ def source_pyds_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
         )
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`,
+    Spark 4): duplicates are only suppressed while their key is younger
+    than the watermark, after which state is evicted — the practical
+    contract for at-least-once redelivery, where dupes arrive close
+    together and unbounded dedup state would otherwise grow with the
+    whole stream's key cardinality (the 100 TB failure mode of plain
+    dropDuplicates).
+
+    The redelivered copies here carry identical event times, so they are
+    always inside the watermark when they reappear and the counts still
+    hash-match the exact batch oracle."""
+    stream = _materialize_events_stream(spark, sf_dir, copies=2, flavor="twice")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    deduped = events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    counts = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return _run_available_now(counts, spark, mode="complete")
+
+
+@query(
+    "stream_incremental_dedup_store",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_incremental_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at ingest against a PERSISTENT digest store: each
+    micro-batch md5s its payloads, anti-joins the store-so-far, appends the
+    survivors to the output table and their digests to the store — inside
+    one foreachBatch transaction scope.
+
+    This is the production alternative to dropDuplicates state when the
+    dedup horizon must outlive a single streaming query (restarts, multiple
+    ingest jobs sharing one store, auditable state). Scale shape: the store
+    carries 16-byte digests, not payloads; the anti-join is an equi-join on
+    the digest — shuffled hash at store scale, broadcast while small. With
+    every event put twice (at-least-once redelivery), output counts
+    hash-match the original table exactly."""
+    import uuid as _uuid
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=2, flavor="twice")
+    run = _uuid.uuid4().hex[:10]
+    store = os.path.join(tempfile.gettempdir(), f"dstore_{run}")
+    out = os.path.join(tempfile.gettempdir(), f"dout_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"dckpt_{run}")
+
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
+    events = decode_json_payload(records, _EVENT_SCHEMA).withColumn(
+        "digest", F.md5(F.col("event_id").cast("string"))
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        b = batch.dropDuplicates(["digest"])  # within-batch dupes
+        if os.path.isdir(store) and os.listdir(store):
+            seen = batch.sparkSession.read.parquet(store).select("digest")
+            b = b.join(seen, "digest", "left_anti")
+        b = b.persist()
+        b.select("event_type", "value").write.mode("append").parquet(out)
+        b.select("digest").write.mode("append").parquet(store)
+        b.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("event_type string, value double")
+        .parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

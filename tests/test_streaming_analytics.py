@@ -258,3 +258,59 @@ def test_rollup_table_incrementally_maintained(spark, tmp_path):
     t3 = drain()
     got3 = {(r["hour_part"], r["event_type"]): r["n"] for r in t3.collect()}
     assert got3 == got2
+
+
+def test_dedup_within_watermark_evicts_then_reemits(spark, tmp_path):
+    """`dropDuplicatesWithinWatermark` contract, both sides: a duplicate
+    arriving while its key's state is live (key ts within the watermark
+    delay) is suppressed; a duplicate arriving after the key's state was
+    evicted is RE-emitted — the accepted false-negative that buys bounded
+    state (dedup state no longer grows with total key cardinality)."""
+    import time
+
+    stream = SimStream.create(str(tmp_path / "s"), n_shards=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    seen: set = set()
+    base = time.time() - 1000
+
+    def drain():
+        records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=1)
+        events = decode_json_payload(records, SCHEMA)
+        deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(out)
+
+    # drain 1: key 1 at 10:00, key 2 at 13:00. The 13:00 event pushes the
+    # watermark to 12:00 at drain end → key 1's state (expiry 11:00) is
+    # evicted, key 2's (expiry 14:00) stays live.
+    stream.put_records([_event(1, T0)])
+    _stamp_new_files(stream, 0, seen, base)
+    stream.put_records([_event(2, T0 + timedelta(hours=3))])
+    _stamp_new_files(stream, 10, seen, base)
+    assert drain().count() == 2
+
+    # drain 2: re-delivery of key 2 within its live state → suppressed;
+    # re-delivery of key 1 (ts 12:30, above the 12:00 watermark, so NOT
+    # late) finds no state → re-emitted.
+    stream.put_records(
+        [_event(2, T0 + timedelta(hours=3, minutes=5)), _event(1, T0 + timedelta(hours=2, minutes=30))]
+    )
+    _stamp_new_files(stream, 20, seen, base)
+    got = drain()
+    assert got.count() == 3
+    by_key = {r["event_id"]: 0 for r in got.collect()}
+    for r in got.collect():
+        by_key[r["event_id"]] += 1
+    assert by_key == {1: 2, 2: 1}
