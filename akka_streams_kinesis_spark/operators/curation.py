@@ -97,15 +97,16 @@ def connected_components(undirected_edges: DataFrame, max_rounds: int = 20) -> D
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "rep")
-        shortcut = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.rep") == F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_id"), F.col("b.rep").alias("rep"))
-        )
+        combined = labels.unionAll(msgs)
+        if i > 0:  # round 0's shortcut is the identity (labels are self-reps)
+            shortcut = (
+                labels.alias("a")
+                .join(labels.alias("b"), F.col("a.rep") == F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("doc_id"), F.col("b.rep").alias("rep"))
+            )
+            combined = combined.unionAll(shortcut)
         labels = (
-            labels.unionAll(msgs)
-            .unionAll(shortcut)
-            .groupBy("doc_id")
+            combined.groupBy("doc_id")
             .agg(F.min("rep").alias("rep"))
             .localCheckpoint()
         )

@@ -331,3 +331,82 @@ def dedup_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_match").cast("double") / _N_HASHES, 4).alias("est_jaccard"),
         )
     )
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, lang, source, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, lang, source, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), raw_shingles AS (
+        SELECT doc_id, lang, source,
+               UNNEST(CASE WHEN LEN(w) >= 3
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                           ELSE [] END) AS sh
+        FROM toks
+    ), shingles AS (
+        SELECT DISTINCT doc_id,
+               MD5(lang || CHR(1) || source || CHR(1) || sh) AS h
+        FROM raw_shingles
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.h = b.h AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE) / sa.n_sh, 4) AS containment
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    WHERE CAST(c.n_common AS DOUBLE) / sa.n_sh >= 0.5
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| ≥ 0.5 over 3-gram shingles,
+    (lang, source)-blocked: flags documents mostly CONTAINED in another
+    (quotes, excerpts, supersets) that symmetric Jaccard misses when the
+    lengths differ — |A∩B|/|A∪B| is small when B is much longer than A.
+
+    Ordered pairs (doc_a <> doc_b, not <): containment is directional, so
+    both (a,b) and (b,a) are scored and only the contained side crosses
+    the threshold. Same digest-collapsed sparse join as
+    dedup_ngram_jaccard — the pair space never materializes, only
+    co-occurring shingles, and only doc_a's size joins back."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "lang", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    shingles = (
+        toks.select(
+            "doc_id", "lang", "source", F.explode(word_shingles("toks", 3)).alias("sh")
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("n_sh")
+    return (
+        common.join(sizes, F.col("doc_a") == F.col("doc_id"))
+        .filter(cont >= 0.5)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(cont, 4).alias("containment")
+        )
+    )
