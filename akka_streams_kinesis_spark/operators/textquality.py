@@ -1,0 +1,317 @@
+"""Corpus-quality operators a large-scale training-data pipeline needs on
+top of the dedup/text-analysis families: repetition filtering (the
+Gopher-style "fraction of characters in repeated n-grams" screens), a
+corpus-unigram surprisal score (perplexity proxy under a unigram LM), and
+a PII detect/redact pass — plus the remaining portable aggregate
+(median / count_if / bool_and / bool_or) and window (percent_rank /
+cume_dist) families.
+
+Reference parity: the reference engine has no relational or text surface
+at all (SURVEY.md §2.D; its entire operator set is the Kinesis
+source/sink, `KinesisSource.scala:71-79`, `KinesisGraphStage.scala:28-30`);
+these are driver-mandated north-star extensions supplied Spark-first.
+
+Scale notes (100 TB posture):
+- Every operator here is explode → hash-aggregate → (broadcast) join;
+  shuffle keys are (doc_id, gram) or (tok) — high-cardinality and
+  skew-free, so partial aggregation does the heavy lifting map-side.
+- The unigram vocabulary join is broadcast: a natural-language vocab is
+  a few million rows regardless of corpus size (Heaps' law), far under
+  broadcast thresholds once counted.
+- PII scrub is a pure per-row projection (regexp in whole-stage codegen,
+  no Python, no shuffle) — it pipelines with the scan at any scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
+from ..io import fanout, table
+from ..registry import query
+
+_NORM = NORM_TEXT_DUCK.format(col="text")
+
+# Portable n-gram CTE fragment (DuckDB): 1-based list slices, RANGE upper
+# bound exclusive, so n-grams of an L-token list are i ∈ [1, L-n+1].
+def _grams_duck(n: int) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return (
+        f"UNNEST(CASE WHEN LEN(w) >= {n} "
+        f"THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {n - 2}), i -> {joined}) "
+        f"ELSE [] END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition screen
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, LENGTH(t) AS n_chars, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), g2 AS (
+        SELECT doc_id, n_chars, {_grams_duck(2)} AS g FROM toks
+    ), c2 AS (
+        SELECT doc_id, n_chars, g, COUNT(*) AS n FROM g2 GROUP BY ALL
+    ), top2 AS (
+        SELECT doc_id, g AS top_bigram, n * LENGTH(g) AS top_chars
+        FROM c2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) = 1
+    ), g3 AS (
+        SELECT doc_id, {_grams_duck(3)} AS g FROM toks
+    ), c3 AS (
+        SELECT doc_id, g, COUNT(*) AS n FROM g3 GROUP BY ALL
+    ), dup3 AS (
+        SELECT doc_id, SUM(n * LENGTH(g)) AS dup_chars
+        FROM c3 WHERE n > 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           top2.top_bigram,
+           ROUND(COALESCE(top2.top_chars * 1.0 / NULLIF(t.n_chars, 0), 0.0), 4)
+               AS top_bigram_frac,
+           ROUND(COALESCE(dup3.dup_chars * 1.0 / NULLIF(t.n_chars, 0), 0.0), 4)
+               AS dup_trigram_frac,
+           (COALESCE(top2.top_chars * 1.0 / NULLIF(t.n_chars, 0), 0.0) <= 0.2
+            AND COALESCE(dup3.dup_chars * 1.0 / NULLIF(t.n_chars, 0), 0.0) <= 0.6)
+               AS keep
+    FROM toks t
+    LEFT JOIN top2 ON t.doc_id = top2.doc_id
+    LEFT JOIN dup3 ON t.doc_id = dup3.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality screen: per document, the fraction of characters
+    covered by (a) the single most frequent word bigram and (b) all word
+    trigrams that occur more than once — the Gopher-report style repetition
+    filters. ``keep`` applies fixed thresholds (0.2 / 0.6).
+
+    Plan: two explode→hash-agg pipelines over (doc_id, gram) — partial
+    aggregation collapses the fan-out map-side; the bigram argmax is a
+    per-doc ``row_number`` (ties broken lexicographically, deterministic);
+    both per-doc aggregates join back to the doc list. All shuffle keys
+    are doc_id — uniform, skew-free, so the shape holds at corpus scale.
+    """
+    d = fanout(table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+        F.char_length(normalize_text(F.col("text"))).alias("n_chars"),
+    )
+    g2 = base.select("doc_id", F.explode(word_shingles("toks", 2)).alias("g"))
+    c2 = g2.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("g").asc())
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_bigram"),
+            (F.col("n") * F.char_length("g")).alias("top_chars"),
+        )
+    )
+    g3 = base.select("doc_id", F.explode(word_shingles("toks", 3)).alias("g"))
+    dup3 = (
+        g3.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.char_length("g")).alias("dup_chars"))
+    )
+    nz = F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+    top_frac = F.coalesce(F.col("top_chars") / nz, F.lit(0.0))
+    dup_frac = F.coalesce(F.col("dup_chars") / nz, F.lit(0.0))
+    return (
+        base.select("doc_id", "n_chars")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "top_bigram",
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            F.round(dup_frac, 4).alias("dup_trigram_frac"),
+            ((top_frac <= 0.2) & (dup_frac <= 0.6)).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), model AS (
+        SELECT tok, -LOG2(cnt * 1.0 / (SELECT SUM(cnt) FROM vocab)) AS surprisal
+        FROM vocab
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(m.surprisal), 4) AS avg_surprisal_bits
+    FROM toks t JOIN model m USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity proxy under a corpus-fit unigram LM: mean per-token
+    surprisal ``-log2 p(tok)`` per document. Low-surprisal documents are
+    repetitive boilerplate; very high ones are noise — both are standard
+    pre-training prune targets.
+
+    Plan: one explode feeds BOTH the model fit (tok → count, a map-side-
+    partial hash agg) and the scoring join. The vocabulary is broadcast:
+    by Heaps' law it grows ~O(corpus^0.5), a few million rows even at
+    100 TB, so scoring is a broadcast hash join that pipelines with the
+    token stream — no shuffle of the token fan-out at all; the only
+    doc-keyed shuffle is the final per-doc average.
+    """
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log2(F.col("cnt") / F.col("total"))).alias("surprisal")
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("surprisal"), 4).alias("avg_surprisal_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detect / redact
+# ---------------------------------------------------------------------------
+
+# RE2- and Java-regex portable patterns (no lookaround, \b supported by both)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_DIGITS = r"\d{6,}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()) -> DataFrame:
+    """Per-row PII scrub: count emails / IPv4s / long digit runs in
+    ``text_col`` and produce an md5 of the redacted text (email → <EMAIL>,
+    ip → <IP>, digit run → <NUM>, replaced in that order).
+
+    Pure projection — regexps run inside whole-stage codegen, no Python,
+    no shuffle; the scrub pipelines with the scan at any corpus size.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_LONG_DIGITS,
+        "<NUM>",
+    )
+    return df.select(
+        *keep,
+        F.regexp_count(c, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PII_LONG_DIGITS)).alias("n_digit_runs"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL}')) AS n_emails,
+           LEN(REGEXP_EXTRACT_ALL(text, '{PII_IPV4}')) AS n_ipv4,
+           LEN(REGEXP_EXTRACT_ALL(text, '{PII_LONG_DIGITS}')) AS n_digit_runs,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+               text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{PII_IPV4}', '<IP>', 'g'),
+                     '{PII_LONG_DIGITS}', '<NUM>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus. The synthetic corpus contains no PII, so
+    counts are 0 here — but the oracle still verifies the full redaction
+    pipeline byte-for-byte via the md5 of the redacted text on every row;
+    detection behavior on PII-bearing rows is pinned by the crafted-input
+    unit test (tests/test_textquality.py)."""
+    return scrub_pii(table(spark, sf_dir, "documents"), "text", keep=("doc_id",))
+
+
+# ---------------------------------------------------------------------------
+# Portable aggregate family: median / count_if / bool_and / bool_or
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_median_countif_bool",
+    oracle="""
+    SELECT event_type,
+           ROUND(MEDIAN(value), 4) AS median_value,
+           COUNT(*) FILTER (WHERE value > 250) AS n_high,
+           BOOL_AND(value >= 0) AS all_nonneg,
+           BOOL_OR(value > 480) AS any_extreme
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_median_countif_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated, identical definition in both engines)
+    plus conditional-count and boolean aggregates per event type. One hash
+    aggregate; median needs per-group sorted values, which Spark handles
+    with an ObjectHashAggregate — fine for bounded group counts like
+    event_type (single digit cardinality regardless of row count)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.count_if(F.col("value") > 250).alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 480).alias("any_extreme"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family: percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT c_nationkey,
+           c_custkey,
+           c_acctbal,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position analytics: percent_rank and cume_dist of each
+    customer's balance within its nation. Tie rows share identical values
+    under both functions, so the result is deterministic without a
+    tiebreaker. Single shuffle on the partition key."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )

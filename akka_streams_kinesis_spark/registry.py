@@ -55,4 +55,5 @@ def load_all() -> None:
         udfs,
         streaming_queries,
         curation,
+        textquality,
     )

@@ -59,6 +59,8 @@ HEADLINE = [
     "text_top_tokens",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "text_repetition_filter",
+    "text_unigram_surprisal",
     "pipeline_quality_dedup_filter",
     "multimodal_binary_features",
     "multimodal_frame_sample",
