@@ -56,4 +56,5 @@ def load_all() -> None:
         streaming_queries,
         curation,
         textquality,
+        embedding_scale,
     )

@@ -1,0 +1,83 @@
+"""Property tests for the PCA / product-quantization scale path.
+
+These operators have no SQL oracle (eigendecomposition and Lloyd
+iterations aren't SQL-expressible), so their contracts are pinned here:
+PCA by the algebraic invariants of the fit, PQ by recall against the
+exact brute-force neighbors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from akka_streams_kinesis_spark import registry
+from akka_streams_kinesis_spark.io import table
+from akka_streams_kinesis_spark.operators.embedding_scale import (
+    _PCA_K,
+    _PQ_QUERIES,
+    _PQ_TOPK,
+    fit_pca,
+    fit_pq,
+)
+
+registry.load_all()
+
+
+def test_pca_components_orthonormal_and_sorted(spark, sf_dir):
+    mean, comps, eigvals = fit_pca(spark, sf_dir)
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(comps.shape[0]), atol=1e-8)
+    assert np.all(np.diff(eigvals) <= 1e-12), "eigenvalues must be descending"
+    assert np.all(eigvals >= -1e-10), "covariance eigenvalues must be >= 0"
+    # sign canonicalization: largest-|x| coordinate of each component > 0
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_pca_projection_variance_matches_eigvals(spark, sf_dir):
+    mean, comps, eigvals = fit_pca(spark, sf_dir)
+    df = registry.QUERIES["embedding_pca_project"](spark, sf_dir)
+    rows = df.collect()
+    n_src = table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_src
+    proj = np.array([[r[f"p{i}"] for i in range(_PCA_K)] for r in rows])
+    # population variance of each projected coordinate == its eigenvalue
+    var = proj.var(axis=0)
+    assert np.allclose(var, eigvals, rtol=1e-3, atol=1e-4)
+    # projections are centered
+    assert np.allclose(proj.mean(axis=0), 0.0, atol=1e-3)
+
+
+def test_pq_codebook_shape_and_determinism(spark, sf_dir):
+    cb1 = fit_pq(spark, sf_dir, iters=1)
+    assert cb1.shape == (16, 64, 4)
+    assert np.isfinite(cb1).all()
+
+
+def test_pq_topk_shape_and_recall(spark, sf_dir):
+    df = registry.QUERIES["similarity_ann_pq"](spark, sf_dir)
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(_PQ_QUERIES))
+    for q, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, _PQ_TOPK + 1))
+        assert all(r["vec_id"] != q for r in rs)
+
+    # exact brute-force L2 neighbors for recall
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = np.array(sorted(emb))
+    x = np.stack([emb[i] for i in ids])
+    recalls = []
+    for q in range(_PQ_QUERIES):
+        d = np.linalg.norm(x - emb[q], axis=1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:_PQ_TOPK]].tolist())
+        approx = {r["vec_id"] for r in by_q[q]}
+        recalls.append(len(exact & approx) / _PQ_TOPK)
+    assert np.mean(recalls) >= 0.7, f"mean recall@5 too low: {recalls}"
