@@ -1,0 +1,190 @@
+"""Frequency-analysis operators for the corpus pipeline:
+
+- ``agg_heavy_hitters_topk`` — top-k tokens via a Misra-Gries sketch pass
+  plus an exact candidate recount. The scale pattern this demonstrates is
+  the one a 100 TB vocabulary forces: a full ``groupBy(token)`` shuffles
+  every distinct token (web-scale corpora have billions), while the sketch
+  pass reduces each partition to a bounded candidate summary, and only
+  rows matching the (tiny, broadcast) candidate set ever reach a shuffle.
+- ``text_bpe_pair_counts`` — adjacent symbol-pair frequencies within
+  tokens, i.e. the statistic behind one BPE merge round of tokenizer
+  induction. Pure built-ins (explode over an index sequence + hash agg).
+- ``events_transition_matrix`` — first-order Markov transition counts and
+  probabilities between consecutive event types per user; lag/lead window
+  plus two hash aggregates, all JVM-side.
+
+Reference parity: none of these exist in the reference — it is a Kinesis
+connector with no aggregation surface (SURVEY.md §2.D: aggregations and
+window functions ABSENT, supplied by Spark built-ins; heavy-hitter/BPE
+operators are driver-mandated north-star extensions for training-data
+pipelines).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import NORM_TEXT_DUCK, normalize_text
+from ..io import fanout, table
+from ..registry import query
+
+_NORM = NORM_TEXT_DUCK.format(col="text")
+
+# Misra-Gries capacity per partition. The union of per-partition summaries
+# is guaranteed to contain every token with global count > n/CAP
+# (pigeonhole over partitions + the MG retention bound), so the final
+# top-K is exact as long as the K-th token's frequency clears n/CAP —
+# comfortably true for Zipfian text at CAP=256 and K=15; the oracle-parity
+# gate would catch a violation.
+_MG_CAP = 256
+_HH_TOPK = 15
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(table(spark, sf_dir, "documents"))
+    return d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+
+
+def _mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Bounded-memory Misra-Gries summary of one partition's token stream.
+
+    Per Arrow batch: exact value_counts (vocab ≤ batch rows, so bounded),
+    merged into the running summary; when the summary exceeds capacity,
+    every counter is decremented by the (CAP+1)-th largest count and
+    non-positive entries dropped — the standard MG merge, which keeps the
+    undercount error ≤ n_partition / CAP. Emits candidate tokens only;
+    exact counts come from the recount pass.
+    """
+    counters: dict[str, int] = {}
+    for b in batches:
+        for tok, c in b["tok"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > _MG_CAP:
+            d = sorted(counters.values(), reverse=True)[_MG_CAP]
+            counters = {t: c - d for t, c in counters.items() if c > d}
+    yield pd.DataFrame({"tok": list(counters)})
+
+
+@query(
+    "agg_heavy_hitters_topk",
+    oracle=f"""
+    WITH norm AS (
+        SELECT {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT {_HH_TOPK}
+    """,
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-15 tokens without shuffling the full vocabulary.
+
+    Pass 1 (sketch): per-partition Misra-Gries over the token stream —
+    bounded memory, no shuffle, ≤ CAP candidate tokens emitted per
+    partition. Pass 2 (recount): semi-join the stream against the
+    broadcast candidate set, then an exact hash aggregate over only those
+    rows. At 100 TB the shuffle carries |candidates| × #partitions partial
+    counts instead of the billon-key vocabulary; the candidate filter is
+    applied map-side, before any exchange.
+    """
+    toks = _tokens(spark, sf_dir)
+    cand = toks.mapInPandas(_mg_partials, schema="tok string").distinct()
+    return (
+        toks.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(_HH_TOPK)
+    )
+
+
+_BPE_TOPK = 20
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH norm AS (
+        SELECT {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), pairs AS (
+        SELECT SUBSTR(tok, CAST(i AS INTEGER), 2) AS pair
+        FROM toks CROSS JOIN UNNEST(RANGE(1, LENGTH(tok))) AS r(i)
+        WHERE LENGTH(tok) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOPK}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies within tokens — the counting
+    step of a BPE tokenizer-induction merge round (the highest-count pair
+    becomes the next merge). Explode over an index sequence + substring,
+    then a hash aggregate; partial aggregation absorbs the ~word-length×
+    fan-out map-side, so the shuffle carries (pair, partial-count) rows
+    bounded by the pair alphabet, not the corpus."""
+    toks = _tokens(spark, sf_dir).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"), "tok"
+    ).select(F.expr("substring(tok, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(_BPE_TOPK)
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS prob
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | event_type) with counts. One shuffle partitions by
+    user_id for the lead() window (ties broken by event_id for engine-
+    stable sequences), then a hash aggregate on the (from, to) pair —
+    whose cardinality is |event_type|², so the second exchange is tiny —
+    and a window over the aggregate for row-normalized probabilities."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    total = Window.partitionBy("event_type")
+    return (
+        counts.withColumn(
+            "prob", F.round(F.col("n") / F.sum("n").over(total), 4)
+        )
+        .orderBy("event_type", "next_type")
+    )

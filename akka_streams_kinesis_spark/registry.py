@@ -57,4 +57,6 @@ def load_all() -> None:
         curation,
         textquality,
         embedding_scale,
+        frequency,
+        semdedup,
     )
