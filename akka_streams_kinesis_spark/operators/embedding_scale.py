@@ -239,7 +239,8 @@ def fit_pq(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS) -> np.ndarr
 
     sv = _subvectors(fanout(e)).persist()
     try:
-        sv.count()  # materialize once; reused every iteration
+        # first iteration materializes the persisted subvectors; later
+        # iterations (and the final code assignment) reuse the cache
         for _ in range(iters):
             parts = sv.mapInPandas(
                 _assign_partials(codebooks.copy()), schema=partial_schema

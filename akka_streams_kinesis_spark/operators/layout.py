@@ -1,0 +1,169 @@
+"""Data-layout operators: bucketed co-located joins and partition-pruned
+scans — the two storage-side levers that matter most at 100 TB.
+
+- ``layout_bucketed_join``: both join sides written as bucketed tables on
+  the join key (same bucket count, one file per bucket, sorted). The join
+  then runs WITHOUT either Exchange: at lake scale this converts the
+  single most expensive repeated cost of a star-schema workload — the
+  fact-table shuffle, re-paid by every query that joins on the same key —
+  into a one-time layout cost at ingest. The plan is pinned shuffle-free
+  in tests/test_layout.py.
+- ``layout_partition_pruning``: the fact table written partitioned by
+  day; a date-range query then lists only the matching directories
+  (PartitionFilters) and never opens the other files. At 100 TB with
+  ~daily partitions this is the difference between scanning everything
+  and scanning the queried week.
+
+Reference parity: none — the reference has no file storage at all
+(SURVEY.md §2.D: file scans/sinks ABSENT, supplied by Spark built-ins).
+Writes land under the session warehouse dir (``spark-warehouse/``),
+per-SF-tagged so sf0.001/sf0.01/sf0.1 runs don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import table
+from ..registry import query
+
+_BUCKETS = 16
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+
+
+def _bucketed(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Materialize ``name`` as a bucketed+sorted catalog table (idempotent
+    per session+SF) and return it.
+
+    ``repartition(_BUCKETS, key)`` uses the same Murmur3 hash as the
+    bucket spec, so every write task holds exactly one bucket and emits
+    exactly one (sorted) file per bucket — the layout the scan-side
+    bucketing optimization requires to drop both the Exchange and the
+    Sort under a sort-merge join."""
+    tbl = f"aks_{name}_by_{key}_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(tbl):
+        # a previous session's managed-table files may survive while the
+        # in-memory catalog entry did not; clear the stale location so the
+        # (deterministic) re-materialization can proceed
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, tbl.lower()), ignore_errors=True)
+        (
+            table(spark, sf_dir, name)
+            .repartition(_BUCKETS, key)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bare bucketed join (pre-aggregation), exposed so tests can pin
+    the exchange-free plan of exactly the join stage."""
+    orders = _bucketed(spark, sf_dir, "orders", "o_custkey")
+    customer = _bucketed(spark, sf_dir, "customer", "c_custkey")
+    # "merge" hint: at test SFs customer fits a broadcast, which would
+    # mask the layout; at lake scale both sides are too big to broadcast
+    # and SMJ-over-buckets is the plan this operator exists to guarantee.
+    return orders.hint("merge").join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    )
+
+
+@query(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*)                              AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2)         AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment order totals over a shuffle-free bucketed join:
+    both sides pre-hashed into the same 16 buckets on the customer key, so
+    the sort-merge join reads co-located sorted buckets directly — zero
+    Exchange, zero Sort in the join stage. Only the final (tiny,
+    |segments|-key) aggregate shuffles."""
+    j = bucketed_join_frame(spark, sf_dir)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write events partitioned by day (idempotent per session+SF) and
+    return the path. Partition values become directory names, so the
+    date-range scan below prunes at file-listing time."""
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    out = os.path.join(wh, f"aks_events_by_date_{_tag(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    return out
+
+
+@query(
+    "layout_partition_pruning",
+    oracle="""
+    WITH dated AS (
+        SELECT CAST(ts AS DATE) AS event_date, event_type, value FROM events
+    ), bounds AS (
+        SELECT MIN(event_date) AS d0 FROM dated
+    )
+    SELECT event_date, event_type,
+           COUNT(*)               AS n,
+           ROUND(SUM(value), 2)   AS total_value
+    FROM dated, bounds
+    WHERE event_date BETWEEN d0 AND d0 + INTERVAL 6 DAY
+    GROUP BY event_date, event_type
+    ORDER BY event_date, event_type
+    """,
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-week daily activity over a day-partitioned copy of events.
+    The date-range predicate is a PartitionFilter: Spark prunes the
+    directory listing to the 7 matching ``event_date=...`` partitions and
+    never reads the rest — no per-row filtering work, no I/O on excluded
+    days. The week's start is resolved from the source table min (a
+    scalar), then folded into the partition filter as literals."""
+    path = partitioned_events_path(spark, sf_dir)
+    d0 = table(spark, sf_dir, "events").agg(F.min(F.to_date("ts"))).first()[0]
+    df = spark.read.parquet(path)
+    return (
+        df.filter(
+            (F.col("event_date") >= F.lit(d0))
+            & (F.col("event_date") <= F.date_add(F.lit(d0), 6))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_date", "event_type")
+    )

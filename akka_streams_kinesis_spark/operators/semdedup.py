@@ -96,7 +96,7 @@ def fit_kmeans(
 
     ef = fanout(e).select("embedding").persist()
     try:
-        ef.count()
+        # first iteration materializes the cache; later ones reuse it
         for _ in range(iters):
             parts = ef.mapInPandas(_partials(cents.copy()), schema=schema).collect()
             n = np.zeros(k)

@@ -59,4 +59,5 @@ def load_all() -> None:
         embedding_scale,
         frequency,
         semdedup,
+        layout,
     )

@@ -75,6 +75,14 @@ HEADLINE = [
     "curation_decontaminate_train",
     "similarity_hyperplane_lsh",
     "events_ewma_value",
+    "agg_heavy_hitters_topk",
+    "text_bpe_pair_counts",
+    "events_transition_matrix",
+    "dedup_semantic_kmeans",
+    "embedding_pca_project",
+    "similarity_ann_pq",
+    "layout_bucketed_join",
+    "layout_partition_pruning",
     "source_pyds_ingest_rollup",
     "egress_writer_passthrough",
 ]
@@ -95,6 +103,17 @@ def main() -> None:
         table(spark, sf_dir, name).limit(1).count()
     for warm in ("tpch_q1_pricing_summary", "tpch_q3_top_orders", "multimodal_binary_features"):
         registry.QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # materialize the layout tables untimed: bucketing/partitioning are
+    # one-time ingest costs amortized over every query that reuses the
+    # layout — the timed run measures querying the laid-out data
+    from akka_streams_kinesis_spark.operators.layout import (
+        _bucketed,
+        partitioned_events_path,
+    )
+
+    _bucketed(spark, sf_dir, "orders", "o_custkey")
+    _bucketed(spark, sf_dir, "customer", "c_custkey")
+    partitioned_events_path(spark, sf_dir)
     # warm the Python data source worker pool too (kinesis_sim_py): its
     # first use pays planner+executor Python worker spin-up, which is a
     # per-cluster one-time cost, not a per-query one
