@@ -27,19 +27,30 @@ TABLES = [
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table from ``sf_dir``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    default; we read it as long nanos (runtime-settable legacy conf) and
-    truncate to microsecond timestamps with integer arithmetic — exactly
-    the ns→µs truncation DuckDB applies, so oracle parity holds.
+    ``events.ts`` may arrive as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects by default; when it does, we read it as long nanos
+    (runtime-settable legacy conf) and truncate to microsecond timestamps
+    with integer arithmetic — exactly the ns→µs truncation DuckDB applies,
+    so oracle parity holds. When the data is already µs TIMESTAMP we pass
+    it through untouched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            )
+        elif ts_type == "timestamp_ntz":
+            # Session tz is UTC (session.py), so this cast is a pure type
+            # change — same instant, and unix_micros()/window() accept it.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
