@@ -70,11 +70,11 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_user_event_matrix",
     oracle="""
     SELECT user_id,
-           COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END), 0) AS click,
-           COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END), 0) AS error,
-           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS purchase,
-           COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END), 0) AS signup,
-           COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END), 0) AS view
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END), 0) AS BIGINT) AS view
     FROM events
     GROUP BY user_id
     """,

@@ -172,7 +172,7 @@ _SPLIT_CASE = (
     SELECT {_SPLIT_CASE.format(st="VARCHAR")} AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
     FROM documents
     GROUP BY 1, 2
     """,
@@ -215,7 +215,7 @@ _CTX = 4096  # tokens per packed training sequence
     )
     SELECT lang, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS bin_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
            ROUND(SUM(n_tok) / {_CTX}.0, 4) AS fill_ratio
     FROM packed
     GROUP BY lang, bin_id
@@ -271,7 +271,7 @@ _KEEP_CASE = (
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM({_KEEP_CASE.format(st="VARCHAR")}) AS n_sampled,
+           CAST(SUM({_KEEP_CASE.format(st="VARCHAR")}) AS BIGINT) AS n_sampled,
            ROUND(SUM({_KEEP_CASE.format(st="VARCHAR")}) * 1.0 / COUNT(*), 4)
                AS sample_rate
     FROM documents
@@ -362,9 +362,9 @@ def text_repeated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang, source, MD5(text)
     )
     SELECT lang, source,
-           SUM(cnt)  AS n_docs,
+           CAST(SUM(cnt) AS BIGINT)  AS n_docs,
            COUNT(*)  AS n_unique,
-           SUM(sum_tok) AS n_tokens,
+           CAST(SUM(sum_tok) AS BIGINT) AS n_tokens,
            ROUND(1.0 - COUNT(*) * 1.0 / SUM(cnt), 4) AS dup_rate,
            ROUND(SUM(sum_chars) * 1.0 / SUM(cnt), 2) AS avg_chars
     FROM per_text

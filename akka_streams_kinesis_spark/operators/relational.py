@@ -306,16 +306,35 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct_users")  # no oracle: HLL sketch is impl-specific
+@query(
+    "agg_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE                    AS within_tolerance
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). The 100 TB path: a fixed-size
     sketch mergeable map-side, instead of the shuffle-heavy exact expand.
-    No DuckDB oracle — sketch estimates are implementation-specific — so the
-    driver records the weaker rows-only check."""
+
+    The HLL estimate itself is implementation-specific, so it can't be
+    value-hashed against DuckDB. Gate it instead by emitting the exact count
+    plus a boolean asserting the sketch landed within its configured 1% rsd
+    (5x slack): the oracle emits the exact count and literal TRUE, so any
+    sketch regression beyond tolerance hash-fails."""
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+    tol = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    ) <= 0.05
+    return agg.select("event_type", "exact_users", tol.alias("within_tolerance"))
 
 
 @query(
@@ -506,7 +525,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*)                                              AS n,
-           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            ROUND(AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events
     GROUP BY event_type

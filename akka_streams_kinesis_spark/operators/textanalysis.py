@@ -36,7 +36,7 @@ def _in_list_sql(col: str, words: tuple[str, ...]) -> str:
 
 def _langid_score_sql() -> str:
     return ",\n           ".join(
-        f"SUM({_in_list_sql('tok', _LANG_MARKERS[lang])}) AS score_{lang}"
+        f"CAST(SUM({_in_list_sql('tok', _LANG_MARKERS[lang])}) AS BIGINT) AS score_{lang}"
         for lang in _LANG_ORDER
     )
 
@@ -141,7 +141,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           SUM({_in_list_sql('tok', _STOPWORDS)}) AS n_stopwords,
+           CAST(SUM({_in_list_sql('tok', _STOPWORDS)}) AS BIGINT) AS n_stopwords,
            ROUND(CAST(SUM({_in_list_sql('tok', _STOPWORDS)}) AS DOUBLE) / COUNT(*), 4)
                AS stopword_ratio
     FROM doc_tokens

@@ -247,10 +247,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) <= 15 THEN 'fast'
                 WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) <= 45 THEN 'normal'
                 ELSE 'slow' END AS ship_speed,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
