@@ -174,44 +174,65 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding dedup. Cosine folds in double, 6 dp rounding (see
     similarity.py for the parity argument).
 
-    The cell join is SALTED: a bare equi-join on ``label`` caps parallelism
-    at the number of cells (10 here, maybe thousands at corpus scale — still
-    far under the cluster's task slots, and skewed by cell size). Giving the
-    build side a salt ``hash(vec_id) % S`` and replicating the probe side
-    across all S salts multiplies tasks by S while emitting exactly the same
-    pairs; per-pair work is one dot fold thanks to precomputed norms."""
-    from .similarity import _fold
+    The cell work is SALTED: a bare group on ``label`` caps parallelism at
+    the number of cells (10 here, maybe thousands at corpus scale — still
+    far under the cluster's task slots, and skewed by cell size). Each
+    vector lands once as a "build" row in salt ``crc32(vec_id) % S`` and is
+    replicated as a "probe" row across all S salts, so every unordered pair
+    appears in exactly one (label, salt) group — same pair set as a salted
+    self-join, S× the tasks.
+
+    Per-pair math is ONE numpy GEMM per group via applyInPandas (Arrow in,
+    C BLAS, Arrow out) — the round-1 version folded an interpreted
+    higher-order `aggregate` per pair (~64 lambda evals/pair), which at
+    100× data makes the per-pair constant the bottleneck. GEMM makes the
+    per-pair cost ~a fused multiply-add."""
+    import numpy as np
+    import pandas as pd
 
     n_salts = 8
     e = fanout(table(spark, sf_dir, "embeddings"))
-    # precompute each vector's squared norm ONCE (N folds) instead of per
-    # pair (2·pairs folds) — the dominant cost in interpreted higher-order
-    # functions; per-pair work drops to a single dot fold.
-    coded = e.select(
-        "vec_id", "embedding", "label", _fold("embedding", "embedding").alias("nrm2")
-    )
-    a = coded.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        "label", F.col("nrm2").alias("nrm2_a"),
+    probe = e.select(
+        "vec_id", "embedding", "label",
         F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
+        F.lit(0).alias("is_build"),
     )
-    b = coded.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        F.col("label").alias("label_b"), F.col("nrm2").alias("nrm2_b"),
-        (F.crc32(F.col("vec_id").cast("string")) % n_salts).cast("int").alias("salt_b"),
+    build = e.select(
+        "vec_id", "embedding", "label",
+        (F.crc32(F.col("vec_id").cast("string")) % n_salts).cast("int").alias("salt"),
+        F.lit(1).alias("is_build"),
     )
-    sim = F.round(
-        _fold("emb_a", "emb_b") / (F.sqrt(F.col("nrm2_a")) * F.sqrt(F.col("nrm2_b"))), 6
-    )
-    return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("salt") == F.col("salt_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        label = int(pdf["label"].iloc[0])
+        bmask = pdf["is_build"].values == 1
+        bids = pdf["vec_id"].values[bmask]
+        aids = pdf["vec_id"].values[~bmask]
+        if len(bids) == 0 or len(aids) == 0:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "label": [], "sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "sim": "float64"})
+        emb = np.stack(pdf["embedding"].values).astype(np.float64)
+        A, B = emb[~bmask], emb[bmask]
+        dots = A @ B.T
+        nrm = np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+        sims = np.round(dots / nrm, 6)
+        ia, ib = np.nonzero(
+            (aids[:, None] < bids[None, :]) & (sims >= _NEAR_DUP_THRESHOLD)
         )
-        .select("vec_a", "vec_b", "label", sim.alias("sim"))
-        .filter(F.col("sim") >= _NEAR_DUP_THRESHOLD)
+        return pd.DataFrame(
+            {
+                "vec_a": aids[ia],
+                "vec_b": bids[ib],
+                "label": np.full(len(ia), label, dtype="int32"),
+                "sim": sims[ia, ib],
+            }
+        )
+
+    return (
+        probe.unionByName(build)
+        .groupBy("label", "salt")
+        .applyInPandas(cell_pairs, "vec_a long, vec_b long, label int, sim double")
     )
 
 

@@ -46,7 +46,7 @@ _PCA_K = 8
 _PQ_M = 16           # subspaces
 _PQ_SUBDIM = _DIM // _PQ_M
 _PQ_K = 64           # codes per subspace (6 bits → 12 bytes/vector)
-_PQ_ITERS = 4
+_PQ_ITERS = 16       # local Lloyd cap; early stop usually fires well before
 _PQ_QUERIES = 10
 _PQ_TOPK = 5
 _PQ_SHORTLIST = 50   # ADC candidates per query before the exact re-rank
@@ -186,75 +186,75 @@ def _assigner(codebooks: np.ndarray):
     return _assign
 
 
-def fit_pq(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS) -> np.ndarray:
-    """Seeded Lloyd k-means per subspace, all M subspaces trained in the
-    same distributed jobs. Init = the subvectors of vec_id 0..K-1
-    (deterministic). Each iteration: one Arrow-batched assignment pass +
-    one hash-aggregate of per-(sub, code, pos) means; only the M×K×subdim
-    codebook (4 KB) crosses to the driver between iterations."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # stride-sampled deterministic init: K vectors spread across the id range
-    n_vecs = e.count()
-    stride = max(n_vecs // _PQ_K, 1)
-    init = (
-        e.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * _PQ_K))
-        .orderBy("vec_id")
-        .select("embedding")
+_FIT_SAMPLE = 4096   # vectors used to fit codebooks/centroids (1 MB at d=64)
+
+
+def collect_fit_sample(e: DataFrame, n: int = _FIT_SAMPLE) -> np.ndarray:
+    """Deterministic hash-ordered sample for model fits, vec_id-sorted.
+
+    ONE distributed TakeOrdered job (top-n per partition, merged on the
+    driver) regardless of corpus size: ordering by crc32(vec_id) picks a
+    uniform pseudo-random but reproducible subset with a hard row cap, so
+    no count() pass is needed to size a stride. Codebooks/centroids are
+    estimated statistics — a bounded sample gives the same model quality
+    as the full corpus, and turns an O(iters) sequence of cluster-wide
+    passes into a single small job."""
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.crc32(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n)
         .collect()
-    )[:_PQ_K]
-    x0 = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in init])
-    codebooks = np.stack(
-        [x0[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM] for m in range(_PQ_M)]
-    )  # M × K × subdim
-
-    partial_schema = StructType(
-        [
-            StructField("sub", LongType()),
-            StructField("code", LongType()),
-            StructField("n", LongType()),
-            StructField("s", ArrayType(DoubleType())),
-        ]
     )
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
 
-    def _assign_partials(cb: np.ndarray):
-        assign = _assigner(cb)
 
-        def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                if len(b) == 0:
-                    continue
-                codes = next(iter(assign(iter([b]))))["code"].to_numpy()
-                sv = np.stack(b["sv"].to_numpy()).astype(np.float64)
-                subs = b["sub"].to_numpy()
-                out = {"sub": [], "code": [], "n": [], "s": []}
-                for m, k in {(int(m), int(k)) for m, k in zip(subs, codes)}:
-                    mask = (subs == m) & (codes == k)
-                    out["sub"].append(m)
-                    out["code"].append(k)
-                    out["n"].append(int(mask.sum()))
-                    out["s"].append(sv[mask].sum(axis=0))
-                yield pd.DataFrame(out)
+def _lloyd(x: np.ndarray, init: np.ndarray, iters: int, tol: float = 1e-7) -> np.ndarray:
+    """Plain local Lloyd k-means with empty-cluster keep and early stop on
+    max centroid movement. x: n×d sample, init: K×d. Ties → lowest code."""
+    cents = init.copy()
+    for _ in range(iters):
+        d2 = (
+            (x ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * x @ cents.T
+            + (cents ** 2).sum(axis=1)
+        )
+        a = np.argmin(d2, axis=1)
+        moved = 0.0
+        for j in range(cents.shape[0]):
+            m = a == j
+            if m.any():
+                nc = x[m].mean(axis=0)
+                moved = max(moved, float(np.abs(nc - cents[j]).max()))
+                cents[j] = nc
+        if moved < tol:
+            break
+    return cents
 
-        return _f
 
-    sv = _subvectors(fanout(e)).persist()
-    try:
-        # first iteration materializes the persisted subvectors; later
-        # iterations (and the final code assignment) reuse the cache
-        for _ in range(iters):
-            parts = sv.mapInPandas(
-                _assign_partials(codebooks.copy()), schema=partial_schema
-            ).collect()
-            n = np.zeros((_PQ_M, _PQ_K))
-            s = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM))
-            for r in parts:
-                n[r["sub"], r["code"]] += r["n"]
-                s[r["sub"], r["code"]] += np.asarray(r["s"])
-            nonempty = n > 0
-            codebooks[nonempty] = s[nonempty] / n[nonempty][:, None]
-    finally:
-        sv.unpersist()
-    return codebooks
+def fit_pq(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS) -> np.ndarray:
+    """Per-subspace Lloyd k-means fit on a deterministic hash-ordered
+    sample (≤4096 vectors, one TakeOrdered job — see collect_fit_sample).
+    Init = stride over the vec_id-sorted sample. Lloyd runs locally in
+    numpy with early stop on centroid movement; only the final M×K×subdim
+    codebook (4 KB) exists driver-side. Round-1 version ran `iters` full
+    distributed Arrow passes over a persisted 16× subvector explode — at
+    100 TB that is iters extra cluster-wide scans for a model that a
+    bounded sample estimates identically."""
+    e = table(spark, sf_dir, "embeddings")
+    x = collect_fit_sample(e)
+    stride = max(len(x) // _PQ_K, 1)
+    init_idx = (np.arange(_PQ_K) * stride) % len(x)
+    return np.stack(
+        [
+            _lloyd(
+                x[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM],
+                x[init_idx, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM],
+                iters,
+            )
+            for m in range(_PQ_M)
+        ]
+    )  # M × K × subdim
 
 
 @query("similarity_ann_pq")  # no oracle: iterative k-means model fit

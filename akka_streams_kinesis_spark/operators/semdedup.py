@@ -43,7 +43,7 @@ from ..registry import query
 
 _DIM = 64
 _K = 8
-_ITERS = 4
+_ITERS = 16  # local Lloyd cap; early stop usually fires well before
 _TAU = 0.3   # same near-dup cosine threshold as embedding_near_dup_pairs
 _SALTS = 8
 
@@ -57,57 +57,32 @@ def _unit(x: np.ndarray) -> np.ndarray:
 def fit_kmeans(
     spark: SparkSession, sf_dir: str, k: int = _K, iters: int = _ITERS
 ) -> np.ndarray:
-    """Distributed spherical k-means on L2-normalized embeddings.
+    """Spherical k-means fit on a deterministic hash-ordered sample.
 
-    Deterministic stride init (k vectors spread across the id range);
-    each Lloyd iteration is one Arrow-batched assignment + partial-sum
-    pass whose output is #tasks rows of (cluster, n, Σx) — the k×d update
-    happens driver-side on kilobytes. Returns unit-norm centroids k×d.
-    """
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_vecs = e.count()
-    stride = max(n_vecs // k, 1)
-    init = (
-        e.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )[:k]
-    cents = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in init]))
+    Centroids are estimated statistics: a bounded sample (≤4096 vectors,
+    one TakeOrdered job — collect_fit_sample in embedding_scale.py) gives
+    the same blocking quality as the full corpus, so the round-1 sequence
+    of `iters` distributed Arrow passes over a persisted copy collapses to
+    one small job + local numpy Lloyd with early stop on centroid
+    movement. Init = stride over the vec_id-sorted sample. Returns
+    unit-norm centroids k×d."""
+    from .embedding_scale import collect_fit_sample
 
-    schema = "cluster long, n long, s array<double>"
-
-    def _partials(c: np.ndarray):
-        def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                if len(b) == 0:
-                    continue
-                x = _unit(np.stack(b["embedding"].to_numpy()).astype(np.float64))
-                a = np.argmax(x @ c.T, axis=1)   # ties -> lowest cluster id
-                out = {"cluster": [], "n": [], "s": []}
-                for j in np.unique(a):
-                    m = a == j
-                    out["cluster"].append(int(j))
-                    out["n"].append(int(m.sum()))
-                    out["s"].append(x[m].sum(axis=0))
-                yield pd.DataFrame(out)
-
-        return _f
-
-    ef = fanout(e).select("embedding").persist()
-    try:
-        # first iteration materializes the cache; later ones reuse it
-        for _ in range(iters):
-            parts = ef.mapInPandas(_partials(cents.copy()), schema=schema).collect()
-            n = np.zeros(k)
-            s = np.zeros((k, _DIM))
-            for r in parts:
-                n[r["cluster"]] += r["n"]
-                s[r["cluster"]] += np.asarray(r["s"])
-            nonempty = n > 0
-            cents[nonempty] = _unit(s[nonempty] / n[nonempty][:, None])
-    finally:
-        ef.unpersist()
+    e = table(spark, sf_dir, "embeddings")
+    x = _unit(collect_fit_sample(e))
+    stride = max(len(x) // k, 1)
+    cents = x[(np.arange(k) * stride) % len(x)].copy()
+    for _ in range(iters):
+        a = np.argmax(x @ cents.T, axis=1)   # ties -> lowest cluster id
+        moved = 0.0
+        for j in range(k):
+            m = a == j
+            if m.any():
+                nc = _unit(x[m].mean(axis=0)[None, :])[0]
+                moved = max(moved, float(np.abs(nc - cents[j]).max()))
+                cents[j] = nc
+        if moved < 1e-7:
+            break
     return cents
 
 
@@ -137,42 +112,44 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy keep-first-seen policy, engine-stable because ids are a total
     order. Returns the kept (vec_id, cluster) rows.
 
-    The pairwise stage joins only within clusters, salted ×8 so task
-    parallelism is clusters×salts and a skewed mega-cluster splits across
-    salts; norms are folded once per vector, not per pair.
+    The pairwise stage is grouped by (cluster, salt) — each vector lands
+    once as a "build" row in its crc32 salt and is replicated as a "probe"
+    row across all 8 salts, so every unordered pair appears in exactly one
+    group and a skewed mega-cluster splits across salts. Per-group work is
+    one numpy GEMM via applyInPandas (same shape as
+    embedding_near_dup_pairs), not an interpreted per-pair fold.
     """
-    from .similarity import _fold
-
     cents = fit_kmeans(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
-    assigned = (
-        assign_clusters(spark, sf_dir, cents)
-        .join(e.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "vec_id", "cluster", "embedding",
-            _fold("embedding", "embedding").alias("nrm2"),
-        )
+    assigned = assign_clusters(spark, sf_dir, cents).join(
+        e.select("vec_id", "embedding"), "vec_id"
     )
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        "cluster", F.col("nrm2").alias("nrm2_a"),
+    probe = assigned.select(
+        "vec_id", "embedding", "cluster",
         F.explode(F.array(*[F.lit(s) for s in range(_SALTS)])).alias("salt"),
+        F.lit(0).alias("is_build"),
     )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        F.col("cluster").alias("cluster_b"), F.col("nrm2").alias("nrm2_b"),
-        (F.crc32(F.col("vec_id").cast("string")) % _SALTS).cast("int").alias("salt_b"),
+    build = assigned.select(
+        "vec_id", "embedding", "cluster",
+        (F.crc32(F.col("vec_id").cast("string")) % _SALTS).cast("int").alias("salt"),
+        F.lit(1).alias("is_build"),
     )
-    sim = _fold("emb_a", "emb_b") / (F.sqrt(F.col("nrm2_a")) * F.sqrt(F.col("nrm2_b")))
+
+    def cell_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        bmask = pdf["is_build"].values == 1
+        bids = pdf["vec_id"].values[bmask]
+        aids = pdf["vec_id"].values[~bmask]
+        if len(bids) == 0 or len(aids) == 0:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        emb = _unit(np.stack(pdf["embedding"].values).astype(np.float64))
+        sims = emb[~bmask] @ emb[bmask].T
+        hit = ((aids[:, None] < bids[None, :]) & (sims >= _TAU)).any(axis=0)
+        return pd.DataFrame({"vec_id": np.unique(bids[hit])})
+
     dropped = (
-        a.join(
-            b,
-            (F.col("cluster") == F.col("cluster_b"))
-            & (F.col("salt") == F.col("salt_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .filter(sim >= _TAU)
-        .select(F.col("vec_b").alias("vec_id"))
+        probe.unionByName(build)
+        .groupBy("cluster", "salt")
+        .applyInPandas(cell_dropped, "vec_id long")
         .distinct()
     )
     return (
