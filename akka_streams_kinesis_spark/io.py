@@ -37,8 +37,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
+        # Scope the legacy conf to this read: left enabled session-wide it
+        # would silently turn any other TIMESTAMP(NANOS) parquet read in
+        # the same session into bigint.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df.schema  # force plan/schema resolution while the conf holds
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
@@ -50,6 +61,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Session tz is UTC (session.py), so this cast is a pure type
             # change — same instant, and unix_micros()/window() accept it.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # Schema drift in the generated data must fail at load time,
+            # not as a confusing unix_micros()/window() error downstream.
+            raise TypeError(
+                f"events.ts has unexpected dtype {ts_type!r}; expected "
+                "bigint (nanos), timestamp_ntz, or timestamp"
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

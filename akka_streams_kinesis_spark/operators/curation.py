@@ -79,18 +79,21 @@ def connected_components(undirected_edges: DataFrame, max_rounds: int = 20) -> D
     logarithmically. Fixpoint = component min everywhere.
 
     Convergence is detected with a monotone invariant (sum of labels
-    strictly decreases until fixpoint), one tiny agg action per round.
-    localCheckpoint after each round truncates the lineage so plan depth
-    stays O(1) instead of O(rounds). Property-tested against a union-find
-    ground truth on random graphs incl. long chains
-    (tests/test_cc_property.py).
+    strictly decreases until fixpoint). Each round runs exactly ONE driver
+    action: the new labels are marked with a lazy localCheckpoint
+    (eager=False) and the convergence-sum aggregate is the action that
+    both materializes+checkpoints them and returns the signal — round 1
+    paid a second materialization action per round. The checkpoint
+    truncates lineage so plan depth stays O(1) instead of O(rounds).
+    Property-tested against a union-find ground truth on random graphs
+    incl. long chains (tests/test_cc_property.py).
     """
     edges = undirected_edges.persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("rep", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev = labels.agg(F.sum("rep")).first()[0]
     for i in range(max_rounds):
@@ -108,7 +111,7 @@ def connected_components(undirected_edges: DataFrame, max_rounds: int = 20) -> D
         labels = (
             combined.groupBy("doc_id")
             .agg(F.min("rep").alias("rep"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = labels.agg(F.sum("rep")).first()[0]
         if cur == prev:

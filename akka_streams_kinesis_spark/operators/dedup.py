@@ -24,6 +24,40 @@ _N_HASHES = 8          # minhash signature length
 _BAND_SIZE = 2         # rows per LSH band → 4 bands
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
+# Posting-list cap for the shingle self-joins: a shingle shared by k docs
+# inside a block makes k² join rows, so one boilerplate passage ("click
+# here to subscribe") shared by 10⁵ docs would alone produce 10¹⁰ pairs.
+# Shingles with document frequency above this cap are dropped from the
+# JOIN input only (pair-generation); per-doc sizes stay uncapped. The cap
+# is applied identically in the Spark plan and the DuckDB oracle, so the
+# two engines agree at every scale. Production pipelines use the same
+# df-cut (boilerplate carries no near-dup signal).
+_MAX_SHINGLE_DF = 1000
+
+_DF_CAP_CTES = f"""
+    df AS (
+        SELECT h, COUNT(*) AS df FROM shingles GROUP BY h
+    ), joinable AS (
+        SELECT s.doc_id, s.h
+        FROM shingles s JOIN df ON df.h = s.h
+        WHERE df.df <= {_MAX_SHINGLE_DF}
+    )
+"""
+
+
+def _cap_shingle_df(shingles: DataFrame) -> DataFrame:
+    """Drop shingle digests with df > _MAX_SHINGLE_DF before a self-join.
+
+    One extra hash-agg + join, both keyed on h — co-partitioned with the
+    self-join's own shuffle, so no additional exchange of the big side."""
+    rare = (
+        shingles.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("h")
+    )
+    return shingles.join(rare, "h")
+
 
 @query(
     "dedup_exact",
@@ -199,10 +233,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM raw_shingles
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
-    ), common AS (
+    ), {_DF_CAP_CTES}, common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM shingles a
-        JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM joinable a
+        JOIN joinable b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.doc_a, c.doc_b, c.n_common,
@@ -225,7 +259,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, 32 chars) regardless of shingle length, and the join key is
     hash-uniform — no popular-shingle skew. Equality on the digest is
     equality on the triple for both engines (identical md5 on both sides),
-    so the result set is unchanged."""
+    so the result set is unchanged. Shingles with df > _MAX_SHINGLE_DF are
+    dropped from the join input (boilerplate guard — see _cap_shingle_df),
+    identically in the oracle."""
     d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "lang", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
@@ -241,8 +277,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    joinable = _cap_shingle_df(shingles)
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(
             b,
@@ -353,10 +390,10 @@ def dedup_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM raw_shingles
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
-    ), common AS (
+    ), {_DF_CAP_CTES}, common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM shingles a
-        JOIN shingles b ON a.h = b.h AND a.doc_id <> b.doc_id
+        FROM joinable a
+        JOIN joinable b ON a.h = b.h AND a.doc_id <> b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.doc_a, c.doc_b, c.n_common,
@@ -376,7 +413,9 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     both (a,b) and (b,a) are scored and only the contained side crosses
     the threshold. Same digest-collapsed sparse join as
     dedup_ngram_jaccard — the pair space never materializes, only
-    co-occurring shingles, and only doc_a's size joins back."""
+    co-occurring shingles, and only doc_a's size joins back; same
+    _MAX_SHINGLE_DF boilerplate cap on the join input, mirrored in the
+    oracle."""
     d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "lang", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
@@ -392,8 +431,9 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    joinable = _cap_shingle_df(shingles)
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(
             b,

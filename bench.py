@@ -161,15 +161,34 @@ def main() -> None:
     print(f"# stream ingest drain: {drain_s:.2f}s ({stream_rate} rows/s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_query_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "stream_ingest_rows_per_sec": stream_rate,
+        "sf": float(sf),
+    }
+    # Full detail: one JSON line on stdout AND a file — the driver's
+    # tail-capture truncated the front of the (long) line in round 1
+    # ("parsed": null), so the artifact is belt-and-braces.
+    summary_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json")
+    with open(summary_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(full))
+    # Short schema-stable line LAST: small enough that no tail buffer can
+    # truncate it mid-object; per-query detail lives in BENCH_SUMMARY.json.
     print(
         json.dumps(
             {
                 "metric": "headline_query_total_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "stream_ingest_rows_per_sec": stream_rate,
                 "sf": float(sf),
+                "queries_file": "BENCH_SUMMARY.json",
             }
         )
     )
