@@ -9,8 +9,9 @@ still hash-match a plain SQL oracle on the original table, because the
 pipe is lossless.
 
 The stream directory is materialized once per (sf_dir, flavor) into a
-cache dir; the harness produce step is driver-side (test-scale only, noted
-inline) but read+aggregate is the real distributed path.
+cache dir; both the produce step (SimStream.put_records_distributed —
+executors write shard files, driver reserves sequence ranges) and
+read+aggregate are distributed paths.
 """
 
 from __future__ import annotations
@@ -63,12 +64,11 @@ def _materialize_events_stream(
             F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value")), "utf-8"
         ).alias("data"),
     )
-    # harness produce step: driver-side put loop (test scale); production
-    # ingest would use write_stream_to_kinesis / the real service.
-    rows = [(r["partition_key"], bytes(r["data"])) for r in encoded.collect()]
+    # distributed produce: executors assign shards and write the shard
+    # files; the driver only reserves per-shard sequence ranges — see
+    # SimStream.put_records_distributed. No collect of the corpus.
     for _ in range(copies):
-        for i in range(0, len(rows), 500):
-            stream.put_records(rows[i : i + 500])
+        stream.put_records_distributed(encoded)
     with open(marker, "w") as f:
         f.write("ok")
     return stream

@@ -21,6 +21,8 @@ S11 preStart bootstrap (describe → pick shards)                    describe() 
 S12 one read loop per shard                                        one input partition per shard dir
 S13 handleReshard (follow children)                                re-plan: children have no floor ⇒ read from start
 S15 emitThenGetRecords (demand-driven emit)                        micro-batch rate cap (maxFilesPerTrigger)
+S16 reissueThenGetRecords (expired-cursor recovery)                pyds._read_partition reissue (resume AFTER last seq)
+S17 handleResult error dispatch (KinesisSource.scala:290-302)      pyds._read_partition fault policy (typed faults, injectable client)
 S18 EagerTerminateOutput (cancel ⇒ stop)                           query.stop()
 ================================================================  =========
 
@@ -270,6 +272,109 @@ class SimStream:
             pq.write_table(tbl, os.path.join(d, f"put-{uuid.uuid4().hex}.parquet"))
         self._write_meta(meta)
         return results
+
+    def put_records_distributed(
+        self, df: DataFrame, ts: datetime | None = None
+    ) -> None:
+        """Distributed produce of a ``(partition_key string, data binary)``
+        DataFrame — the scale path for backfilling a stream from a table,
+        replacing the driver-side collect-and-put loop (which at corpus
+        scale makes the harness, not the engine, the bottleneck and a
+        driver-memory risk).
+
+        Three phases, honoring the same per-shard monotonic sequence
+        contract as put_records:
+        1. executors assign each record its shard via the identical
+           partition-key hash (Arrow-batched);
+        2. the driver reserves one contiguous sequence range per shard in
+           the control-plane metadata (a per-shard count is the only thing
+           collected);
+        3. executors number records inside their reserved range
+           (row_number per shard, deterministic order) and write the shard
+           parquet files directly.
+        """
+        import pandas as pd
+        from pyspark.sql import Window
+        from typing import Iterator
+
+        meta = self._meta()
+        ranges = [
+            (s["shard_id"], int(s["starting_hash_key"]), int(s["ending_hash_key"]))
+            for s in meta["shards"]
+            if not s["closed"]
+        ]
+        ts = ts or datetime.now(timezone.utc)
+        naive_ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        data_dir = self.data_dir
+
+        def _assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for b in batches:
+                shard_ids = []
+                for pk in b["partition_key"]:
+                    h = hash_key_for_partition_key(pk)
+                    shard_ids.append(
+                        next(sid for sid, lo, hi in ranges if lo <= h <= hi)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "partition_key": b["partition_key"],
+                        "data": b["data"],
+                        "shard_id": shard_ids,
+                    }
+                )
+
+        assigned = df.select("partition_key", "data").mapInPandas(
+            _assign, "partition_key string, data binary, shard_id string"
+        ).persist()
+        counts = {
+            r["shard_id"]: r["count"]
+            for r in assigned.groupBy("shard_id").count().collect()
+        }
+        bases: dict[str, int] = {}
+        for s in meta["shards"]:
+            if s["shard_id"] in counts:
+                bases[s["shard_id"]] = s["next_seq"]
+                s["next_seq"] += counts[s["shard_id"]]
+
+        w = Window.partitionBy("shard_id").orderBy("partition_key", "data")
+        seqd = assigned.withColumn("rn", F.row_number().over(w) - 1)
+
+        def _write(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            for b in batches:
+                for shard_id, g in b.groupby("shard_id"):
+                    d = os.path.join(data_dir, f"shard_id={shard_id}")
+                    os.makedirs(d, exist_ok=True)
+                    tbl = pa.table(
+                        {
+                            "sequence_number": pa.array(
+                                bases[shard_id] + g["rn"].to_numpy(), pa.int64()
+                            ),
+                            "partition_key": pa.array(g["partition_key"], pa.string()),
+                            "data": pa.array(
+                                [bytes(x) for x in g["data"]], pa.binary()
+                            ),
+                            "ts": pa.array([naive_ts] * len(g), pa.timestamp("us")),
+                        }
+                    )
+                    pq.write_table(tbl, os.path.join(d, f"put-{uuid.uuid4().hex}.parquet"))
+                    yield pd.DataFrame({"n": [len(g)]})
+
+        written = (
+            seqd.repartition("shard_id")
+            .mapInPandas(_write, "n long")
+            .agg(F.sum("n"))
+            .first()[0]
+        )
+        assigned.unpersist()
+        total = sum(counts.values())
+        if (written or 0) != total:
+            raise RuntimeError(
+                f"distributed put wrote {written} records, expected {total}"
+            )
+        self._write_meta(meta)
 
     # -- reshard (split/merge, KinesaliteTest.scala:70-81 scenarios) -------
 

@@ -10,7 +10,12 @@ batch reader (one InputPartition per shard = "one poll loop per shard",
 `KinesisSource.scala:211-223`), planner-side shard pruning via
 ``pushFilters``, and a ``DataSourceStreamReader`` whose offsets are the
 per-shard next-sequence-number cursor (`KinesisSource.scala:55-65` — the
-reissue token IS the checkpointed offset, SURVEY §2.A S8/S9).
+reissue token IS the checkpointed offset, SURVEY §2.A S8/S9). Reads go
+through a fault-injectable client with the reference's four-way
+handleResult error dispatch (S17, `KinesisSource.scala:290-302`): expired
+cursor → reissue from the sequence floor; throughput exceeded → 800 ms
+backoff + repoll; service error → bounded retry; client error → fail
+fast. See the S17 section below and tests/test_pyds_errors.py.
 
 Usage::
 
@@ -139,16 +144,97 @@ class ShardPartition(InputPartition):
     since: datetime | None = None
 
 
-def _read_partition(part: ShardPartition) -> Iterator:
+# -- S17: handleResult error-dispatch policy (KinesisSource.scala:290-302) --
+#
+# The reference's read loop dispatches each getRecords failure four ways:
+#   ExpiredIteratorException        → reissue the iterator from the stored
+#                                     AFTER_SEQUENCE_NUMBER token and repoll
+#   ProvisionedThroughputExceeded   → back off 800 ms, repoll same position
+#   AmazonServiceException (5xx)    → log, bounded retry with backoff
+#   AmazonClientException (4xx)     → fail the stage fast
+# The simulated reader exposes the same seam: reads go through an
+# injectable ``read_file`` client that may raise the typed faults below,
+# and ``_read_partition`` applies the identical policy. Tests drive it
+# with fake clients exactly like the reference's fake-AmazonKinesisAsync
+# tests (KinesisSourceTest.scala, KinesisGraphStageTest.scala:27-59).
+
+
+class ExpiredIteratorError(Exception):
+    """Cursor outlived its 5-minute validity (KinesisSource.scala:40-42)."""
+
+
+class ThroughputExceededError(Exception):
+    """ProvisionedThroughputExceededException — throttle, then repoll."""
+
+
+class ServiceError(Exception):
+    """Amazon-side 5xx — retryable with backoff, bounded attempts."""
+
+
+class ClientError(Exception):
+    """Caller-side 4xx — not retryable; fail fast."""
+
+
+_THROTTLE_BACKOFF_S = 0.8   # reference's 800 ms backoff constant
+_MAX_SERVICE_RETRIES = 7    # reference's withRetries budget (package.scala)
+_BACKOFF_CAP_S = 64.0       # 2^n capped at 64 s
+
+
+def _default_read_file(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+def _read_partition(
+    part: ShardPartition,
+    read_file=None,
+    sleep_fn=None,
+) -> Iterator:
     """Executor-side scan of one shard: parquet → Arrow batches with the
     positioned-read bounds applied. Yields Arrow RecordBatches (the fast
-    path — record bytes never pass through Python row objects)."""
+    path — record bytes never pass through Python row objects).
+
+    Faults raised by ``read_file`` are dispatched per the reference's
+    handleResult policy (S17, see above). Expired-cursor recovery is the
+    reissue of S8/S16 translated to file granularity: re-resolve the
+    shard's file list (new files may have landed during the outage) and
+    continue from the not-yet-drained ones — a file is drained atomically,
+    so records are neither lost nor duplicated."""
+    import time
+
     import pyarrow as pa
-    import pyarrow.parquet as pq
     import pyarrow.compute as pc
 
-    for f in part.files:
-        t = pq.read_table(f)
+    client = read_file or _default_read_file
+    sleep = sleep_fn or time.sleep
+
+    pending = list(part.files)
+    drained: set[str] = set()
+    service_tries = 0
+    while pending:
+        f = pending[0]
+        try:
+            t = client(f)
+            service_tries = 0
+        except ExpiredIteratorError:
+            # reissue: re-list the shard dir, keep only undrained files
+            pending = [
+                x for x in _shard_files(os.path.dirname(f)) if x not in drained
+            ]
+            continue
+        except ThroughputExceededError:
+            sleep(_THROTTLE_BACKOFF_S)   # repoll same position
+            continue
+        except ServiceError:
+            service_tries += 1
+            if service_tries > _MAX_SERVICE_RETRIES:
+                raise
+            sleep(min(2.0 ** service_tries, _BACKOFF_CAP_S))
+            continue
+        # ClientError (and anything unknown) propagates: fail fast.
+        pending.pop(0)
+        drained.add(f)
         t = t.append_column("shard_id", pa.array([part.shard_id] * len(t)))
         mask = None
 
@@ -173,11 +259,14 @@ class KinesisSimBatchReader(DataSourceReader):
     pushed to partition planning via ``pushFilters`` — the DataSource-level
     equivalent of the wrapper's Hive-partition pruning."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, read_file=None, sleep_fn=None):
         self.path = options["path"]
         self.position = options.get("starting_position", "trim_horizon").lower()
         self.now = _parse_iso(options["now"]) if "now" in options else None
         self.wanted_shards: set[str] | None = None
+        # S17 seam: fault-injectable read client (fake-client tests)
+        self.read_file = read_file
+        self.sleep_fn = sleep_fn
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         for f in filters:
@@ -207,7 +296,7 @@ class KinesisSimBatchReader(DataSourceReader):
         return parts
 
     def read(self, partition: ShardPartition) -> Iterator:
-        yield from _read_partition(partition)
+        yield from _read_partition(partition, self.read_file, self.sleep_fn)
 
 
 class KinesisSimStreamReader(DataSourceStreamReader):
@@ -216,10 +305,13 @@ class KinesisSimStreamReader(DataSourceStreamReader):
     by Spark's offset WAL. Shards that appear after the query starts (a
     reshard's children) get floor 0: the Latest→TrimHorizon rewrite (S7)."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, read_file=None, sleep_fn=None):
         self.path = options["path"]
         self.position = options.get("starting_position", "trim_horizon").lower()
         self.now = _parse_iso(options["now"]) if "now" in options else None
+        # S17 seam: fault-injectable read client (fake-client tests)
+        self.read_file = read_file
+        self.sleep_fn = sleep_fn
 
     def initialOffset(self) -> dict:
         dirs = _shard_dirs(self.path)
@@ -268,7 +360,7 @@ class KinesisSimStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: ShardPartition) -> Iterator:
-        yield from _read_partition(partition)
+        yield from _read_partition(partition, self.read_file, self.sleep_fn)
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in Spark's checkpoint WAL

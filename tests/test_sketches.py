@@ -26,16 +26,17 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
 
 
 def test_hll_close_to_exact_distinct(spark, sf_dir):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in registry.QUERIES["agg_approx_distinct_users"](spark, sf_dir).collect()
-    }
+    # the query now gates the sketch itself: exact count + a boolean that
+    # the HLL estimate landed within 5% of it (oracle asserts literal TRUE)
+    rows = registry.QUERIES["agg_approx_distinct_users"](spark, sf_dir).collect()
     exact = {
         r["event_type"]: r["distinct_users"]
         for r in registry.QUERIES["agg_distinct_users_per_type"](spark, sf_dir).collect()
     }
-    for k, e in exact.items():
-        assert abs(approx[k] - e) / e < 0.05, f"{k}: HLL {approx[k]} vs exact {e}"
+    assert {r["event_type"] for r in rows} == exact.keys()
+    for r in rows:
+        assert r["exact_users"] == exact[r["event_type"]]
+        assert r["within_tolerance"], f"{r['event_type']}: HLL estimate out of tolerance"
 
 
 def test_raw_sql_surface(spark, sf_dir):
