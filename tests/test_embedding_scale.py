@@ -15,8 +15,12 @@ from akka_streams_kinesis_spark import registry
 from akka_streams_kinesis_spark.io import table
 from akka_streams_kinesis_spark.operators.embedding_scale import (
     _PCA_K,
+    _PQ_K,
+    _PQ_M,
     _PQ_QUERIES,
     _PQ_TOPK,
+    _assign_codes,
+    _codes_for,
     fit_pca,
     fit_pq,
 )
@@ -53,6 +57,27 @@ def test_pq_codebook_shape_and_determinism(spark, sf_dir):
     cb1 = fit_pq(spark, sf_dir, iters=1)
     assert cb1.shape == (16, 64, 4)
     assert np.isfinite(cb1).all()
+
+
+def test_pq_encode_matches_local_reference(spark, sf_dir):
+    """_assign_codes (the persistable PQ index encode) must agree exactly
+    with the local _codes_for on every vector, and cover the full corpus
+    with M codes per vector in [0, K)."""
+    cb = fit_pq(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    rows = _assign_codes(e.select("vec_id", "embedding"), cb).collect()
+    n_src = e.count()
+    assert len(rows) == n_src * _PQ_M
+    got = {}
+    for r in rows:
+        assert 0 <= r["code"] < _PQ_K
+        got.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in e.collect()}
+    ids = sorted(emb)
+    local = _codes_for(np.stack([emb[i] for i in ids]), cb)
+    for row_idx, vid in enumerate(ids):
+        assert [got[vid][m] for m in range(_PQ_M)] == local[row_idx].tolist()
 
 
 def test_pq_topk_shape_and_recall(spark, sf_dir):
