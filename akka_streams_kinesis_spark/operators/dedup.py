@@ -275,6 +275,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))).alias("h"),
         )
         .distinct()
+        # the shingle set feeds four consumers (sizes, the df cap, both
+        # self-join sides); without a persist each one re-runs the full
+        # explode+distinct pipeline — at 100 TB that is 4 corpus scans
+        .persist()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     joinable = _cap_shingle_df(shingles)
@@ -429,6 +433,9 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))).alias("h"),
         )
         .distinct()
+        # four consumers (sizes, df cap, both join sides) — persist, same
+        # argument as dedup_ngram_jaccard
+        .persist()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     joinable = _cap_shingle_df(shingles)

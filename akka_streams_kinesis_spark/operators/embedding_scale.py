@@ -317,6 +317,46 @@ def fit_pq(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS) -> np.ndarr
     )  # M × K × subdim
 
 
+def _exact_rerank(
+    spark: SparkSession, e: DataFrame, shortlist: DataFrame, qrows, topk: int
+) -> DataFrame:
+    """Re-rank an ADC shortlist with exact L2 on the raw vectors of just
+    those candidates (constant work per query): join raw vectors back,
+    compute the true distance JVM-side (zip_with/aggregate, codegen'd),
+    keep the deterministic top-``topk`` per query."""
+    q_df = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in qrows],
+        "query_id: long, q_emb: array<float>",
+    )
+    exact = (
+        shortlist.select("query_id", "vec_id")
+        .join(e, "vec_id")
+        .join(F.broadcast(q_df), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "q_emb",
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "vec_id", F.round("dist", 4).alias("dist"), "rnk")
+    )
+
+
 @query("similarity_ann_pq")  # no oracle: iterative k-means model fit
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 64-dim vectors → 16 codes of 6 bits
@@ -355,38 +395,136 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = dists.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _PQ_SHORTLIST
     )
+    return _exact_rerank(spark, e, shortlist, qrows, _PQ_TOPK)
 
-    # exact re-rank of the shortlist: join raw vectors back for the ≤25
-    # candidates per query (a constant regardless of corpus size) and
-    # compute the true L2 JVM-side (zip_with/aggregate, codegen'd).
-    q_df = spark.createDataFrame(
-        [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in qrows],
-        "query_id: long, q_emb: array<float>",
+
+# ---------------------------------------------------------------------------
+# IVF + residual PQ — the composed production ANN index
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@query("similarity_ann_ivf_pq")  # no oracle: iterative k-means model fits
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + residual-PQ ANN — the composition production systems deploy
+    at billion-vector scale (FAISS IVFPQ shape): a coarse k-means
+    quantizer partitions the corpus into cells; each vector stores its
+    cell id plus PQ codes of its RESIDUAL (x − centroid[cell]), which
+    quantizes much finer than coding raw vectors because residual norms
+    are a fraction of vector norms. A query probes only its nprobe
+    nearest cells, so corpus-side work drops by ~cells/nprobe on top of
+    PQ's byte-compression.
+
+    Both fits run on the deterministic hash-ordered sample (one
+    TakeOrdered job, local Lloyd — see collect_fit_sample/fit_pq). The
+    scan is one fused Arrow pass per batch: assign cells, code residuals,
+    gather ADC distances from the per-(query, probed-cell) LUT, emit a
+    deterministic per-batch partial top-50; unprobed vectors cost one
+    argmin, never a distance table. Exact rerank as in similarity_ann_pq.
+    Rows-only driver check; recall pinned vs brute force in
+    tests/test_embedding_scale.py."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = collect_fit_sample(e)
+
+    stride = max(len(x) // _IVF_CELLS, 1)
+    cents = _lloyd(x, x[(np.arange(_IVF_CELLS) * stride) % len(x)], _PQ_ITERS)
+    d2s = (
+        (x ** 2).sum(axis=1, keepdims=True) - 2.0 * x @ cents.T
+        + (cents ** 2).sum(axis=1)
     )
-    exact = (
-        shortlist.select("query_id", "vec_id")
-        .join(e, "vec_id")
-        .join(F.broadcast(q_df), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        "embedding",
-                        "q_emb",
-                        lambda x, y: (x.cast("double") - y.cast("double"))
-                        * (x.cast("double") - y.cast("double")),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ).alias("dist"),
-        )
+    resid = x - cents[np.argmin(d2s, axis=1)]
+    stride2 = max(len(resid) // _PQ_K, 1)
+    init_idx = (np.arange(_PQ_K) * stride2) % len(resid)
+    codebooks = np.stack(
+        [
+            _lloyd(
+                resid[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM],
+                resid[init_idx, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM],
+                _PQ_ITERS,
+            )
+            for m in range(_PQ_M)
+        ]
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id"))
-    return (
-        exact.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= _PQ_TOPK)
-        .select("query_id", "vec_id", F.round("dist", 4).alias("dist"), "rnk")
+
+    qrows = e.filter(F.col("vec_id") < _PQ_QUERIES).orderBy("vec_id").collect()
+    qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    qvecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qd2 = (
+        (qvecs ** 2).sum(axis=1, keepdims=True) - 2.0 * qvecs @ cents.T
+        + (cents ** 2).sum(axis=1)
     )
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :_IVF_NPROBE]  # Q × nprobe
+
+    # LUT over the residual space, per (query, probed cell):
+    # lut[qi, p, m, k] = ||(q − cent[probe])_m − codebook[m][k]||²
+    lut = np.empty((len(qids), _IVF_NPROBE, _PQ_M, _PQ_K))
+    # slot[qi, cell] = probe index for that query, or -1 if unprobed
+    slot = np.full((len(qids), _IVF_CELLS), -1, dtype=np.int64)
+    for qi in range(len(qids)):
+        for p in range(_IVF_NPROBE):
+            cell = int(probes[qi, p])
+            slot[qi, cell] = p
+            qr = qvecs[qi] - cents[cell]
+            for m in range(_PQ_M):
+                qsub = qr[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+                lut[qi, p, m, :] = ((codebooks[m] - qsub) ** 2).sum(axis=1)
+
+    cb = codebooks.copy()
+    cents_b = cents.copy()
+    lut_b = lut.copy()
+    slot_b = slot.copy()
+    q_b = qids.copy()
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vec_ids = b["vec_id"].to_numpy()
+            xb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            cell = np.argmin(
+                (xb ** 2).sum(axis=1, keepdims=True) - 2.0 * xb @ cents_b.T
+                + (cents_b ** 2).sum(axis=1),
+                axis=1,
+            )
+            codes = _codes_for(xb - cents_b[cell], cb)       # n × M
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(q_b)):
+                sl = slot_b[qi, cell]                         # n, -1 = unprobed
+                keep = np.flatnonzero((sl >= 0) & (vec_ids != q_b[qi]))
+                if len(keep) == 0:
+                    continue
+                d2 = np.zeros(len(keep))
+                kc = codes[keep]
+                ks = sl[keep]
+                for m in range(_PQ_M):
+                    d2 += lut_b[qi, ks, m, kc[:, m]]
+                if len(keep) > _PQ_SHORTLIST:
+                    order = np.lexsort((vec_ids[keep], d2))
+                    sel = order[:_PQ_SHORTLIST]
+                else:
+                    sel = np.arange(len(keep))
+                out_q.append(np.full(len(sel), q_b[qi], dtype=np.int64))
+                out_v.append(vec_ids[keep][sel])
+                out_d.append(np.sqrt(d2[sel]))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    dists = fanout(e).select("vec_id", "embedding").mapInPandas(
+        _scan, schema="query_id long, vec_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    shortlist = dists.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _PQ_SHORTLIST
+    )
+    return _exact_rerank(spark, e, shortlist, qrows, _PQ_TOPK)

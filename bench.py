@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_semantic_kmeans",
     "embedding_pca_project",
     "similarity_ann_pq",
+    "similarity_ann_ivf_pq",
     "layout_bucketed_join",
     "layout_partition_pruning",
     "source_pyds_ingest_rollup",

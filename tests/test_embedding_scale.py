@@ -80,6 +80,40 @@ def test_pq_encode_matches_local_reference(spark, sf_dir):
         assert [got[vid][m] for m in range(_PQ_M)] == local[row_idx].tolist()
 
 
+def _recall_vs_bruteforce(spark, sf_dir, rows):
+    """Mean recall@k of (query_id, vec_id, rnk) rows vs exact L2 top-k."""
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(_PQ_QUERIES))
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = np.array(sorted(emb))
+    x = np.stack([emb[i] for i in ids])
+    recalls = []
+    for q in range(_PQ_QUERIES):
+        d = np.linalg.norm(x - emb[q], axis=1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:_PQ_TOPK]].tolist())
+        approx = {r["vec_id"] for r in by_q[q]}
+        recalls.append(len(exact & approx) / _PQ_TOPK)
+    return float(np.mean(recalls)), by_q
+
+
+def test_ivf_pq_topk_shape_and_recall(spark, sf_dir):
+    rows = registry.QUERIES["similarity_ann_ivf_pq"](spark, sf_dir).collect()
+    recall, by_q = _recall_vs_bruteforce(spark, sf_dir, rows)
+    for q, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= _PQ_TOPK
+        assert all(r["vec_id"] != q for r in rs)
+    # nprobe=4 of 16 cells scans ~1/4 of the corpus; residual PQ + exact
+    # rerank keeps most true neighbors — recall floor set accordingly
+    assert recall >= 0.6, f"IVF-PQ mean recall@5 too low: {recall}"
+
+
 def test_pq_topk_shape_and_recall(spark, sf_dir):
     df = registry.QUERIES["similarity_ann_pq"](spark, sf_dir)
     rows = df.collect()
