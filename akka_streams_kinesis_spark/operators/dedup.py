@@ -197,8 +197,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation is output-sensitive — the LSH property that makes
     near-dup mining tractable at corpus scale.
     """
-    sigs = _minhash_signatures(spark, sf_dir)
-    bands = _minhash_bands(sigs)
+    # both self-join sides re-run the whole shingle->sign pipeline without
+    # a persist — two corpus scans at scale
+    bands = _minhash_bands(_minhash_signatures(spark, sf_dir)).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -338,7 +339,9 @@ def dedup_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidates from `dedup_minhash_lsh`, here re-joined to the 8-column
     signatures — two hash joins on doc_id whose build rows are 8 digests,
     never the documents)."""
-    sigs = _minhash_signatures(spark, sf_dir)
+    # sigs feed both band sides AND the sa/sb signature joins below —
+    # four consumers of one shingle->sign pipeline; persist once
+    sigs = _minhash_signatures(spark, sf_dir).persist()
     bands = _minhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
