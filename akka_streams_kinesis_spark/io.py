@@ -80,12 +80,18 @@ def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
     downstream of it — including a 100-1000× row fan-out — runs in a single
     task. The Exchange this inserts costs one pass over the (small, pre-
     explosion) input and buys full-cluster parallelism for the expensive
-    stage. At lake scale the scan already has thousands of splits, but the
-    rule still holds whenever the fan-out source is compact (a sampled
-    corpus, a candidate list, a query set); sizing to
-    ``defaultParallelism`` keeps every core busy without tiny-task churn.
+    stage. Sizing to ``defaultParallelism`` keeps every core busy without
+    tiny-task churn.
+
+    At lake scale the scan already has thousands of splits — there the
+    repartition would shuffle the whole corpus for nothing, so fanout is a
+    NO-OP whenever the input already carries >= the target partitions.
+    (Checking ``rdd.getNumPartitions()`` only builds the physical plan; it
+    runs no job.)
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
