@@ -21,13 +21,14 @@ import os
 import shutil
 import tempfile
 import uuid
+from datetime import datetime, timezone
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..io import table
 from ..registry import query
-from ..sources.kinesis_sim import SimStream, TrimHorizon
+from ..sources.kinesis_sim import AtTimestamp, SimStream, TrimHorizon
 from ..streaming.windows import (
     decode_json_payload,
     hourly_rollup,
@@ -43,13 +44,55 @@ def _stream_cache_dir(sf_dir: str, flavor: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"aks_simstream_{flavor}_{key}")
 
 
+def _encode_events(e: DataFrame) -> DataFrame:
+    """events → (partition_key, data) JSON put-records (W9 encode step);
+    partition key = user id ⇒ per-user ordering within a shard, the
+    reference's per-key ordering model (README.md:37)."""
+    return e.select(
+        F.col("user_id").cast("string").alias("partition_key"),
+        F.encode(
+            F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value")), "utf-8"
+        ).alias("data"),
+    )
+
+
 def _materialize_events_stream(
     spark: SparkSession, sf_dir: str, copies: int, flavor: str
 ) -> SimStream:
     """Encode events as JSON payloads and put them onto a fresh 2-shard
-    SimStream (partition key = user id ⇒ per-user ordering within a shard,
-    the reference's per-key ordering model, README.md:37). ``copies`` > 1
-    simulates at-least-once redelivery."""
+    SimStream. ``copies`` > 1 simulates at-least-once redelivery."""
+    path = _stream_cache_dir(sf_dir, flavor)
+    marker = os.path.join(path, "_complete")
+    if os.path.exists(marker):
+        return SimStream(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    stream = SimStream.create(path, n_shards=2)
+    encoded = _encode_events(table(spark, sf_dir, "events"))
+    # distributed produce: executors assign shards and write the shard
+    # files; the driver only reserves per-shard sequence ranges — see
+    # SimStream.put_records_distributed. No collect of the corpus.
+    for _ in range(copies):
+        stream.put_records_distributed(encoded)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stream
+
+
+# Arrival timestamps for the two-phase produce scenarios (arrival time is
+# what AT_TIMESTAMP positions on; distinct from the payload event time).
+_T1 = datetime(2024, 6, 1, tzinfo=timezone.utc)
+_T2 = datetime(2024, 6, 2, tzinfo=timezone.utc)
+
+
+def _materialize_phased_stream(
+    spark: SparkSession, sf_dir: str, flavor: str, reshard: bool
+) -> SimStream:
+    """Two-phase produce with controlled arrival timestamps: even-user
+    events arrive at _T1, odd-user events at _T2. With ``reshard`` the
+    first open shard is split between the phases (parent closes, children
+    each inherit half its hash range — KinesaliteTest.scala:74-78), so
+    phase-2 records route into the post-split shard set."""
     path = _stream_cache_dir(sf_dir, flavor)
     marker = os.path.join(path, "_complete")
     if os.path.exists(marker):
@@ -58,17 +101,14 @@ def _materialize_events_stream(
         shutil.rmtree(path)
     stream = SimStream.create(path, n_shards=2)
     e = table(spark, sf_dir, "events")
-    encoded = e.select(
-        F.col("user_id").cast("string").alias("partition_key"),
-        F.encode(
-            F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value")), "utf-8"
-        ).alias("data"),
+    stream.put_records_distributed(
+        _encode_events(e.filter(F.col("user_id") % 2 == 0)), ts=_T1
     )
-    # distributed produce: executors assign shards and write the shard
-    # files; the driver only reserves per-shard sequence ranges — see
-    # SimStream.put_records_distributed. No collect of the corpus.
-    for _ in range(copies):
-        stream.put_records_distributed(encoded)
+    if reshard:
+        stream.split_shard(stream.open_shards()[0]["shard_id"])
+    stream.put_records_distributed(
+        _encode_events(e.filter(F.col("user_id") % 2 == 1)), ts=_T2
+    )
     with open(marker, "w") as f:
         f.write("ok")
     return stream
@@ -449,3 +489,50 @@ def stream_incremental_dedup_store(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "source_reshard_replay_rollup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def source_reshard_replay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard-traversal as a hash gate (S6/S7/S13): half the corpus is
+    produced, the first shard is SPLIT (parent closes, two children each
+    inherit half its hash range), the other half is produced into the
+    post-split shard set, and a TrimHorizon read must traverse parent and
+    children exactly once — the aggregate hash-matches the plain batch
+    oracle only if no record is lost to the closed parent or double-read
+    through the lineage (reference scenarios KinesaliteTest.scala:70-81,
+    KinesisSource.scala:147-163)."""
+    stream = _materialize_phased_stream(spark, sf_dir, flavor="reshard", reshard=True)
+    records = stream.read_batch(spark, TrimHorizon())
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+@query(
+    "source_at_timestamp_tail",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE user_id % 2 = 1
+    GROUP BY event_type
+    """,
+)
+def source_at_timestamp_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AT_TIMESTAMP positioning as a hash gate (S2/S3): even-user events
+    arrive at T1, odd-user events at T2; a read positioned AtTimestamp(T2)
+    must return exactly the second wave (arrival-time positioning, the
+    reference's AT_TIMESTAMP iterator semantics KinesisSource.scala:31-35,
+    100-102) — which the oracle expresses as the odd-user half of the
+    table."""
+    stream = _materialize_phased_stream(spark, sf_dir, flavor="timed", reshard=False)
+    records = stream.read_batch(spark, AtTimestamp(_T2))
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    return events.groupBy("event_type").agg(F.count("*").alias("n"))
