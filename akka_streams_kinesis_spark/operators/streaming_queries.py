@@ -536,3 +536,63 @@ def source_at_timestamp_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = stream.read_batch(spark, AtTimestamp(_T2))
     events = decode_json_payload(records, _EVENT_SCHEMA)
     return events.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "egress_writer_dlq_split",
+    oracle="""
+    SELECT CASE WHEN user_id % 10 = 0 THEN 'InternalFailure' END AS error_code,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def egress_writer_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 Either-partitioning as a hash gate: a deterministic fake client
+    rejects every 10th user's records with a non-throttle error
+    (testing.selective_failure_client, the fake-client seam of
+    KinesisGraphStage.scala:20). The flow must annotate exactly those rows
+    as Left (error_code set) and pass every other row through as Right
+    (NULL error_code) — the per-record result partitioning of
+    KinesisGraphStage.scala:114-124, counted per error class."""
+    from ..streaming.writer import encode_records, kinesis_write_flow
+    from ..testing import no_sleep, selective_failure_client
+
+    e = table(spark, sf_dir, "events")
+    encoded = encode_records(
+        e,
+        partition_key=F.col("user_id").cast("string"),
+        payload=F.encode(F.to_json(F.struct("event_id", "event_type")), "utf-8"),
+    )
+    flowed = kinesis_write_flow(
+        encoded, selective_failure_client, "bench-stream", sleep_fn=no_sleep
+    )
+    return flowed.groupBy("error_code").agg(F.count("*").alias("n"))
+
+
+@query(
+    "egress_writer_throttle_requeue",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS error_code, COUNT(*) AS n FROM events
+    """,
+)
+def egress_writer_throttle_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 throttle-requeue as a hash gate: the fake client throttles every
+    record of each task's first put (ProvisionedThroughputExceeded), then
+    accepts — mirroring KinesisGraphStageTest.scala:51-59. Throttled
+    records must be requeued in-stage and succeed exactly once, so the
+    flow's output is indistinguishable from an all-success run: one result
+    class (NULL error_code) whose count equals the events table."""
+    from ..streaming.writer import encode_records, kinesis_write_flow
+    from ..testing import ThrottleOnceClient, no_sleep
+
+    e = table(spark, sf_dir, "events")
+    encoded = encode_records(
+        e,
+        partition_key=F.col("user_id").cast("string"),
+        payload=F.encode(F.to_json(F.struct("event_id", "event_type")), "utf-8"),
+    )
+    flowed = kinesis_write_flow(
+        encoded, ThrottleOnceClient(), "bench-stream", sleep_fn=no_sleep
+    )
+    return flowed.groupBy("error_code").agg(F.count("*").alias("n"))

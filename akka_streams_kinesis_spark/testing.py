@@ -23,6 +23,18 @@ def failing_client(stream, batch):
     return [{"error_code": "InternalFailure", "error_message": "boom"} for _ in batch]
 
 
+def selective_failure_client(stream, batch):
+    """Deterministically rejects records whose numeric partition key is
+    divisible by 10 with a non-throttle error; accepts the rest — the
+    fake behind the driver-gated DLQ split (egress_writer_dlq_split)."""
+    return [
+        {"error_code": "InternalFailure", "error_message": "unlucky key"}
+        if int(pk) % 10 == 0
+        else {"error_code": None, "error_message": None}
+        for pk, _ in batch
+    ]
+
+
 class ThrottleOnceClient:
     """Throttles every record on the first call, succeeds afterwards —
     KinesisGraphStageTest.scala:51-59."""
