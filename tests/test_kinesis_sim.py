@@ -211,3 +211,43 @@ def test_sink_to_source_round_trip(spark, stream):
     payloads = {bytes(r["data"]).decode() for r in back.collect()}
     assert payloads == {f"msg-{i}" for i in range(100)}
 
+
+
+def test_distributed_put_equivalent_to_driver_put(spark, tmp_path):
+    """put_records_distributed must place every record in the SAME shard as
+    the driver-side put path (identical partition-key hashing), keep
+    per-shard sequence numbers contiguous from the reserved base, and lose/
+    duplicate nothing."""
+    rows = [(f"user{i % 13}", f"rec-{i:04d}".encode()) for i in range(300)]
+
+    a = SimStream.create(str(tmp_path / "driver"), n_shards=2)
+    for i in range(0, len(rows), 100):
+        a.put_records(rows[i : i + 100])
+
+    b = SimStream.create(str(tmp_path / "dist"), n_shards=2)
+    df = spark.createDataFrame(rows, "partition_key string, data binary")
+    b.put_records_distributed(df.repartition(8))
+
+    da = a.read_batch(spark, TrimHorizon()).collect()
+    db = b.read_batch(spark, TrimHorizon()).collect()
+
+    def placement(rows_):
+        return sorted((r["shard_id"], bytes(r["data"])) for r in rows_)
+
+    assert placement(da) == placement(db)  # identical shard routing, no loss
+
+    per_shard = {}
+    for r in db:
+        per_shard.setdefault(r["shard_id"], []).append(r["sequence_number"])
+    for shard_id, seqs in per_shard.items():
+        assert sorted(seqs) == list(range(len(seqs))), shard_id
+
+    # a second distributed put continues each shard's sequence from its base
+    b.put_records_distributed(df.limit(50))
+    total = b.read_batch(spark, TrimHorizon())
+    assert total.count() == 350
+    again = {}
+    for r in total.collect():
+        again.setdefault(r["shard_id"], []).append(r["sequence_number"])
+    for shard_id, seqs in again.items():
+        assert sorted(seqs) == list(range(len(seqs))), shard_id
