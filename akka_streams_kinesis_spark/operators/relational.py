@@ -608,3 +608,38 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.ifnull(F.col("o_totalprice"), F.lit(0.0)), 2).alias("price_or_zero"),
         )
     )
+
+
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS exact_users,
+           TRUE                    AS within_tolerance
+    FROM events
+    """,
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch architecture (DataSketches HLL, Spark 3.5+): build
+    one HLL sketch PER GROUP (event_type), then hll_union_agg the five
+    binary sketches into a corpus-wide distinct estimate — the shape that
+    lets 1000 executors sketch locally and merge kilobytes, and lets a
+    rollup table answer distinct-users for any group combination without
+    re-scanning facts. HLL register merge is a max — associative,
+    commutative, order-insensitive — so the estimate is deterministic.
+    Gated like agg_approx_distinct_users: exact count plus a boolean that
+    the estimate landed within 5%; the oracle emits the exact count and
+    literal TRUE."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    unioned = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    tol = (
+        F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+    ) <= 0.05
+    return exact.crossJoin(unioned).select(
+        "exact_users", tol.alias("within_tolerance")
+    )

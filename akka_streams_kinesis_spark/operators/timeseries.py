@@ -229,3 +229,54 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((bi * F.col("num")) / (bi * F.col("den")), 4).alias("ewma"),
     )
+
+
+@query(
+    "events_robust_outliers_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type AS m_type, ROUND(MEDIAN(value), 4) AS med
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, m.med, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON m.m_type = e.event_type
+    ), mad AS (
+        SELECT event_type AS d_type, ROUND(MEDIAN(adev), 4) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.med, m.mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.d_type = d.event_type
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via median absolute deviation: events whose
+    |value − median| exceeds 3 scaled MADs of their type (1.4826 makes MAD
+    a consistent σ estimator under normality). The robust complement of
+    events_zscore_outliers — heavy-tailed value distributions wreck a
+    mean/σ screen but barely move the median/MAD.
+
+    Two exact-percentile aggregates (median, then median of deviations),
+    each a single shuffle on the bounded event_type key; the per-type
+    medians broadcast back onto the fact scan both times, so the screen
+    itself never reshuffles the facts. Medians are rounded to 4dp BEFORE
+    the deviation step on both engines, so every downstream float compare
+    sees bit-identical inputs."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.round(F.percentile("value", 0.5), 4).alias("med")
+    )
+    dev = e.join(F.broadcast(med), F.col("m_type") == F.col("event_type")).select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.round(F.percentile("adev", 0.5), 4).alias("mad")
+    )
+    out = F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), F.col("d_type") == F.col("event_type"))
+        .groupBy("event_type", "med", "mad")
+        .agg(F.sum(out).cast("long").alias("n_outliers"))
+    )
