@@ -529,3 +529,59 @@ def curation_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_token_budget_sample — budget-constrained corpus selection
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 2000  # tokens per language; binds at every test SF
+
+
+@query(
+    "curation_token_budget_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents
+    ), cum AS (
+        SELECT lang, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok
+        FROM toks
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+           ROUND(SUM(n_tok) / {_TOKEN_BUDGET}.0, 4) AS budget_fill
+    FROM cum
+    WHERE cum_tok <= {_TOKEN_BUDGET}
+    GROUP BY lang
+    """,
+)
+def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection: per language, admit documents
+    in deterministic doc_id order until a fixed token budget is exhausted
+    (the "give me exactly N tokens of French" epoch-mix primitive). The
+    cut is a running-sum window over the bounded lang key + a filter —
+    one shuffle, no iteration, and the kept set is stable under cluster
+    layout because the order and the cumsum are both data-determined.
+    A real mixer would weight languages (budget per lang from the target
+    mixture) — same plan, different constants."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.filter(F.col("cum_tok") <= _TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+            F.round(F.sum("n_tok") / float(_TOKEN_BUDGET), 4).alias("budget_fill"),
+        )
+    )

@@ -359,3 +359,54 @@ def pipeline_quality_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter((F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2))
         .select("doc_id", "lang", "n_tokens", "punct_ratio")
     )
+
+
+_CHUNK = 128   # tokens per chunk
+_STRIDE = 96   # chunk stride (32-token overlap)
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM}, ' ') AS w FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               UNNEST(RANGE(0, CAST(CEIL(LEN(w) / {_STRIDE}.0) AS BIGINT))) AS chunk_idx,
+               w
+        FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           LEN(w[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}]) AS chunk_tokens,
+           MD5(ARRAY_TO_STRING(w[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}], ' '))
+               AS chunk_digest
+    FROM chunks
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the retrieval/packing prep
+    step (128-token chunks, 96-token stride → 32-token overlap so no
+    boundary sentence is lost). Emits (doc_id, chunk_idx, chunk_tokens,
+    chunk_digest); the md5 digest stands in for the chunk payload in the
+    hash gate and doubles as a chunk-level dedup key downstream.
+
+    Pure explode of a sequence + JVM-side slice/hash — row-local, no
+    shuffle; the chunk fan-out is bounded by doc length / stride. DuckDB
+    1-based LIST slicing == Spark's 1-based F.slice, and both engines cap
+    the slice at the array end, so the trailing partial chunk agrees."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / float(_STRIDE)).cast("long")
+    chunks = toks.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice("w", (F.col("chunk_idx") * _STRIDE + 1).cast("int"), _CHUNK)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(window).alias("chunk_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_digest"),
+    )
