@@ -260,3 +260,48 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout(table(spark, sf_dir, "documents"))
     binary = to_binary_table(docs).select("doc_id", "payload")
     return extract_audio_features(binary)
+
+
+@query(
+    "multimodal_phash_buckets",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT)                 AS byte_size,
+               CAST(LENGTH(text) % 640 + 1 AS BIGINT)       AS width,
+               CAST((LENGTH(text) * 7) % 480 + 1 AS BIGINT) AS height
+        FROM documents
+    )
+    SELECT width // 16 AS wq, height // 16 AS hq, byte_size // 256 AS sq,
+           COUNT(*)        AS n_members,
+           MIN(doc_id)     AS rep_doc
+    FROM feats
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-dup blocking for media: decode features
+    (Arrow-batched mapInPandas — the real decoder seam, stubbed
+    deterministically here), quantize them into coarse buckets (a pHash
+    collapses an image to a few quantized frequency bits the same way),
+    and emit buckets with ≥2 members — the candidate groups an exact
+    pairwise verifier would then score. The feature pass is row-local;
+    blocking is one hash-agg on the tiny quantized key; pair generation
+    stays output-sensitive, never all-pairs — the same scale anatomy as
+    MinHash-LSH for text (operators/dedup.py)."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    feats = extract_features(
+        to_binary_table(d).select("doc_id", "payload")
+    )
+    return (
+        feats.select(
+            (F.col("width") / 16).cast("long").alias("wq"),
+            (F.col("height") / 16).cast("long").alias("hq"),
+            (F.col("byte_size") / 256).cast("long").alias("sq"),
+            "doc_id",
+        )
+        .groupBy("wq", "hq", "sq")
+        .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("rep_doc"))
+        .filter(F.col("n_members") >= 2)
+    )

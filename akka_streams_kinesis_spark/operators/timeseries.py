@@ -24,7 +24,7 @@ Scale notes (100 TB stance):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import table
 from ..registry import query
@@ -279,4 +279,56 @@ def events_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), F.col("d_type") == F.col("event_type"))
         .groupBy("event_type", "med", "mad")
         .agg(F.sum(out).cast("long").alias("n_outliers"))
+    )
+
+
+@query(
+    "events_scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from an event stream: per
+    user, collapse consecutive repeats of the same event_type, then stamp
+    each surviving state change with [valid_from, valid_to) from the next
+    change's timestamp — the standard CDC→warehouse history-table shape
+    (MERGE-free: the whole history derives from the log in one pass).
+
+    Two windows over the same (user_id, ts) partitioning — Spark plans ONE
+    sort+shuffle and reuses it for both (no second exchange); the change
+    filter collapses the data between them. Deterministic total order via
+    the (ts, event_id) tiebreak."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0).alias("is_current"),
     )
