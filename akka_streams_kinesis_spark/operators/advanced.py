@@ -11,7 +11,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..io import fanout, table
@@ -383,4 +383,73 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.approx_percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
             .alias("approx_p25_p50_p75")
+    )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation idiom as a gated operator: aggregate on
+    (key, salt) first — 16x more reducers share a hot key's rows — then
+    roll the salted partials up to the key. For algebraic aggregates the
+    two-phase result is EXACTLY the direct one (the oracle is the plain
+    GROUP BY), which is the property that makes salting safe to deploy.
+    Spark's map-side partial aggregation already gives this for free when
+    the hot key is spread across input partitions; explicit salting is
+    the fix when a hot key arrives CLUSTERED (sorted input, single kafka
+    partition) and one reducer would otherwise own the whole key. Sums
+    are rounded once, after the final rollup, so salting cannot perturb
+    the hash."""
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", (F.crc32(F.col("event_id").cast("string")) % 16).cast("int")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "sample_fixed_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, event_id, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY MD5('r:' || CAST(event_id AS VARCHAR)),
+                                           event_id) AS rn
+        FROM events
+    )
+    SELECT event_type, event_id, user_id, rn
+    FROM ranked
+    WHERE rn <= 20
+    """,
+)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample (reservoir-sampling
+    semantics without reservoir state): rank rows inside each group by a
+    seeded md5 of their id and keep the first 20 — every group yields
+    exactly min(20, |group|) rows, uniformly chosen, identical on any
+    engine and any cluster layout. One shuffle on the group key; at scale
+    the rank prunes with WindowGroupLimit (rn <= k pushes the top-k into
+    the sort, so no group ever materializes fully)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("r:"), F.col("event_id").cast("string"))), "event_id"
+    )
+    return (
+        e.select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
     )
