@@ -167,3 +167,67 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("event_date", "event_type")
     )
+
+
+@query(
+    "layout_compact_small_files",
+    oracle="""
+    WITH dated AS (
+        SELECT CAST(ts AS DATE) AS event_date FROM events
+    )
+    SELECT event_date,
+           COUNT(*) AS n_rows,
+           TRUE     AS compacted_to_one_file
+    FROM dated
+    GROUP BY event_date
+    """,
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake-maintenance job every streaming
+    ingest needs: each micro-batch appends a file per task per partition,
+    and a month of 1-minute triggers turns a day's data into tens of
+    thousands of kilobyte files whose open/list overhead dominates scans.
+    Compaction rewrites each day partition with one task
+    (repartition(partition key) → one file per day here;
+    maxRecordsPerFile bounds it at real scale), after which the day scans
+    at full sequential throughput.
+
+    Gated end-to-end: the query rewrites the day-partitioned events table
+    compacted, re-reads the COMPACTED copy, and emits per-day row counts
+    plus a boolean asserting the partition really is one file — row loss,
+    duplication, or failed compaction all break the hash against the
+    plain events oracle."""
+    src = partitioned_events_path(spark, sf_dir)
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    out = os.path.join(wh, f"aks_events_compacted_{_tag(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            spark.read.option("basePath", src).parquet(src)
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    compacted = spark.read.option("basePath", out).parquet(out)
+    import glob as _glob
+
+    one_file = {
+        os.path.basename(d).split("=", 1)[1]: len(_glob.glob(os.path.join(d, "*.parquet"))) == 1
+        for d in _glob.glob(os.path.join(out, "event_date=*"))
+    }
+    one_file_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(one_file.items())],
+        "date_str string, compacted_to_one_file boolean",
+    )
+    return (
+        compacted.groupBy("event_date")
+        .agg(F.count("*").alias("n_rows"))
+        .join(
+            F.broadcast(one_file_df),
+            F.col("event_date").cast("string") == F.col("date_str"),
+        )
+        .select("event_date", "n_rows", "compacted_to_one_file")
+    )
