@@ -84,8 +84,21 @@ HEADLINE = [
     "similarity_ann_ivf_pq",
     "layout_bucketed_join",
     "layout_partition_pruning",
+    "layout_compact_small_files",
     "source_pyds_ingest_rollup",
+    "source_reshard_replay_rollup",
+    "source_at_timestamp_tail",
     "egress_writer_passthrough",
+    "egress_writer_dlq_split",
+    "egress_writer_throttle_requeue",
+    "text_chunk_windows",
+    "curation_token_budget_sample",
+    "events_scd2_user_state",
+    "events_robust_outliers_mad",
+    "multimodal_phash_buckets",
+    "agg_hll_sketch_union",
+    "agg_salted_two_phase",
+    "sample_fixed_per_group",
 ]
 
 
