@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
 from ..io import fanout, table
 from ..registry import query
-from .dedup import _minhash_ctes, dedup_minhash
+from .dedup import _band_cap_ctes, _minhash_ctes, dedup_minhash
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
@@ -39,12 +39,9 @@ _NORM = NORM_TEXT_DUCK.format(col="text")
 # ---------------------------------------------------------------------------
 
 _CC_ORACLE = f"""
-    {_minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)}
+    {_minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)}{_band_cap_ctes()}
     , pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                    AND a.doc_id < b.doc_id
+        SELECT doc_a, doc_b FROM cand_pairs
     ), edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL

@@ -34,6 +34,21 @@ _NORM = NORM_TEXT_DUCK.format(col="text")
 # df-cut (boilerplate carries no near-dup signal).
 _MAX_SHINGLE_DF = 1000
 
+# Bucket-frequency cap for the LSH band self-join (the same k² risk as the
+# shingle joins, one stage later): a band hash shared by k documents makes
+# k·(k-1)/2 join rows, so a 10⁵-copy boilerplate cluster would alone emit
+# ~5·10⁹ pairs. Buckets with more than _MAX_BAND_DF members emit STAR edges
+# instead — (min doc_id in bucket) → every other member, O(k) rows — which
+# preserves exactly the connectivity the downstream consumer
+# (dedup_cluster_components) needs: every member still reaches every other
+# member through the hub, so connected components are unchanged; only the
+# explicit pair list for mega-buckets is thinned. The cap is applied
+# identically in the Spark plan and the DuckDB oracle (_BAND_CAP_CTES), so
+# the two engines agree at every scale; 64 is far above the fixture band
+# df (max 13 at sf0.1), so gated hashes only change where a corpus
+# genuinely contains a >64-way near-dup cluster.
+_MAX_BAND_DF = 64
+
 _DF_CAP_CTES = f"""
     df AS (
         SELECT h, COUNT(*) AS df FROM shingles GROUP BY h
@@ -177,13 +192,71 @@ def _minhash_ctes() -> str:
     )"""
 
 
+def _band_cap_ctes() -> str:
+    """Oracle CTE chain appended after ``bands``: bucket stats → capped
+    candidate pairs (all-pairs for small buckets, star edges for buckets
+    over _MAX_BAND_DF). Mirrors _capped_band_pairs exactly."""
+    return f"""
+    , bstats AS (
+        SELECT band_idx, band_hash, COUNT(*) AS bdf, MIN(doc_id) AS min_doc
+        FROM bands GROUP BY band_idx, band_hash
+    ), smallb AS (
+        SELECT b.doc_id, b.band_idx, b.band_hash
+        FROM bands b JOIN bstats s
+          ON s.band_idx = b.band_idx AND s.band_hash = b.band_hash
+        WHERE s.bdf <= {_MAX_BAND_DF}
+    ), cand_pairs AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM smallb a JOIN smallb b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT s.min_doc AS doc_a, b.doc_id AS doc_b
+            FROM bands b JOIN bstats s
+              ON s.band_idx = b.band_idx AND s.band_hash = b.band_hash
+            WHERE s.bdf > {_MAX_BAND_DF} AND b.doc_id <> s.min_doc
+        )
+    )"""
+
+
+def _capped_band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from banded signatures,
+    with the _MAX_BAND_DF bucket cap: small buckets self-join all-pairs,
+    over-cap buckets emit star edges from the bucket's min doc_id.
+
+    One extra hash-agg on the (band_idx, band_hash) key the self-join
+    shuffles on anyway, so the cap costs no additional exchange of the
+    big side; the star branch is a second co-partitioned probe of the
+    same bucket-stats table. Output rows per bucket: min(k, cap)²-ish
+    for small, exactly k-1 for large — linear in corpus size either way.
+    """
+    keys = ["band_idx", "band_hash"]
+    stats = bands.groupBy(*keys).agg(
+        F.count("*").alias("bdf"), F.min("doc_id").alias("min_doc")
+    )
+    small = bands.join(stats.filter(F.col("bdf") <= _MAX_BAND_DF).select(*keys), keys)
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # star edges: min_doc < doc_id by construction, so doc_a < doc_b holds
+    star = (
+        bands.join(stats.filter(F.col("bdf") > _MAX_BAND_DF), keys)
+        .filter(F.col("doc_id") != F.col("min_doc"))
+        .select(F.col("min_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return all_pairs.unionAll(star).distinct()
+
+
 def _minhash_oracle() -> str:
     return f"""
-    {_minhash_ctes()}
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id
+    {_minhash_ctes()}{_band_cap_ctes()}
+    SELECT doc_a, doc_b FROM cand_pairs
     """
 
 
@@ -195,23 +268,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The self-join key is (band_idx, 32-char band hash): tiny rows, and the
     join only ever compares documents that already collide on a band, so
     pair generation is output-sensitive — the LSH property that makes
-    near-dup mining tractable at corpus scale.
+    near-dup mining tractable at corpus scale. Buckets over _MAX_BAND_DF
+    members are collapsed to star edges (see _capped_band_pairs), so even
+    a boilerplate mega-cluster stays O(k) rows, not O(k²).
     """
-    # both self-join sides re-run the whole shingle->sign pipeline without
-    # a persist — two corpus scans at scale
+    # the band table feeds three consumers (bucket stats + both self-join
+    # sides); persist so the shingle->sign pipeline runs once, not thrice
     bands = _minhash_bands(_minhash_signatures(spark, sf_dir)).persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _capped_band_pairs(bands)
 
 
 @query(
@@ -313,12 +377,9 @@ def _minhash_estimate_oracle() -> str:
         f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(_N_HASHES)
     )
     return f"""
-    {_minhash_ctes()},
+    {_minhash_ctes()}{_band_cap_ctes()},
     cands AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                    AND a.doc_id < b.doc_id
+        SELECT doc_a, doc_b FROM cand_pairs
     )
     SELECT c.doc_a, c.doc_b,
            ROUND(CAST({matches} AS DOUBLE) / {_N_HASHES}, 4) AS est_jaccard
@@ -338,23 +399,12 @@ def dedup_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the verify step of the classic two-stage near-dup pipeline
     (candidates from `dedup_minhash_lsh`, here re-joined to the 8-column
     signatures — two hash joins on doc_id whose build rows are 8 digests,
-    never the documents)."""
-    # sigs feed both band sides AND the sa/sb signature joins below —
-    # four consumers of one shingle->sign pipeline; persist once
+    never the documents). Candidate generation shares the _MAX_BAND_DF
+    bucket cap with dedup_minhash_lsh (star edges for mega-buckets)."""
+    # sigs feed the band pipeline AND the sa/sb signature joins below —
+    # multiple consumers of one shingle->sign pipeline; persist once
     sigs = _minhash_signatures(spark, sf_dir).persist()
-    bands = _minhash_bands(sigs)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = _capped_band_pairs(_minhash_bands(sigs).persist())
     sa = sigs.select(
         F.col("doc_id").alias("sa_id"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(_N_HASHES)]
     )
