@@ -437,27 +437,54 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the top quality quartile per language — quality here is lexical
     diversity (distinct words / words), the cheap repetition screen a
-    pretraining pipeline runs before expensive scoring. NTILE over
-    (lang, score) makes the cut a per-stratum quantile rather than a global
-    threshold, so low-resource languages aren't wiped out by a global bar.
-    Summary returns only deterministic picks (counts, min/max of 4-dp
-    scores) — no float sums to drift between engines."""
+    pretraining pipeline runs before expensive scoring. The cut is a
+    per-stratum quantile rather than a global threshold, so low-resource
+    languages aren't wiped out by a global bar.
+
+    Scale posture: the oracle's NTILE(4) sorts each whole language in one
+    window partition — a single-task whole-corpus sort at 100 TB (lang has
+    ~10 values). This plan computes the identical answer from a
+    per-(lang, score) HISTOGRAM instead: scores are rounded to 4 dp, so a
+    language collapses to ≤10,001 histogram rows no matter how many
+    documents it has, and the only window runs over that bounded table.
+    NTILE(4) tile 1 holds exactly ceil(n/4) rows (ordered score desc,
+    doc_id), so n_kept = ceil(n/4), max_score_kept = the language's max
+    score, and min_score_kept = the boundary score group where the
+    cumulative count crosses ceil(n/4) — all derivable from (score, cnt)
+    alone; doc_id tie-breaks never cross a score boundary. Summary returns
+    only deterministic picks (counts, min/max of 4-dp scores) — no float
+    sums to drift between engines."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(normalize_text(F.col("text")), " ")
     scored = d.select(
-        "doc_id",
         "lang",
         F.round(
             F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
         ).alias("score"),
     )
-    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id"))
-    tiled = scored.withColumn("q", F.ntile(4).over(w))
+    hist = scored.groupBy("lang", "score").agg(F.count("*").alias("cnt"))
+    # ceil(n/4) via integer arithmetic; tiny one-row-per-lang table
+    ks = hist.groupBy("lang").agg(
+        F.floor((F.sum("cnt") + 3) / 4).alias("k")
+    )
+    w_before = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w_before), F.lit(0))
+    )
+    kept_from = F.greatest(
+        F.lit(0), F.least(F.col("cnt"), F.col("k") - F.col("cum_before"))
+    )
     return (
-        tiled.filter(F.col("q") == 1)
+        cum.join(F.broadcast(ks), "lang")
+        .withColumn("kept", kept_from)
+        .filter(F.col("kept") > 0)
         .groupBy("lang")
         .agg(
-            F.count("*").alias("n_kept"),
+            F.sum("kept").alias("n_kept"),
             F.min("score").alias("min_score_kept"),
             F.max("score").alias("max_score_kept"),
         )
@@ -533,6 +560,7 @@ def curation_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TOKEN_BUDGET = 2000  # tokens per language; binds at every test SF
+_TB_N_BUCKETS = 1 << 20  # doc_id-range buckets per prefix-sum level
 
 
 @query(
@@ -560,19 +588,61 @@ def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-constrained corpus selection: per language, admit documents
     in deterministic doc_id order until a fixed token budget is exhausted
     (the "give me exactly N tokens of French" epoch-mix primitive). The
-    cut is a running-sum window over the bounded lang key + a filter —
-    one shuffle, no iteration, and the kept set is stable under cluster
-    layout because the order and the cumsum are both data-determined.
-    A real mixer would weight languages (budget per lang from the target
-    mixture) — same plan, different constants."""
+    kept set is stable under cluster layout because the order and the
+    cumsum are both data-determined. A real mixer would weight languages
+    (budget per lang from the target mixture) — same plan, different
+    constants.
+
+    Scale posture: the oracle's running sum is a window partitioned by
+    lang (~10 values) — at 100 TB that sorts one language's entire corpus
+    in a single task. This plan decomposes the same cumsum two-phase:
+    doc_ids are bucketed into ≤2^20 order-preserving ranges (width derived
+    from max(doc_id) via a broadcast one-row join, so the plan stays fully
+    declarative — no driver action), per-bucket token sums are prefix-
+    summed with a window over that BOUNDED bucket table, the corpus is
+    pruned to buckets whose prefix is still under budget via a broadcast
+    per-lang boundary (one tiny row per language — at any budget, at most
+    one partially-consumed bucket per language survives the boundary), and
+    the row-level running sum then only runs inside surviving buckets
+    (≤ bucket width rows per window partition). cum_tok = bucket prefix +
+    within-bucket cumsum is exactly the oracle's per-language cumsum, so
+    the result hash is unchanged at every SF."""
     d = table(spark, sf_dir, "documents")
-    w = (
+    toks = d.select("lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    # bucket width from max(doc_id): parquet column stats make this a
+    # metadata-cheap single-column scan; broadcast 1-row join keeps the
+    # width inside the plan (deterministic — a pure function of the data)
+    width = toks.agg(
+        F.greatest(
+            F.lit(1), F.ceil((F.max("doc_id") + 1) / F.lit(_TB_N_BUCKETS))
+        ).alias("bw")
+    )
+    toks = toks.crossJoin(F.broadcast(width)).withColumn(
+        "bucket", F.floor(F.col("doc_id") / F.col("bw"))
+    )
+    bsums = toks.groupBy("lang", "bucket").agg(F.sum("n_tok").alias("b_tok"))
+    w_before = (
         Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcum = bsums.withColumn(
+        "cum_before", F.coalesce(F.sum("b_tok").over(w_before), F.lit(0))
+    ).persist()  # feeds the per-lang boundary AND the refine join
+    # buckets whose prefix already meets the budget can't contribute a row
+    active = bcum.filter(F.col("cum_before") < _TOKEN_BUDGET)
+    bounds = active.groupBy("lang").agg(F.max("bucket").alias("max_b"))
+    pruned = toks.join(F.broadcast(bounds), "lang").filter(
+        F.col("bucket") <= F.col("max_b")
+    )
+    w_in = (
+        Window.partitionBy("lang", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = d.select("lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    cum = pruned.join(
+        active.select("lang", "bucket", "cum_before"), ["lang", "bucket"]
+    ).withColumn("cum_tok", F.col("cum_before") + F.sum("n_tok").over(w_in))
     return (
         cum.filter(F.col("cum_tok") <= _TOKEN_BUDGET)
         .groupBy("lang")
