@@ -8,6 +8,8 @@ reference, supplied by Spark built-ins here).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = [
@@ -85,12 +87,40 @@ def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
 
     At lake scale the scan already has thousands of splits — there the
     repartition would shuffle the whole corpus for nothing, so fanout is a
-    NO-OP whenever the input already carries >= the target partitions.
-    (Checking ``rdd.getNumPartitions()`` only builds the physical plan; it
-    runs no job.)
+    NO-OP whenever the input's scan already yields >= the target
+    parallelism. That is decided from the ANALYZED plan's file listing
+    (``df.inputFiles()`` + size/maxPartitionBytes for local files), not
+    from ``df.rdd`` — materializing the RDD would force full physical
+    planning on every call (repeated for composed plans) and pin a
+    non-AQE plan for the whole downstream query.
     """
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # no file source underneath (in-memory relation): by construction
+        # tiny, so spreading it is one cheap exchange
+        return df.repartition(n)
+    splits = len(files)
+    if splits < n:
+        # big files split further at scan time; refine the estimate with
+        # local file sizes where the path scheme lets us stat cheaply
+        local = [f for f in files if f.startswith("file:")]
+        if local:
+            from urllib.parse import urlparse
+
+            mpb = int(
+                spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+            )
+            try:
+                total = sum(os.path.getsize(urlparse(f).path) for f in local)
+                splits = max(splits, -(-total // mpb))
+            except OSError:
+                pass
+    if splits >= n:
         return df
     return df.repartition(n)
 

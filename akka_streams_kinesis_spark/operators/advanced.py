@@ -216,9 +216,14 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         A, B = emb[~bmask], emb[bmask]
         dots = A @ B.T
         nrm = np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
-        sims = np.round(dots / nrm, 6)
+        sims = dots / nrm
+        # loosened prefilter only — the exact cut happens JVM-side on the
+        # F.round'ed value (np.round is half-to-even, DuckDB ROUND is half
+        # away from zero; doing the final round in Spark keeps rounding
+        # semantics engine-consistent at every SF). The 5e-7 slack admits
+        # raw sims that round UP across the threshold.
         ia, ib = np.nonzero(
-            (aids[:, None] < bids[None, :]) & (sims >= _NEAR_DUP_THRESHOLD)
+            (aids[:, None] < bids[None, :]) & (sims >= _NEAR_DUP_THRESHOLD - 5e-7)
         )
         return pd.DataFrame(
             {
@@ -233,6 +238,8 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.unionByName(build)
         .groupBy("label", "salt")
         .applyInPandas(cell_pairs, "vec_a long, vec_b long, label int, sim double")
+        .withColumn("sim", F.round("sim", 6))
+        .filter(F.col("sim") >= _NEAR_DUP_THRESHOLD)
     )
 
 

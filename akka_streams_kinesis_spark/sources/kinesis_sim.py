@@ -154,6 +154,16 @@ def shard_iterator_requests(
     return [(s, iterator) for s in shard_ids]
 
 
+def _as_utc_naive(ts: datetime) -> datetime:
+    """Normalize a datetime to naive-UTC. Naive input is TREATED as UTC —
+    calling astimezone() on a naive value would interpret it in the
+    machine's local zone and silently shift arrival timestamps, while the
+    read side (_parse_iso, AtTimestamp) treats naive as UTC."""
+    if ts.tzinfo is None:
+        return ts
+    return ts.astimezone(timezone.utc).replace(tzinfo=None)
+
+
 def hash_key_for_partition_key(pk: str) -> int:
     """Kinesis-style placement: md5(partition_key) as a 128-bit int mapped
     into a shard's [starting_hash_key, ending_hash_key] range."""
@@ -260,7 +270,7 @@ class SimStream:
         for shard_id, rows in placed.items():
             d = os.path.join(self.data_dir, f"shard_id={shard_id}")
             os.makedirs(d, exist_ok=True)
-            naive_ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+            naive_ts = _as_utc_naive(ts)
             tbl = pa.table(
                 {
                     "sequence_number": pa.array([r[0] for r in rows], pa.int64()),
@@ -304,7 +314,7 @@ class SimStream:
             if not s["closed"]
         ]
         ts = ts or datetime.now(timezone.utc)
-        naive_ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        naive_ts = _as_utc_naive(ts)
         data_dir = self.data_dir
 
         def _assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -467,7 +477,7 @@ class SimStream:
         if isinstance(iterator, AtTimestamp):
             now = now or datetime.now(timezone.utc)
             since = min(iterator.since, now)
-            naive = since.astimezone(timezone.utc).replace(tzinfo=None) if since.tzinfo else since
+            naive = _as_utc_naive(since)
             return df.filter(F.col("ts") >= F.lit(naive))
         if isinstance(iterator, Latest):
             floors = self.sequence_floors(spark)

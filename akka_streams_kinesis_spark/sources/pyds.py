@@ -178,6 +178,13 @@ class ClientError(Exception):
 _THROTTLE_BACKOFF_S = 0.8   # reference's 800 ms backoff constant
 _MAX_SERVICE_RETRIES = 7    # reference's withRetries budget (package.scala)
 _BACKOFF_CAP_S = 64.0       # 2^n capped at 64 s
+# The reference repolls throttle/expired unboundedly (a live service
+# eventually recovers); here a buggy or fault-stuck injected client would
+# hang the executor task forever, so both paths get a generous consecutive-
+# failure budget and then fail loudly. 150 throttle repolls ≈ 2 min of
+# continuous ProvisionedThroughputExceeded on one file.
+_MAX_THROTTLE_RETRIES = 150
+_MAX_REISSUE_RETRIES = 150
 
 
 def _default_read_file(path: str):
@@ -212,18 +219,32 @@ def _read_partition(
     pending = list(part.files)
     drained: set[str] = set()
     service_tries = 0
+    throttle_tries = 0
+    reissue_tries = 0
     while pending:
         f = pending[0]
         try:
             t = client(f)
-            service_tries = 0
-        except ExpiredIteratorError:
+            service_tries = throttle_tries = reissue_tries = 0
+        except ExpiredIteratorError as e:
+            reissue_tries += 1
+            if reissue_tries > _MAX_REISSUE_RETRIES:
+                raise RuntimeError(
+                    f"shard {part.shard_id}: iterator still expired after "
+                    f"{_MAX_REISSUE_RETRIES} consecutive reissues on {f}"
+                ) from e
             # reissue: re-list the shard dir, keep only undrained files
             pending = [
                 x for x in _shard_files(os.path.dirname(f)) if x not in drained
             ]
             continue
-        except ThroughputExceededError:
+        except ThroughputExceededError as e:
+            throttle_tries += 1
+            if throttle_tries > _MAX_THROTTLE_RETRIES:
+                raise RuntimeError(
+                    f"shard {part.shard_id}: still throttled after "
+                    f"{_MAX_THROTTLE_RETRIES} consecutive repolls on {f}"
+                ) from e
             sleep(_THROTTLE_BACKOFF_S)   # repoll same position
             continue
         except ServiceError:

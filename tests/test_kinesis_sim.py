@@ -251,3 +251,26 @@ def test_distributed_put_equivalent_to_driver_put(spark, tmp_path):
         again.setdefault(r["shard_id"], []).append(r["sequence_number"])
     for shard_id, seqs in again.items():
         assert sorted(seqs) == list(range(len(seqs))), shard_id
+
+
+def test_naive_put_timestamp_treated_as_utc(tmp_path):
+    """A naive ts passed to put_records must be stored verbatim (naive ==
+    UTC, mirroring _parse_iso), never shifted through the machine's local
+    zone — an AtTimestamp read at the same wall-clock must see the rows."""
+    from datetime import datetime, timezone
+
+    from akka_streams_kinesis_spark.sources.kinesis_sim import _as_utc_naive
+
+    naive = datetime(2024, 6, 1, 12, 0, 0)
+    aware = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+    assert _as_utc_naive(naive) == naive
+    assert _as_utc_naive(aware) == naive
+
+    s = SimStream.create(str(tmp_path / "s"), n_shards=1)
+    s.put_records(make_records("k", 3), ts=naive)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(s.data_dir, "shard_id=*", "*.parquet"))
+    stored = {v.as_py() for f in files for v in pq.read_table(f)["ts"]}
+    assert stored == {naive}

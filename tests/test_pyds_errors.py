@@ -176,3 +176,42 @@ def test_client_error_fails_fast(stream):
         _drain(reader)
     assert sleeps == []                # no retry, no backoff
     assert client.calls == 1
+
+
+class AlwaysRaise:
+    """A fault-stuck client: raises the same exception on every call."""
+
+    def __init__(self, exc):
+        self.exc = exc
+        self.calls = 0
+
+    def __call__(self, path):
+        self.calls += 1
+        raise self.exc
+
+
+def test_persistent_throttle_exhausts_budget(stream):
+    from akka_streams_kinesis_spark.sources.pyds import _MAX_THROTTLE_RETRIES
+
+    sleeps: list[float] = []
+    reader = KinesisSimBatchReader(
+        {"path": stream.path},
+        read_file=AlwaysRaise(ThroughputExceededError()),
+        sleep_fn=sleeps.append,
+    )
+    with pytest.raises(RuntimeError, match="still throttled"):
+        _drain(reader)
+    # budget consumed, then loud failure — never an infinite hang
+    assert len(sleeps) == _MAX_THROTTLE_RETRIES
+
+
+def test_persistent_expired_iterator_exhausts_budget(stream):
+    from akka_streams_kinesis_spark.sources.pyds import _MAX_REISSUE_RETRIES
+
+    client = AlwaysRaise(ExpiredIteratorError("cursor expired"))
+    reader = KinesisSimBatchReader(
+        {"path": stream.path}, read_file=client, sleep_fn=lambda s: None
+    )
+    with pytest.raises(RuntimeError, match="still expired"):
+        _drain(reader)
+    assert client.calls == _MAX_REISSUE_RETRIES + 1
