@@ -314,14 +314,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_sample, schema=_FRAME_SCHEMA)
 
 
-@query("sample_reproducible")  # no oracle: sampling algorithms are engine-specific
-def sample_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
+def reproducible_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample of lineitem — reproducible within Spark
-    (fixed seed) but not across engines, so the driver records the weaker
-    rows-only check. The 100 TB story: sampling is scan-local, no shuffle."""
+    (fixed seed; scan-local, no shuffle). The sample MEMBERSHIP is
+    engine-specific (Spark's XORShift vs anything else), so the gated
+    query wraps this in engine-portable invariants instead of hashing
+    row identity."""
     l = table(spark, sf_dir, "lineitem")
     return l.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "sample_reproducible",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           TRUE     AS sample_rate_ok,
+           TRUE     AS all_rows_from_source
+    FROM lineitem
+    """,
+)
+def sample_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance gate for the seeded Bernoulli sample: the exact source
+    count (hash-matched against DuckDB) plus two engine-portable
+    invariants — the realized rate is within ±0.03 of the requested 0.1
+    (>7σ of Binomial noise at the smallest test SF, so a correct sampler
+    never trips it), and every sampled row exists in the source (left-anti
+    join count is zero). The oracle asserts literal TRUE for both, so a
+    broken sampler hash-fails the gate."""
+    l = table(spark, sf_dir, "lineitem")
+    s = reproducible_sample(spark, sf_dir)
+    tot = l.agg(F.count("*").alias("n_total"))
+    samp = s.agg(F.count("*").alias("n_samp"))
+    bad = (
+        s.select("l_orderkey", "l_linenumber")
+        .join(l.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"], "left_anti")
+        .agg(F.count("*").alias("n_bad"))
+    )
+    return (
+        tot.crossJoin(samp)
+        .crossJoin(bad)
+        .select(
+            "n_total",
+            (
+                F.abs(F.col("n_samp") / F.col("n_total") - 0.1) <= 0.03
+            ).alias("sample_rate_ok"),
+            (F.col("n_bad") == 0).alias("all_rows_from_source"),
+        )
     )
 
 
@@ -378,18 +418,49 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentiles_sketch")  # no oracle: sketch is impl-specific
+@query(
+    "agg_approx_percentiles_sketch",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 2) AS exact_p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 2) AS exact_p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 2) AS exact_p75,
+           TRUE AS within_tolerance
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style mergeable sketch) — the 100 TB
-    replacement for agg_exact_percentiles: fixed-size per-partition sketches
-    merge map-side instead of gathering each group's values. No DuckDB
-    oracle (sketch internals are implementation-specific), so the driver
-    records the weaker rows-only check; accuracy is pinned against the
-    exact percentiles in tests/test_sketches.py instead."""
+    replacement for agg_exact_percentiles: fixed-size per-partition
+    sketches merge map-side instead of gathering each group's values.
+
+    The sketch VALUES are implementation-specific, so the gate hashes the
+    exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``QUANTILE_CONT``, both type-7 linear interpolation) per group plus a
+    boolean that every sketch estimate landed within 5% of its exact twin
+    — the oracle asserts literal TRUE, so a sketch regression beyond
+    tolerance hash-fails. With accuracy 10000 the rank error at the gated
+    SFs is <1 rank, leaving ~50x headroom inside the 5% value slack."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
-            .alias("approx_p25_p50_p75")
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", qs, 10000).alias("ap"),
+        F.percentile("o_totalprice", qs).alias("ep"),
+    )
+    tol = F.aggregate(
+        F.zip_with(
+            "ap", "ep", lambda a, e: (F.abs(a - e) / F.abs(e)) <= F.lit(0.05)
+        ),
+        F.lit(True),
+        lambda acc, ok: acc & ok,
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round(F.col("ep")[0], 2).alias("exact_p25"),
+        F.round(F.col("ep")[1], 2).alias("exact_p50"),
+        F.round(F.col("ep")[2], 2).alias("exact_p75"),
+        tol.alias("within_tolerance"),
     )
 
 

@@ -86,8 +86,10 @@ def _cov_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def fit_pca(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
     """Single-pass distributed PCA fit.
 
-    Returns (mean[d], components[k][d], eigvals[k]) with eigenvalues
-    descending and each component sign-canonicalized (its largest-|x|
+    Returns (mean[d], components[k][d], eigvals[k], total_var) with
+    eigenvalues descending, total_var = trace of the population covariance
+    (= sum of ALL d eigenvalues, the denominator of explained-variance
+    fractions), and each component sign-canonicalized (its largest-|x|
     coordinate is positive) so the fit is reproducible up to fp noise.
     """
     e = fanout(table(spark, sf_dir, "embeddings")).select("embedding")
@@ -104,16 +106,15 @@ def fit_pca(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
-    return mean, comps, eigvals[order]
+    return mean, comps, eigvals[order], float(np.trace(cov))
 
 
-@query("embedding_pca_project")  # no oracle: eigendecomposition model fit
-def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pca_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project every embedding onto the corpus's top-8 principal
     components (centered). Fit = one distributed pass (see fit_pca);
     apply = Arrow-batched matrix multiply against the broadcast 8×64
     component matrix — per-row, shuffle-free."""
-    mean, comps, _ = fit_pca(spark, sf_dir, _PCA_K)
+    mean, comps, _, _ = fit_pca(spark, sf_dir, _PCA_K)
     mean_b = mean.copy()
     comps_b = comps.copy()
 
@@ -133,6 +134,54 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = fanout(table(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
     return e.mapInPandas(_project, schema=out_schema)
+
+
+@query(
+    "embedding_pca_project",
+    oracle=f"""
+    WITH v AS (
+        SELECT SUM(vd) AS tv FROM (
+            SELECT VAR_POP(CAST(embedding[i] AS DOUBLE)) AS vd
+            FROM embeddings CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+            GROUP BY i
+        )
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_rows,
+           ROUND(tv, 4) AS total_variance,
+           TRUE AS orthonormal_basis,
+           TRUE AS variance_ordered,
+           TRUE AS captured_ge_uniform
+    FROM v
+    """,
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance gate for the PCA fit+projection (pca_projections): the
+    learned basis is an eigendecomposition, so component values can't be
+    hashed against DuckDB — instead the gate hashes two exact quantities
+    computable on both engines (the row count and the TOTAL population
+    variance, which DuckDB gets by summing per-dimension VAR_POP and Spark
+    as the trace of the fitted covariance — identical by definition) plus
+    three invariants of a correct fit: the basis is orthonormal
+    (max |C·Cᵀ − I| < 1e-6), eigenvalues are returned descending, and the
+    captured variance is at least k/d of the total — a theorem for the
+    true top-k eigenbasis (the mean of the top-k eigenvalues is ≥ the
+    mean of all d), so any bug that picks wrong/bottom components fails
+    it. The oracle asserts literal TRUE, so violations hash-fail. The
+    per-row projection contract (projected variance == eigenvalues,
+    centering) is pinned in tests/test_embedding_scale.py."""
+    mean, comps, eigvals, total_var = fit_pca(spark, sf_dir, _PCA_K)
+    gram = comps @ comps.T
+    orthonormal = bool(np.abs(gram - np.eye(_PCA_K)).max() < 1e-6)
+    ordered = bool(np.all(np.diff(eigvals) <= 1e-12))
+    captured = bool(eigvals.sum() >= (_PCA_K / _DIM) * total_var - 1e-9)
+    e = table(spark, sf_dir, "embeddings")
+    return e.agg(F.count("*").alias("n_rows")).select(
+        "n_rows",
+        F.lit(round(total_var, 4)).alias("total_variance"),
+        F.lit(orthonormal).alias("orthonormal_basis"),
+        F.lit(ordered).alias("variance_ordered"),
+        F.lit(captured).alias("captured_ge_uniform"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -357,8 +406,7 @@ def _exact_rerank(
     )
 
 
-@query("similarity_ann_pq")  # no oracle: iterative k-means model fit
-def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 64-dim vectors → 16 codes of 6 bits
     (12 bytes/vector, ~21× compression). Search is asymmetric-distance
     (ADC): per query, a Q×16×64 lookup table of exact subspace distances
@@ -403,11 +451,14 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_CELLS = 16
-_IVF_NPROBE = 4
+# nprobe=6 of 16 cells: at nprobe=4 the synthetic corpus (weak cluster
+# structure, so true neighbors scatter across cells) measured mean
+# recall@5 of only 0.50-0.60 by SF; 6 probes clears the 0.6 gate bar with
+# margin at every SF while still skipping ~60% of the corpus
+_IVF_NPROBE = 6
 
 
-@query("similarity_ann_ivf_pq")  # no oracle: iterative k-means model fits
-def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + residual-PQ ANN — the composition production systems deploy
     at billion-vector scale (FAISS IVFPQ shape): a coarse k-means
     quantizer partitions the corpus into cells; each vector stores its
@@ -528,3 +579,87 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk") <= _PQ_SHORTLIST
     )
     return _exact_rerank(spark, e, shortlist, qrows, _PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall gates — tolerance oracles for the two PQ indexes
+# ---------------------------------------------------------------------------
+
+_ANN_GATE_ORACLE = f"""
+    SELECT COUNT(*) AS n_queries,
+           CAST({_PQ_TOPK} AS BIGINT) AS topk,
+           TRUE AS results_complete,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_PQ_QUERIES}
+"""
+
+
+def _ann_recall_gate(
+    spark: SparkSession, sf_dir: str, ann: DataFrame, recall_bar: float
+) -> DataFrame:
+    """Invariant summary for an ANN top-k result: exact query-set count
+    (hash-matched), completeness (every query returned exactly topk rows),
+    and mean recall@k against the exact L2 ground truth computed
+    distributed-side (broadcast query set × corpus, JVM fold, top-k window
+    — the same shape as similarity_cosine_topk's baseline; at 100 TB a
+    deployment runs this gate on a query/corpus sample, which changes the
+    constants, not the plan). The oracle asserts literal TRUE for both
+    booleans, so a recall regression below the bar hash-fails the gate."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") < _PQ_QUERIES).orderBy("vec_id").collect()
+    q_df = spark.createDataFrame(
+        [(int(r["vec_id"]),) for r in qrows], "query_id: long"
+    )
+    all_pairs = (
+        e.select("vec_id")
+        .crossJoin(F.broadcast(q_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    gt = _exact_rerank(spark, e, all_pairs, qrows, _PQ_TOPK)
+    ann = ann.persist()  # feeds the completeness agg AND the recall join
+    per_q = ann.groupBy("query_id").agg(F.count("*").alias("n_res"))
+    hits = (
+        ann.select("query_id", "vec_id")
+        .join(gt.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    stats = per_q.join(hits, "query_id", "left").select(
+        "n_res", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+    )
+    summary = stats.agg(
+        F.count("*").alias("n_ann_q"),
+        F.min("n_res").alias("min_res"),
+        F.max("n_res").alias("max_res"),
+        F.avg(F.col("n_hit") / float(_PQ_TOPK)).alias("mean_recall"),
+    )
+    nq = e.filter(F.col("vec_id") < _PQ_QUERIES).agg(
+        F.count("*").alias("n_queries")
+    )
+    return nq.crossJoin(summary).select(
+        "n_queries",
+        F.lit(_PQ_TOPK).cast("long").alias("topk"),
+        (
+            (F.col("n_ann_q") == F.col("n_queries"))
+            & (F.col("min_res") == _PQ_TOPK)
+            & (F.col("max_res") == _PQ_TOPK)
+        ).alias("results_complete"),
+        (F.col("mean_recall") >= recall_bar).alias("recall_ok"),
+    )
+
+
+@query("similarity_ann_pq", oracle=_ANN_GATE_ORACLE)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the PQ+ADC index (pq_topk): the shortlist+rerank
+    shape keeps >=0.7 mean recall@5 (the bar tests/test_embedding_scale.py
+    pins); codes and distances themselves are model outputs and can't be
+    value-hashed across engines."""
+    return _ann_recall_gate(spark, sf_dir, pq_topk(spark, sf_dir), 0.7)
+
+
+@query("similarity_ann_ivf_pq", oracle=_ANN_GATE_ORACLE)
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the IVF+residual-PQ index (ivf_pq_topk): nprobe=4
+    of 16 cells scans ~1/4 of the corpus, so the bar is 0.6 (matching the
+    pinned test floor)."""
+    return _ann_recall_gate(spark, sf_dir, ivf_pq_topk(spark, sf_dir), 0.6)

@@ -103,8 +103,7 @@ def assign_clusters(spark: SparkSession, sf_dir: str, cents: np.ndarray) -> Data
     return e.mapInPandas(_assign, schema="vec_id long, cluster long")
 
 
-@query("dedup_semantic_kmeans")  # no oracle: iterative k-means model fit
-def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_kmeans_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: keep one representative per semantic near-dup group.
 
     Drop rule (deterministic): a vector is dropped iff some LOWER-id
@@ -156,4 +155,52 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("vec_id", "cluster")
         .join(dropped, "vec_id", "left_anti")
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "dedup_semantic_kmeans",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           TRUE     AS kept_nonempty_proper,
+           TRUE     AS kept_subset,
+           TRUE     AS global_min_kept
+    FROM embeddings
+    """,
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance gate for SemDeDup (semantic_kmeans_kept): the kept SET
+    depends on the learned centroids, so it can't be value-hashed across
+    engines; instead the gate hashes the exact corpus count plus three
+    invariants any correct greedy keep-lowest-id dedup must satisfy —
+    some-but-not-all vectors survive (the synthetic corpus always contains
+    semantic near-dups), every kept id exists in the source, and the
+    globally smallest vec_id is kept (no lower id exists that could drop
+    it). The oracle asserts literal TRUE for each, so a broken fit or drop
+    rule hash-fails. The exact drop-rule contract vs a local ground truth
+    is pinned separately in tests/test_semdedup.py."""
+    kept = semantic_kmeans_kept(spark, sf_dir).persist()
+    e = table(spark, sf_dir, "embeddings")
+    tot = e.agg(
+        F.count("*").alias("n_total"), F.min("vec_id").alias("min_all")
+    )
+    stats = kept.agg(
+        F.count("*").alias("n_kept"), F.min("vec_id").alias("min_kept")
+    )
+    bad = (
+        kept.select("vec_id")
+        .join(e.select("vec_id"), "vec_id", "left_anti")
+        .agg(F.count("*").alias("n_bad"))
+    )
+    return (
+        tot.crossJoin(stats)
+        .crossJoin(bad)
+        .select(
+            "n_total",
+            (
+                (F.col("n_kept") > 0) & (F.col("n_kept") < F.col("n_total"))
+            ).alias("kept_nonempty_proper"),
+            (F.col("n_bad") == 0).alias("kept_subset"),
+            (F.col("min_kept") == F.col("min_all")).alias("global_min_kept"),
+        )
     )

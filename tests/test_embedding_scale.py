@@ -23,13 +23,16 @@ from akka_streams_kinesis_spark.operators.embedding_scale import (
     _codes_for,
     fit_pca,
     fit_pq,
+    ivf_pq_topk,
+    pca_projections,
+    pq_topk,
 )
 
 registry.load_all()
 
 
 def test_pca_components_orthonormal_and_sorted(spark, sf_dir):
-    mean, comps, eigvals = fit_pca(spark, sf_dir)
+    mean, comps, eigvals, total_var = fit_pca(spark, sf_dir)
     gram = comps @ comps.T
     assert np.allclose(gram, np.eye(comps.shape[0]), atol=1e-8)
     assert np.all(np.diff(eigvals) <= 1e-12), "eigenvalues must be descending"
@@ -40,8 +43,8 @@ def test_pca_components_orthonormal_and_sorted(spark, sf_dir):
 
 
 def test_pca_projection_variance_matches_eigvals(spark, sf_dir):
-    mean, comps, eigvals = fit_pca(spark, sf_dir)
-    df = registry.QUERIES["embedding_pca_project"](spark, sf_dir)
+    mean, comps, eigvals, total_var = fit_pca(spark, sf_dir)
+    df = pca_projections(spark, sf_dir)
     rows = df.collect()
     n_src = table(spark, sf_dir, "embeddings").count()
     assert len(rows) == n_src
@@ -103,7 +106,7 @@ def _recall_vs_bruteforce(spark, sf_dir, rows):
 
 
 def test_ivf_pq_topk_shape_and_recall(spark, sf_dir):
-    rows = registry.QUERIES["similarity_ann_ivf_pq"](spark, sf_dir).collect()
+    rows = ivf_pq_topk(spark, sf_dir).collect()
     recall, by_q = _recall_vs_bruteforce(spark, sf_dir, rows)
     for q, rs in by_q.items():
         assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
@@ -115,7 +118,7 @@ def test_ivf_pq_topk_shape_and_recall(spark, sf_dir):
 
 
 def test_pq_topk_shape_and_recall(spark, sf_dir):
-    df = registry.QUERIES["similarity_ann_pq"](spark, sf_dir)
+    df = pq_topk(spark, sf_dir)
     rows = df.collect()
     by_q = {}
     for r in rows:

@@ -14,6 +14,7 @@ from akka_streams_kinesis_spark.operators.semdedup import (
     _TAU,
     assign_clusters,
     fit_kmeans,
+    semantic_kmeans_kept,
 )
 
 registry.load_all()
@@ -50,7 +51,7 @@ def test_kept_set_matches_numpy_recompute(spark, sf_dir):
                 break
     want_kept = {i for i in ids if i not in dropped}
 
-    rows = registry.QUERIES["dedup_semantic_kmeans"](spark, sf_dir).collect()
+    rows = semantic_kmeans_kept(spark, sf_dir).collect()
     got_kept = {r["vec_id"] for r in rows}
     assert got_kept == want_kept
     assert all(clusters[r["vec_id"]] == r["cluster"] for r in rows)

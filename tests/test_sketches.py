@@ -11,18 +11,22 @@ registry.load_all()
 
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir):
-    approx = {
-        r["o_orderpriority"]: r["approx_p25_p50_p75"]
-        for r in registry.QUERIES["agg_approx_percentiles_sketch"](spark, sf_dir).collect()
-    }
+    # the query now gates the sketch itself: exact interpolated percentiles
+    # (hash-matched vs DuckDB QUANTILE_CONT) plus a boolean that every
+    # sketch estimate landed within 5% (oracle asserts literal TRUE)
+    rows = registry.QUERIES["agg_approx_percentiles_sketch"](spark, sf_dir).collect()
     exact = {
         r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"])
         for r in registry.QUERIES["agg_exact_percentiles"](spark, sf_dir).collect()
     }
-    assert approx.keys() == exact.keys()
-    for prio, (p25, p50, p75) in exact.items():
-        for a, e in zip(approx[prio], (p25, p50, p75)):
-            assert abs(a - e) / e < 0.05, f"{prio}: approx {a} vs exact {e}"
+    assert {r["o_orderpriority"] for r in rows} == exact.keys()
+    for r in rows:
+        assert r["within_tolerance"], f"{r['o_orderpriority']}: sketch out of tolerance"
+        p25, p50, p75 = exact[r["o_orderpriority"]]
+        # the gate's exact percentiles agree with the exact-percentiles query
+        assert abs(r["exact_p25"] - p25) / p25 < 0.01
+        assert abs(r["exact_p50"] - p50) / p50 < 0.01
+        assert abs(r["exact_p75"] - p75) / p75 < 0.01
 
 
 def test_hll_close_to_exact_distinct(spark, sf_dir):
