@@ -450,12 +450,30 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF + residual PQ — the composed production ANN index
 # ---------------------------------------------------------------------------
 
-_IVF_CELLS = 16
-# nprobe=6 of 16 cells: at nprobe=4 the synthetic corpus (weak cluster
-# structure, so true neighbors scatter across cells) measured mean
-# recall@5 of only 0.50-0.60 by SF; 6 probes clears the 0.6 gate bar with
-# margin at every SF while still skipping ~60% of the corpus
-_IVF_NPROBE = 6
+_IVF_CELLS_MIN = 16
+_IVF_CELLS_CAP = 65536   # centroid matrix ≤ 64k×64 doubles (32 MB task const)
+# Probe fraction, not a fixed nprobe: this synthetic corpus has weak
+# cluster structure (true neighbors scatter across cells), so a fixed
+# nprobe over a GROWING cell count would collapse recall — at 6/16 cells
+# (round 2) recall@5 cleared 0.6 at every SF, so the fraction 6/16 is
+# kept invariant as cells scale. Production corpora with real cluster
+# structure tune this down (1–5%); it is a recall/cost knob, not a
+# correctness constant.
+_IVF_PROBE_FRAC = 6 / 16
+
+
+def derive_ivf_cells(n: int) -> int:
+    """Coarse-cell count for an n-vector corpus: cells ≈ √n, clamped.
+
+    At cells = √n the expected cell size also grows as √n, so neither the
+    per-cell posting lists nor the broadcast centroid matrix explodes at
+    100× corpus (round 2's fixed 16 cells meant cell sizes grew linearly
+    with the corpus)."""
+    return min(max(int(round(n ** 0.5)), _IVF_CELLS_MIN), _IVF_CELLS_CAP)
+
+
+def derive_ivf_nprobe(cells: int) -> int:
+    return max(1, int(round(cells * _IVF_PROBE_FRAC)))
 
 
 def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,10 +495,12 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only driver check; recall pinned vs brute force in
     tests/test_embedding_scale.py."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_cells = derive_ivf_cells(e.count())
+    nprobe = derive_ivf_nprobe(n_cells)
     x = collect_fit_sample(e)
 
-    stride = max(len(x) // _IVF_CELLS, 1)
-    cents = _lloyd(x, x[(np.arange(_IVF_CELLS) * stride) % len(x)], _PQ_ITERS)
+    stride = max(len(x) // n_cells, 1)
+    cents = _lloyd(x, x[(np.arange(n_cells) * stride) % len(x)], _PQ_ITERS)
     d2s = (
         (x ** 2).sum(axis=1, keepdims=True) - 2.0 * x @ cents.T
         + (cents ** 2).sum(axis=1)
@@ -506,15 +526,15 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qvecs ** 2).sum(axis=1, keepdims=True) - 2.0 * qvecs @ cents.T
         + (cents ** 2).sum(axis=1)
     )
-    probes = np.argsort(qd2, axis=1, kind="stable")[:, :_IVF_NPROBE]  # Q × nprobe
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]  # Q × nprobe
 
     # LUT over the residual space, per (query, probed cell):
     # lut[qi, p, m, k] = ||(q − cent[probe])_m − codebook[m][k]||²
-    lut = np.empty((len(qids), _IVF_NPROBE, _PQ_M, _PQ_K))
+    lut = np.empty((len(qids), nprobe, _PQ_M, _PQ_K))
     # slot[qi, cell] = probe index for that query, or -1 if unprobed
-    slot = np.full((len(qids), _IVF_CELLS), -1, dtype=np.int64)
+    slot = np.full((len(qids), n_cells), -1, dtype=np.int64)
     for qi in range(len(qids)):
-        for p in range(_IVF_NPROBE):
+        for p in range(nprobe):
             cell = int(probes[qi, p])
             slot[qi, cell] = p
             qr = qvecs[qi] - cents[cell]

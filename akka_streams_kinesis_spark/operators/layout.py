@@ -212,22 +212,18 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
     compacted = spark.read.option("basePath", out).parquet(out)
-    import glob as _glob
-
-    one_file = {
-        os.path.basename(d).split("=", 1)[1]: len(_glob.glob(os.path.join(d, "*.parquet"))) == 1
-        for d in _glob.glob(os.path.join(out, "event_date=*"))
-    }
-    one_file_df = spark.createDataFrame(
-        [(k, v) for k, v in sorted(one_file.items())],
-        "date_str string, compacted_to_one_file boolean",
-    )
+    # One-file check runs INSIDE the scan via input_file_name(): works
+    # identically on local FS and object stores (no driver-side directory
+    # listing), and folds into the same per-day aggregate — one pass, no
+    # extra join.
     return (
-        compacted.groupBy("event_date")
-        .agg(F.count("*").alias("n_rows"))
-        .join(
-            F.broadcast(one_file_df),
-            F.col("event_date").cast("string") == F.col("date_str"),
+        # input_file_name() must be projected before the aggregate (Spark
+        # bars nondeterministic expressions inside agg functions)
+        compacted.select("event_date", F.input_file_name().alias("_file"))
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.countDistinct("_file") == F.lit(1)).alias("compacted_to_one_file"),
         )
         .select("event_date", "n_rows", "compacted_to_one_file")
     )

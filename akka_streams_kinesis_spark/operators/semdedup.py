@@ -42,10 +42,24 @@ from ..io import fanout, table
 from ..registry import query
 
 _DIM = 64
-_K = 8
+_K_MIN = 4       # cluster-count floor (tiny corpora)
+_K_CAP = 4096    # cap: centroid matrix stays ≤ 4096×64 doubles (2 MB broadcast)
 _ITERS = 16  # local Lloyd cap; early stop usually fires well before
 _TAU = 0.3   # same near-dup cosine threshold as embedding_near_dup_pairs
 _SALTS = 8
+
+
+def derive_k(n: int) -> int:
+    """Cluster count for an n-vector corpus: k ≈ √n, clamped.
+
+    k = √n balances the two costs of blocking-by-cluster: the assignment
+    pass is O(n·k·d) while the within-cluster pairwise stage is
+    Σ size² ≈ n²/k — at k = √n both cluster COUNT and expected cluster
+    SIZE grow as √n, so neither the broadcast centroid matrix nor any one
+    salted GEMM group explodes at 100× corpus. (The round-2 fixed k = 8
+    meant cluster sizes grew linearly with the corpus — the salted
+    pairwise stage would have been quadratic at lake scale.)"""
+    return min(max(int(round(n ** 0.5)), _K_MIN), _K_CAP)
 
 
 def _unit(x: np.ndarray) -> np.ndarray:
@@ -55,7 +69,7 @@ def _unit(x: np.ndarray) -> np.ndarray:
 
 
 def fit_kmeans(
-    spark: SparkSession, sf_dir: str, k: int = _K, iters: int = _ITERS
+    spark: SparkSession, sf_dir: str, k: int | None = None, iters: int = _ITERS
 ) -> np.ndarray:
     """Spherical k-means fit on a deterministic hash-ordered sample.
 
@@ -65,10 +79,15 @@ def fit_kmeans(
     of `iters` distributed Arrow passes over a persisted copy collapses to
     one small job + local numpy Lloyd with early stop on centroid
     movement. Init = stride over the vec_id-sorted sample. Returns
-    unit-norm centroids k×d."""
+    unit-norm centroids k×d.
+
+    ``k=None`` derives k ≈ √N from a corpus count (zero-column scan, one
+    cheap job) — see derive_k."""
     from .embedding_scale import collect_fit_sample
 
     e = table(spark, sf_dir, "embeddings")
+    if k is None:
+        k = derive_k(e.count())
     x = _unit(collect_fit_sample(e))
     stride = max(len(x) // k, 1)
     cents = x[(np.arange(k) * stride) % len(x)].copy()

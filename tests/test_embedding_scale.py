@@ -21,6 +21,8 @@ from akka_streams_kinesis_spark.operators.embedding_scale import (
     _PQ_TOPK,
     _assign_codes,
     _codes_for,
+    derive_ivf_cells,
+    derive_ivf_nprobe,
     fit_pca,
     fit_pq,
     ivf_pq_topk,
@@ -29,6 +31,17 @@ from akka_streams_kinesis_spark.operators.embedding_scale import (
 )
 
 registry.load_all()
+
+
+def test_ivf_cells_scale_as_sqrt_with_clamps():
+    assert derive_ivf_cells(1) == 16            # floor
+    assert derive_ivf_cells(1_000_000) == 1000
+    assert derive_ivf_cells(10**12) == 65536    # cap
+    ks = [derive_ivf_cells(n) for n in (500, 10_000, 10**6, 10**10)]
+    assert ks == sorted(ks)
+    # nprobe tracks the cell count at the pinned recall fraction
+    assert derive_ivf_nprobe(16) == 6           # round-2 recall-calibrated point
+    assert 0 < derive_ivf_nprobe(1000) <= 1000
 
 
 def test_pca_components_orthonormal_and_sorted(spark, sf_dir):

@@ -10,9 +10,9 @@ import numpy as np
 from akka_streams_kinesis_spark import registry
 from akka_streams_kinesis_spark.io import table
 from akka_streams_kinesis_spark.operators.semdedup import (
-    _K,
     _TAU,
     assign_clusters,
+    derive_k,
     fit_kmeans,
     semantic_kmeans_kept,
 )
@@ -20,10 +20,20 @@ from akka_streams_kinesis_spark.operators.semdedup import (
 registry.load_all()
 
 
+def test_derive_k_scales_as_sqrt_with_clamps():
+    assert derive_k(1) == 4          # floor
+    assert derive_k(10_000) == 100
+    assert derive_k(10**9) == 4096   # cap
+    # monotone non-decreasing across scales
+    ks = [derive_k(n) for n in (100, 10_000, 1_000_000, 10**8)]
+    assert ks == sorted(ks)
+
+
 def test_centroids_unit_norm_and_deterministic(spark, sf_dir):
     c1 = fit_kmeans(spark, sf_dir)
     c2 = fit_kmeans(spark, sf_dir)
-    assert c1.shape == (_K, 64)
+    n = table(spark, sf_dir, "embeddings").count()
+    assert c1.shape == (derive_k(n), 64)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
     assert np.allclose(c1, c2, atol=1e-9), "fit must be run-to-run deterministic"
 
