@@ -1,0 +1,293 @@
+"""Corpus-mixture, quality-classifier, multi-dim layout, and incremental
+ingest operators — the remaining curation-stack pieces of a production
+LLM training-data pipeline.
+
+- ``curation_domain_mixture_weights``: alpha-tempered sampling weights
+  per source domain (w_i ∝ tokens_i^α) plus effective epochs under a
+  token budget — the mixture-rebalancing step every multi-source
+  pretraining corpus goes through (upweight small high-quality domains,
+  damp the giant crawl slice).
+- ``text_quality_linear_classifier``: fasttext-shaped hashed linear
+  scorer — hashed bag-of-tokens → weight lookup → mean → sigmoid —
+  executed entirely JVM-side with higher-order array functions (no
+  explode, no shuffle, no Python): the scoring pass is a pure row-local
+  map over the corpus scan, which is exactly what a 100 TB quality
+  screen must be.
+- ``layout_zorder_cluster``: Morton (Z-order) interleave of two scan
+  dimensions → space-filling-curve bucketing, the multi-column file
+  clustering trick (Delta/Iceberg OPTIMIZE ZORDER) that makes min/max
+  file skipping effective on BOTH columns at once instead of only the
+  leading sort key.
+- ``dedup_incremental_digest``: new-batch ingest dedup — drop incoming
+  docs whose content digest already exists in the standing corpus, then
+  exact-dedup within the batch; the anti-join-on-digest shape every
+  incremental crawl refresh runs.
+
+Reference parity: none — the reference is a Kinesis connector
+(SURVEY.md §0); these are driver-mandated north-star extensions.
+All four are fully DuckDB-oracle-gated.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import table
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# curation_domain_mixture_weights
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7          # tempering exponent (α=1 → proportional, α=0 → uniform)
+_MIX_TOKEN_BUDGET = 1_000_000
+
+
+@query(
+    "curation_domain_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tempered AS (
+        SELECT source, n_tokens, POWER(n_tokens, {_MIX_ALPHA}) AS t FROM per_src
+    )
+    SELECT source, n_tokens,
+           ROUND(t / SUM(t) OVER (), 4)                            AS weight,
+           ROUND({_MIX_TOKEN_BUDGET} * (t / SUM(t) OVER ()) / n_tokens, 4)
+                                                                   AS eff_epochs
+    FROM tempered
+    ORDER BY source
+    """,
+)
+def curation_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-tempered domain mixture: sampling weight w_i = c_i^α / Σ c_j^α
+    over per-source token counts (α=0.7, the standard multilingual/
+    multi-source tempering), plus the effective epochs each domain would
+    be cycled under a fixed token budget (epochs > 1 ⇒ the domain
+    repeats; the number data teams watch to bound memorization).
+
+    Scale shape: one partial+final agg to |sources| rows, then a
+    broadcast single-row total joined back — the corpus is scanned once,
+    and everything after the first agg is kilobytes."""
+    d = table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+        .withColumn("t", F.pow("n_tokens", F.lit(_MIX_ALPHA)))
+    )
+    total = per_src.agg(F.sum("t").alias("t_sum"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("t") / F.col("t_sum"), 4).alias("weight"),
+            F.round(
+                F.lit(_MIX_TOKEN_BUDGET) * (F.col("t") / F.col("t_sum")) / F.col("n_tokens"),
+                4,
+            ).alias("eff_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_linear_classifier
+# ---------------------------------------------------------------------------
+
+_CLF_DIM = 1024    # hashed feature space
+_CLF_MOD = 197     # pseudo-weight cycle (coprime to the dim)
+_CLF_BIAS = 0.05
+
+# bucket(tok) = first 24 md5 bits mod DIM — identical arithmetic both
+# engines (md5 hex prefix → int); weight(b) = b % MOD / MOD − 0.5, a
+# deterministic zero-mean stand-in for trained weights: the plumbing
+# (hash → lookup → mean → sigmoid) is the real fasttext scoring path,
+# only the weight VALUES are synthetic (no model artifacts in-container).
+_BUCKET_SPARK = "CAST(CONV(SUBSTRING(MD5(tok), 1, 6), 16, 10) AS BIGINT) % 1024"
+_BUCKET_DUCK = "CAST(('0x' || SUBSTR(MD5(tok), 1, 6)) AS BIGINT) % 1024"
+
+
+@query(
+    "text_quality_linear_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tok,
+               AVG(({_BUCKET_DUCK} % {_CLF_MOD}) * 1.0 / {_CLF_MOD} - 0.5) AS mean_w
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok,
+           ROUND(1.0 / (1.0 + EXP(-({_CLF_BIAS} + mean_w))), 4) AS score,
+           (1.0 / (1.0 + EXP(-({_CLF_BIAS} + mean_w))) >= 0.5)  AS keep
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def text_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-shaped quality screen: hash each token into a 1024-bucket
+    feature space, average the bucket weights, squash through a sigmoid,
+    keep docs scoring ≥ 0.5.
+
+    The whole scoring pass is ONE row-local projection: tokens come from
+    ``split``, the hash→weight→mean fold runs in ``transform`` +
+    ``aggregate`` higher-order functions (JVM codegen, no explode, no
+    shuffle, no Python), so at 100 TB this is a map-only pass pipelined
+    into the scan — the only wide op in the plan is the final orderBy,
+    and a real deployment streaming keep-flags to a sink would have
+    none. The oracle computes the identical mean via UNNEST + GROUP BY
+    (the oracle need not be scale-shaped)."""
+    d = table(spark, sf_dir, "documents")
+    weights = F.expr(
+        f"transform(split(text, ' '), tok -> "
+        f"(({_BUCKET_SPARK}) % {_CLF_MOD}) / CAST({_CLF_MOD} AS DOUBLE) - 0.5)"
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (
+            F.aggregate(weights, F.lit(0.0), lambda acc, w: acc + w)
+            / F.size(F.split("text", " "))
+        ).alias("mean_w"),
+    ).withColumn(
+        "score_raw",
+        1.0 / (1.0 + F.exp(-(F.lit(_CLF_BIAS) + F.col("mean_w")))),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        F.round("score_raw", 4).alias("score"),
+        (F.col("score_raw") >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder_cluster
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension → 16-bit Morton code → 64 coarse buckets
+
+
+def _zval_sql(a: str, b: str) -> str:
+    """16-bit Morton interleave of two 8-bit ints as portable SQL
+    (bitwise >> & and + only — parses identically in Spark and DuckDB)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((({b}) >> {i}) & 1) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+_Z_A = "CAST(user_id % 256 AS BIGINT)"
+_Z_B = "CAST(LEAST(FLOOR(value / 2.0), 255) AS BIGINT)"
+
+
+@query(
+    "layout_zorder_cluster",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT {_Z_A} AS za, {_Z_B} AS zb,
+               ({_zval_sql(_Z_A, _Z_B)}) AS zval
+        FROM events
+    )
+    SELECT zval >> 10 AS zbucket,
+           COUNT(*)   AS n,
+           MIN(za) AS a_min, MAX(za) AS a_max,
+           MIN(zb) AS b_min, MAX(zb) AS b_max
+    FROM keyed
+    GROUP BY zval >> 10
+    ORDER BY zbucket
+    """,
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key over two scan dimensions
+    (user bucket × value bucket) and the per-bucket bounding boxes that
+    result — the layout step behind multi-column file skipping: sorting
+    by a single column gives tight min/max file stats on that column
+    only, while sorting by the interleaved Morton code keeps BOTH
+    dimensions' per-file ranges narrow (each coarse z-bucket covers a
+    small aligned rectangle of the key space), so predicates on either
+    column prune files. At 100 TB the write side is
+    ``repartitionByRange(zval) + sortWithinPartitions(zval)`` at ingest;
+    this query is the layout computation plus the bounding-box audit a
+    table-maintenance job would emit (tests pin the rectangle-tightness
+    property). The Morton code itself is pure row-local bit math —
+    zero-shuffle, scan-pipelined."""
+    e = table(spark, sf_dir, "events")
+    keyed = e.select(
+        F.expr(_Z_A).alias("za"),
+        F.expr(_Z_B).alias("zb"),
+        F.expr(_zval_sql(_Z_A, _Z_B)).alias("zval"),
+    )
+    return (
+        keyed.groupBy(F.expr("zval >> 10").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("za").alias("a_min"),
+            F.max("za").alias("a_max"),
+            F.min("zb").alias("b_min"),
+            F.max("zb").alias("b_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_digest
+# ---------------------------------------------------------------------------
+
+# deterministic batch split: docs with doc_id % 10 >= 8 play the "incoming
+# crawl refresh", the rest the standing corpus
+_INC_BATCH = "doc_id % 10 >= 8"
+
+
+@query(
+    "dedup_incremental_digest",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT MD5(text) AS h FROM documents WHERE NOT ({_INC_BATCH})
+    ), batch AS (
+        SELECT doc_id, MD5(text) AS h FROM documents WHERE {_INC_BATCH}
+    ), fresh AS (
+        SELECT b.doc_id, b.h FROM batch b ANTI JOIN corpus c ON b.h = c.h
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, h,
+           COUNT(*) AS batch_copies
+    FROM fresh GROUP BY h
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch (deterministic 20%
+    slice) is screened against the standing corpus by content digest —
+    drop anything already present — then exact-deduped within itself
+    (keep lowest doc_id per digest, reporting how many batch copies it
+    had). This is the join every periodic crawl refresh runs before
+    appending.
+
+    Scale shape: both sides collapse to 16-byte digests BEFORE the join
+    (DISTINCT on the corpus side), so the anti-join shuffles digest rows,
+    never documents; at 100 TB the corpus digest set is the standing
+    dedup index a deployment would keep materialized, and the whole op is
+    one digest-keyed shuffle independent of document size."""
+    d = table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(~F.expr(_INC_BATCH)).select(F.md5("text").alias("h")).distinct()
+    )
+    batch = d.filter(F.expr(_INC_BATCH)).select("doc_id", F.md5("text").alias("h"))
+    fresh = batch.join(corpus, "h", "left_anti")
+    return (
+        fresh.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("batch_copies"),
+        )
+        .select("doc_id", "h", "batch_copies")
+        .orderBy("doc_id")
+    )

@@ -60,4 +60,5 @@ def load_all() -> None:
         frequency,
         semdedup,
         layout,
+        mixtures,
     )

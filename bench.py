@@ -99,6 +99,10 @@ HEADLINE = [
     "agg_hll_sketch_union",
     "agg_salted_two_phase",
     "sample_fixed_per_group",
+    "curation_domain_mixture_weights",
+    "text_quality_linear_classifier",
+    "layout_zorder_cluster",
+    "dedup_incremental_digest",
 ]
 
 

@@ -1,9 +1,15 @@
 """Simulate the driver's verify: vanilla SparkSession (no engine confs),
 entry() smoke at sf0.001, then every queries() entry vs its DuckDB oracle
-at sf0.01 with order-insensitive value compare. Mirrors CORRECTNESS_r{N}."""
+at sf0.01 with order-insensitive value compare. Mirrors CORRECTNESS_r{N}.
+
+``--json PATH`` additionally writes the per-query results in the driver's
+CORRECTNESS_r{N}.json schema ({rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err} per query) so a full-registry artifact can
+be committed for rounds where the driver gate samples a subset."""
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -14,7 +20,12 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as se  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+JSON_OUT = None
+if "--json" in sys.argv:
+    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
+    args = [a for a in args if a != JSON_OUT]
+SF_DIR = args[0] if args else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -53,17 +64,27 @@ def main():
 
     qs, oracles = se.queries(), se.oracle_sql()
     n_pass = n_fail = 0
+    report: dict[str, dict] = {}
     for name in sorted(qs):
         t1 = time.time()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
+            rec["err"] = f"spark error: {str(e)[:200]}"
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
             n_fail += 1
             continue
         if name not in oracles:
+            rec["err"] = "no_oracle: rows-only check"
+            rec["rows_match"] = len(srows) >= 0
             print(f"ROWS  {name}: {len(srows)} rows [{time.time()-t1:.1f}s]")
             n_pass += 1
             continue
@@ -71,13 +92,16 @@ def main():
             dres = con.execute(oracles[name])
             dcols = [d[0] for d in dres.description]
             drows = dres.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as e:
+            rec["err"] = f"duckdb error: {str(e)[:200]}"
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
             n_fail += 1
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = ok_cols and ok_count and multiset(srows, scols) == multiset(drows, dcols)
+        rec.update(rows_match=ok_count, schema_match=ok_cols, hash_match=ok_vals)
         if ok_vals:
             print(f"MATCH {name}: {len(srows)} rows [{time.time()-t1:.1f}s]")
             n_pass += 1
@@ -89,6 +113,10 @@ def main():
                 print(f"      first diffs: {diffs}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, total {time.time()-t0:.1f}s")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {JSON_OUT}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
