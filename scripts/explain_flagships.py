@@ -59,6 +59,20 @@ SHOWCASE = [
     ("similarity_hyperplane_lsh",
      "Banded candidate join is a BroadcastHashJoin on (band_idx, code); "
      "the exact cosine rerank only touches candidate pairs."),
+    ("text_quality_linear_classifier",
+     "Entire hash→weight→mean→sigmoid fold is ONE JVM Project over a "
+     "2-column pruned scan (transform/aggregate higher-order functions, "
+     "no explode, no Python); the only Exchange is the presentation "
+     "orderBy."),
+    ("layout_zorder_cluster",
+     "Morton interleave is row-local bit math inside the scan Project; "
+     "one partial+final HashAggregate pair over 64 coarse buckets."),
+    ("dedup_incremental_digest",
+     "Both sides collapse to md5 digests BEFORE the anti-join; the "
+     "shuffle carries 16-byte digests, never documents."),
+    ("curation_domain_mixture_weights",
+     "Partial+final agg to |sources| rows, then broadcast 1-row total "
+     "joined back — corpus scanned exactly once."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
 ]
