@@ -1,0 +1,270 @@
+"""Lake table-maintenance operators: keyed MERGE/upsert apply and a
+declarative data-quality expectations audit.
+
+- ``maintenance_merge_upsert``: the CDC-apply step every keyed lake
+  table runs — a snapshot table partitioned by key bucket, an incoming
+  change batch, latest-record-wins merge, and a rewrite of ONLY the
+  partitions containing changed keys (dynamic partition overwrite).
+  This is the parquet-native shape of Delta/Iceberg ``MERGE INTO``:
+  without a transaction log the rewrite unit is the partition, so the
+  merge cost scales with |touched partitions|, not table size.
+- ``quality_expectations_report``: assert-style dataset expectations
+  (null rates, value ranges, referential integrity) evaluated in one
+  pass per table and emitted as a violations report — the
+  Deequ/dbt-tests analog a production pipeline gates publishes on.
+
+Reference parity: none — the reference is a Kinesis connector with no
+table storage (SURVEY.md §2.D); driver-mandated north-star extensions.
+Both fully DuckDB-oracle-gated; the merge is gated END-TO-END (the
+query re-reads the physically merged table, so a broken write breaks
+the hash).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import table
+from ..registry import query
+
+_N_BUCKETS = 16
+# deterministic CDC split: every 5th event is the "incoming change batch"
+_CDC_PRED = "event_id % 5 = 4"
+
+
+def _wh(spark: SparkSession) -> str:
+    return spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+            (F.col("user_id") % _N_BUCKETS).alias("bucket"),
+        )
+    )
+
+
+def merge_upsert_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build the snapshot (non-CDC events → latest per user, partitioned
+    by key bucket), then MERGE the CDC batch into it: union changed-key
+    state with the snapshot, keep latest per key, and dynamic-partition-
+    overwrite ONLY the buckets the CDC batch touches. Idempotent per
+    session+SF; returns the merged table path.
+
+    The scale contract: the merge plan joins the (small) set of touched
+    buckets against the snapshot READ, and the write rewrites just those
+    partitions — at 100 TB with e.g. 4096 buckets a trickle of changes
+    rewrites a handful of partitions, never the table. Untouched buckets
+    are bit-identical files the overwrite never lists."""
+    wh = _wh(spark)
+    out = os.path.join(wh, f"aks_user_state_merged_{_tag(sf_dir)}")
+    marker = os.path.join(out, "_MERGED")
+    if os.path.exists(marker):
+        return out
+    e = table(spark, sf_dir, "events")
+    snap = _latest_per_user(e.filter(~F.expr(_CDC_PRED)))
+    snap.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    cdc = e.filter(F.expr(_CDC_PRED))
+    touched = (
+        cdc.select((F.col("user_id") % _N_BUCKETS).alias("bucket")).distinct()
+    )
+    # merge = latest-wins over (snapshot rows in touched buckets) ∪ (cdc),
+    # rewritten per touched bucket via dynamic partition overwrite
+    snap_read = spark.read.option("basePath", out).parquet(out)
+    snap_touched = snap_read.join(F.broadcast(touched), "bucket").select(
+        "user_id",
+        "last_event_type",
+        "last_value",
+        "last_event_id",
+        "bucket",
+    )
+    cdc_state = _latest_per_user(cdc)
+    merged = (
+        snap_touched.withColumn("_src", F.lit(0))
+        .unionByName(cdc_state.withColumn("_src", F.lit(1)))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_event_id").desc()
+    )
+    upserted = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "last_event_type", "last_value", "last_event_id", "bucket")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        upserted.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+@query(
+    "maintenance_merge_upsert",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_type            AS last_event_type,
+           value                 AS last_value,
+           event_id              AS last_event_id,
+           user_id % {_N_BUCKETS} AS bucket
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-key table after a partitioned MERGE apply (see
+    merge_upsert_path): the query re-reads the PHYSICALLY merged parquet
+    table, so the gate covers the whole write path — snapshot build, CDC
+    latest-wins resolution, and the dynamic-partition overwrite. The
+    oracle computes the same final state directly from the raw event
+    log (latest row per user over ALL events), which the merge must
+    reproduce exactly — lost updates, duplicated keys, or a clobbered
+    untouched partition all break the hash."""
+    path = merge_upsert_path(spark, sf_dir)
+    merged = spark.read.option("basePath", path).parquet(path)
+    return merged.select(
+        "user_id",
+        "last_event_type",
+        "last_value",
+        "last_event_id",
+        F.col("bucket").cast("long").alias("bucket"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# quality_expectations_report
+# ---------------------------------------------------------------------------
+
+# (table, expectation name, violation predicate SQL — identical text both
+# engines; a row violates when the predicate is TRUE)
+_EXPECTATIONS = [
+    ("orders", "o_totalprice_positive", "o_totalprice <= 0"),
+    ("orders", "o_orderdate_not_null", "o_orderdate IS NULL"),
+    ("lineitem", "l_quantity_in_1_50", "l_quantity < 1 OR l_quantity > 50"),
+    ("lineitem", "l_discount_in_0_1", "l_discount < 0 OR l_discount > 1"),
+    ("lineitem", "l_extendedprice_positive", "l_extendedprice <= 0"),
+    ("customer", "c_acctbal_above_floor", "c_acctbal < -1000"),
+    ("events", "value_non_negative", "value < 0"),
+    ("documents", "n_chars_matches_text", "n_chars <> LENGTH(text)"),
+]
+
+
+@query(
+    "quality_expectations_report",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS table_name, '{name}' AS expectation,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           ROUND(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS violation_rate,
+           (SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) = 0) AS passed
+    FROM {tbl}"""
+        for tbl, name, pred in _EXPECTATIONS
+    )
+    + """
+    UNION ALL
+    SELECT 'orders' AS table_name, 'o_custkey_ref_customer' AS expectation,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+           ROUND((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) * 1.0
+                 / (SELECT COUNT(*) FROM orders), 6) AS violation_rate,
+           ((SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) = 0) AS passed
+    ORDER BY table_name, expectation
+    """,
+)
+def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: each expectation compiles to ONE
+    conditional aggregate over its table (violations counted inside the
+    same scan that counts rows — per table, all its expectations share
+    one pass in a real deployment; here each is its own agg for clarity
+    of the report contract), plus a referential-integrity check as a
+    digest-light anti-join count. Output is the per-expectation
+    violations report a pipeline would gate publishes on. At 100 TB
+    every check is an embarrassingly parallel scan-agg; the referential
+    check broadcasts the (small) key side or shuffles digests only."""
+    parts = []
+    for tbl, name, pred in _EXPECTATIONS:
+        t = table(spark, sf_dir, tbl)
+        viol = F.sum(F.when(F.expr(pred), 1).otherwise(0))
+        parts.append(
+            t.agg(
+                F.count("*").alias("n_rows"),
+                viol.cast("long").alias("n_violations"),
+                F.round(viol * 1.0 / F.count("*"), 6).alias("violation_rate"),
+                (viol == 0).alias("passed"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(name).alias("expectation"),
+                "n_rows",
+                "n_violations",
+                "violation_rate",
+                "passed",
+            )
+        )
+    # referential integrity: orders.o_custkey ⊆ customer.c_custkey
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    n_orders = o.agg(F.count("*").alias("n_rows"))
+    n_orphans = (
+        o.select(F.col("o_custkey").alias("c_custkey"))
+        .join(c, "c_custkey", "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    ref = (
+        n_orders.crossJoin(n_orphans)
+        .select(
+            F.lit("orders").alias("table_name"),
+            F.lit("o_custkey_ref_customer").alias("expectation"),
+            "n_rows",
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.round(F.col("n_violations") * 1.0 / F.col("n_rows"), 6).alias(
+                "violation_rate"
+            ),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(ref).orderBy("table_name", "expectation")

@@ -61,4 +61,5 @@ def load_all() -> None:
         semdedup,
         layout,
         mixtures,
+        maintenance,
     )

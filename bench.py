@@ -103,6 +103,8 @@ HEADLINE = [
     "text_quality_linear_classifier",
     "layout_zorder_cluster",
     "dedup_incremental_digest",
+    "maintenance_merge_upsert",
+    "quality_expectations_report",
 ]
 
 
