@@ -492,6 +492,61 @@ def stream_incremental_dedup_store(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_merge_upsert_table",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_type        AS last_event_type,
+           value             AS last_value,
+           event_id          AS last_event_id,
+           user_id % 16      AS bucket
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_merge_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of maintenance_merge_upsert: the event stream drives
+    a foreachBatch latest-wins MERGE into a bucket-partitioned user-state
+    table (streaming/merge_sink.py) — per batch, the batch's latest row
+    per key is resolved against ONLY the touched buckets and those
+    buckets are dynamic-partition-overwritten. Latest-wins by
+    (ts, event_id) is associative/commutative/idempotent, so the drained
+    table equals the batch answer regardless of micro-batch chopping —
+    which is exactly what the oracle (latest row per user over the raw
+    log) hash-checks."""
+    from ..streaming.merge_sink import start_user_state_table
+
+    import uuid as _uuid
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    run = _uuid.uuid4().hex[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ustate_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ustate_ckpt_{run}")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    q = start_user_state_table(events, path, ckpt)
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .select(
+            "user_id",
+            "last_event_type",
+            "last_value",
+            "last_event_id",
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "source_reshard_replay_rollup",
     oracle="""
     SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value

@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_incremental_digest",
     "maintenance_merge_upsert",
     "quality_expectations_report",
+    "stream_merge_upsert_table",
 ]
 
 
