@@ -62,4 +62,5 @@ def load_all() -> None:
         layout,
         mixtures,
         maintenance,
+        linkage,
     )
