@@ -1,0 +1,276 @@
+"""Data-selection operators for pre-training corpora: hashed-n-gram
+importance weighting (DSIR-style) and bloom-prefiltered decontamination.
+
+- ``curation_importance_weights``: importance weights for domain-targeted
+  data selection following the hashed-n-gram construction of DSIR (Xie et
+  al., "Data Selection for Language Models via Importance Resampling",
+  NeurIPS 2023 — public paper): featurize each document as hashed word
+  bigrams, fit smoothed bucket distributions for the target domain (here
+  ``lang='en'``) and the raw corpus, and score every document by its mean
+  log importance ratio ``ln(p_target/q_source)``. High scorers are the
+  documents importance *resampling* would keep.
+- ``curation_decontaminate_bloom``: the same benchmark-leak screen as
+  ``curation_decontaminate_train`` but with the scale path a 100 TB
+  corpus needs: the test-set shingle membership is compressed into a
+  broadcast Bloom filter that prunes the train-side shingle stream
+  map-side (C-speed md5, no shuffle, a few hundred KB of bits), and only
+  the surviving ~few % of candidates reach the exact confirm join.
+  False positives are eliminated by the confirm join, so the result is
+  EXACTLY the exact-join answer — which is what the oracle computes.
+
+Reference parity: none — the reference is a Kinesis connector with no
+text surface (SURVEY.md §2.D); driver-mandated north-star extensions.
+Both DuckDB-oracle-gated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
+from ..io import fanout, table
+from ..registry import query
+
+_NORM = NORM_TEXT_DUCK.format(col="text")
+
+# ---------------------------------------------------------------------------
+# curation_importance_weights — DSIR-style hashed-bigram importance ratio
+# ---------------------------------------------------------------------------
+
+# 4096 hash buckets: the bucket label is the first 3 hex chars of
+# md5(bigram) — a string key both engines derive identically, so no
+# integer-hash parity games. Add-one smoothing over the bucket space.
+_IW_BUCKETS = 4096
+_TARGET_LANG = "en"
+
+
+@query(
+    "curation_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, STRING_SPLIT({_NORM}, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, lang,
+               SUBSTR(MD5(UNNEST(CASE WHEN LEN(w) >= 2
+                    THEN LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE [] END)), 1, 3) AS bucket
+        FROM toks
+    ), tgt AS (
+        SELECT bucket, COUNT(*) AS cnt FROM grams
+        WHERE lang = '{_TARGET_LANG}' GROUP BY bucket
+    ), src AS (
+        SELECT bucket, COUNT(*) AS cnt FROM grams GROUP BY bucket
+    ), model AS (
+        SELECT s.bucket,
+               LN(((COALESCE(t.cnt, 0) + 1) * 1.0 /
+                   ((SELECT SUM(cnt) FROM tgt) + {_IW_BUCKETS}))
+                  / ((s.cnt + 1) * 1.0 /
+                     ((SELECT SUM(cnt) FROM src) + {_IW_BUCKETS}))) AS logratio
+        FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket
+    )
+    SELECT g.doc_id,
+           ANY_VALUE(g.lang) AS lang,
+           COUNT(*) AS n_grams,
+           ROUND(AVG(m.logratio), 4) AS avg_logratio
+    FROM grams g JOIN model m ON m.bucket = g.bucket
+    GROUP BY g.doc_id
+    """,
+)
+def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: hashed word-bigram features, smoothed
+    target (``lang='en'``) vs corpus bucket distributions, and a per-doc
+    mean log importance ratio — the score importance resampling ranks by.
+
+    Plan: ONE explode of the bigram stream is persisted and feeds all
+    three consumers (target counts, source counts, scoring). Both count
+    tables collapse to ≤{_IW_BUCKETS} rows, so the scoring model is a
+    broadcast join that pipelines with the gram stream; the only doc-keyed
+    shuffle is the final per-doc average. At 100 TB: counts partial-agg
+    map-side into a bounded table regardless of corpus size — this is the
+    whole point of the hashed feature space."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "lang", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    grams = (
+        toks.select(
+            "doc_id", "lang", F.explode(word_shingles("w", 2)).alias("g")
+        )
+        .select(
+            "doc_id", "lang", F.substring(F.md5("g"), 1, 3).alias("bucket")
+        )
+        .persist()
+    )
+    tgt = (
+        grams.filter(F.col("lang") == _TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    src = grams.groupBy("bucket").agg(F.count("*").alias("s_cnt"))
+    n_tgt = tgt.agg(F.sum("t_cnt").alias("n_t"))
+    n_src = src.agg(F.sum("s_cnt").alias("n_s"))
+    model = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(n_tgt))
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "bucket",
+            F.log(
+                ((F.coalesce("t_cnt", F.lit(0)) + 1) * 1.0 / (F.col("n_t") + _IW_BUCKETS))
+                / ((F.col("s_cnt") + 1) * 1.0 / (F.col("n_s") + _IW_BUCKETS))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_grams"),
+            F.round(F.avg("logratio"), 4).alias("avg_logratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_decontaminate_bloom — bloom-prefiltered benchmark-leak screen
+# ---------------------------------------------------------------------------
+
+_BLOOM_N = 4           # shingle width (words)
+_BLOOM_M = 1 << 17     # bits (16 KiB)
+_BLOOM_K = 3           # hash functions
+
+# train/test split: first md5(doc_id) byte, mirrored from curation.py
+_SPLIT_CASE = (
+    "CASE WHEN SUBSTR(MD5(CAST(doc_id AS {st})), 1, 2) < 'cd' THEN 'train' "
+    "WHEN SUBSTR(MD5(CAST(doc_id AS {st})), 1, 2) < 'e6' THEN 'valid' "
+    "ELSE 'test' END"
+)
+
+
+def _bloom_positions(s: str) -> list[int]:
+    """The K bit positions of shingle ``s`` — md5(s + '#' + i) mod M,
+    identical to the Spark-side position expression in the builder."""
+    return [
+        int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:8], 16) % _BLOOM_M
+        for i in range(_BLOOM_K)
+    ]
+
+
+@query(
+    "curation_decontaminate_bloom",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(CASE WHEN LEN(w) >= {_BLOOM_N}
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_BLOOM_N - 2}),
+                                               i -> {" || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(_BLOOM_N))})
+                           ELSE [] END) AS s
+        FROM toks
+    ), split AS (
+        SELECT doc_id, {_SPLIT_CASE.format(st="VARCHAR")} AS split FROM documents
+    ), test_sh AS (
+        SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE split = 'test'
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_leaked,
+           MIN(MD5(sh.s)) AS leak_digest
+    FROM sh
+    JOIN split ON split.doc_id = sh.doc_id AND split.split = 'train'
+    JOIN test_sh ON test_sh.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a Bloom prefilter: flag train-split
+    documents sharing any {_BLOOM_N}-gram with the test split, reporting
+    the distinct leaked-shingle count and a digest of the smallest leak.
+
+    The scale path: the test side's distinct shingles are folded into a
+    {_BLOOM_M}-bit / {_BLOOM_K}-hash Bloom bitmap (bit positions computed
+    IN SPARK, only the set positions — bounded by M — reach the driver),
+    broadcast to every executor, and applied to the train shingle stream
+    as an Arrow-batched membership test BEFORE any shuffle. Only the
+    surviving candidates (true leaks + ~5% false positives at design
+    load) enter the exact broadcast confirm join, which removes the false
+    positives — so the answer equals the exact join's, and the oracle
+    computes exactly that. At 100 TB the train side never shuffles its
+    shingle fan-out; the bitmap is KBs regardless of corpus size."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    sh = (
+        toks.select(
+            "doc_id", F.explode(word_shingles("w", _BLOOM_N)).alias("s")
+        )
+        .distinct()
+        .persist()
+    )
+    split = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
+    )
+    test_sh = (
+        sh.join(split.filter(F.col("split") == "test"), "doc_id")
+        .select("s")
+        .distinct()
+    )
+    # Bloom build: positions computed distributed; only distinct set bits
+    # (≤ M = 16 KiB of ints) are collected.
+    seeds = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    positions = (
+        test_sh.select(
+            F.explode(seeds).alias("i"), F.col("s")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", "s", F.col("i").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _BLOOM_M
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    bits = bytearray(_BLOOM_M // 8)
+    for row in positions.collect():
+        p = row.pos
+        bits[p >> 3] |= 1 << (p & 7)
+    bloom_bc = spark.sparkContext.broadcast(bytes(bits))
+
+    @F.pandas_udf("boolean")
+    def bloom_maybe(s: pd.Series) -> pd.Series:
+        b = bloom_bc.value
+
+        def hit(v: str) -> bool:
+            for p in _bloom_positions(v):
+                if not (b[p >> 3] >> (p & 7)) & 1:
+                    return False
+            return True
+
+        return s.map(hit)
+
+    train_sh = sh.join(split.filter(F.col("split") == "train"), "doc_id")
+    candidates = train_sh.filter(bloom_maybe(F.col("s")))
+    return (
+        candidates.join(F.broadcast(test_sh), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_leaked"),
+            F.min(F.md5("s")).alias("leak_digest"),
+        )
+    )

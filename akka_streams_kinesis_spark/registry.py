@@ -63,4 +63,5 @@ def load_all() -> None:
         mixtures,
         maintenance,
         linkage,
+        importance,
     )
