@@ -531,3 +531,55 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
     )
+
+
+_SKEW_SALTS = 8
+
+
+@query(
+    "join_salted_skew_join",
+    oracle="""
+    SELECT p.p_type,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def join_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted *join* idiom as a gated operator (the companion to
+    agg_salted_two_phase): the dimension side is replicated once per salt
+    and the fact side gets a deterministic salt, so a hot join key's rows
+    spread across 8 reducers instead of one. Because every fact row
+    matches exactly one replica of its key, the salted join is row-for-row
+    EQUAL to the plain join — the oracle is the plain join + rollup,
+    which is the property that makes salting safe to deploy. This is what
+    AQE's skew-join split does adaptively; the explicit form is the fix
+    when skew is known ahead of time (a boilerplate part, a bot user) or
+    AQE's per-partition thresholds miss it. Revenue sums ride a DECIMAL
+    so the salted reduction order cannot perturb the hash.
+
+    Scale: the replicated dim is |part| × 8 rows of two columns — still a
+    shuffle (or broadcast) of the SMALL side; the fact side's shuffle is
+    the same size as unsalted, just spread over 8× the key space."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (F.crc32(F.col("l_orderkey").cast("string")) % _SKEW_SALTS)
+        .cast("int")
+        .alias("salt"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    replicas = p.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(i) for i in range(_SKEW_SALTS)])),
+    )
+    joined = l.join(
+        replicas,
+        (l.l_partkey == replicas.p_partkey) & (l.salt == replicas.salt),
+    )
+    return joined.groupBy("p_type").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

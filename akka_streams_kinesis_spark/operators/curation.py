@@ -652,3 +652,98 @@ def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tok") / float(_TOKEN_BUDGET), 4).alias("budget_fill"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_dedup_keep_best — near-dup clusters keep their best document
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+    {_minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)}{_band_cap_ctes()}
+    , pairs AS (
+        SELECT doc_a, doc_b FROM cand_pairs
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src AS doc_id, src AS rep FROM edges
+        UNION
+        SELECT e.dst AS doc_id, r.rep
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    ), members AS (
+        SELECT doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY doc_id
+    ), quality AS (
+        SELECT doc_id, COUNT(DISTINCT tok) AS quality
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT({_NORM}, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id
+    ), ranked AS (
+        SELECT m.cluster_rep, m.doc_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.cluster_rep
+                   ORDER BY q.quality DESC, m.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY m.cluster_rep) AS cluster_size
+        FROM members m JOIN quality q ON q.doc_id = m.doc_id
+    )
+    SELECT cluster_rep, cluster_size,
+           doc_id  AS kept_doc_id,
+           quality AS kept_quality,
+           cluster_size - 1 AS n_removed
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("curation_dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collapse with a QUALITY-AWARE survivor choice: MinHash-LSH
+    candidate pairs → connected components → keep the highest-quality
+    member of each cluster (quality = distinct-token count; ties to the
+    smaller doc_id). Production dedup pipelines keep the best copy, not
+    an arbitrary one — the boilerplate-laden mirror of a page should
+    lose to the clean original.
+
+    Plan: reuses the banded-LSH pair pipeline and the O(log d)
+    pointer-jumping components (both already scale-guarded: band-bucket
+    caps, one action per round); quality is one explode→distinct-count
+    agg joined on doc_id — the same shuffle key the membership table
+    already has; the survivor pick is a per-cluster window whose
+    partitions are near-dup clusters (bounded by the band cap upstream).
+    """
+    pairs = dedup_minhash(spark, sf_dir).persist()
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(edges)
+    pairs.unpersist()
+
+    d = table(spark, sf_dir, "documents")
+    quality = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("quality"))
+    )
+    members = labels.select("doc_id", F.col("rep").alias("cluster_rep")).join(
+        quality, "doc_id"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    sized = members.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("cluster_rep"))
+    ).withColumn("rn", F.row_number().over(w))
+    return sized.filter(F.col("rn") == 1).select(
+        "cluster_rep",
+        "cluster_size",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality").alias("kept_quality"),
+        (F.col("cluster_size") - 1).alias("n_removed"),
+    )

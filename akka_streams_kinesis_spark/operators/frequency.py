@@ -188,3 +188,108 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_count_min_sketch — mergeable CMS with an exact-recount comparison
+# ---------------------------------------------------------------------------
+
+# Depth (independent hash rows) × width (buckets per row). The bucket of a
+# token under seed i is the first 2 hex chars of md5('<i>|' || tok) — a
+# string key both engines derive identically, so the whole sketch (and
+# therefore every estimate) is bit-reproducible across Spark and the
+# oracle: the gate checks the sketch MATH, not just "close enough".
+_CMS_DEPTH = 3
+_CMS_WIDTH = 256  # 2 hex chars
+_CMS_TOPK = 20
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {{norm}} AS t FROM documents
+    ), toks AS (
+        SELECT UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), seeded AS (
+        SELECT tok, UNNEST(RANGE(0, {_CMS_DEPTH})) AS seed FROM toks
+    ), sketch AS (
+        SELECT seed, SUBSTR(MD5(CAST(seed AS VARCHAR) || '|' || tok), 1, 2) AS bucket,
+               COUNT(*) AS cnt
+        FROM seeded GROUP BY seed, bucket
+    ), exact AS (
+        SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok
+        ORDER BY exact_count DESC, tok LIMIT {_CMS_TOPK}
+    ), est AS (
+        SELECT e.tok, e.exact_count, MIN(s.cnt) AS cms_estimate
+        FROM exact e
+        JOIN sketch s
+          ON s.bucket = SUBSTR(MD5(CAST(s.seed AS VARCHAR) || '|' || e.tok), 1, 2)
+        GROUP BY e.tok, e.exact_count
+    )
+    SELECT tok, exact_count, cms_estimate,
+           cms_estimate - exact_count AS overestimate,
+           (cms_estimate >= exact_count) AS never_underestimates
+    FROM est
+    """.format(norm=_NORM),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, checked against an
+    exact recount of the top-20 tokens. The sketch is depth 3 × width
+    256: one hash-aggregate pass collapses the unbounded token stream
+    into a 768-cell table (mergeable across partitions/days — cells
+    just add), and a point estimate is the min over depth rows. CMS never
+    underestimates; the ``never_underestimates`` flag crosses the oracle
+    hash as a checked invariant.
+
+    Scale shape: the sketch build is explode → map-side partial agg into
+    ≤768 groups — O(1) state regardless of corpus size, the reason
+    to sketch at all. The estimate lookup joins the (tiny, broadcast)
+    sketch to the (bounded) candidate set. At 100 TB nothing here
+    shuffles more than depth·width rows."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).persist()
+    seeds = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+    sketch = (
+        toks.select("tok", F.explode(seeds).alias("seed"))
+        .select(
+            "seed",
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("seed").cast("string"), "tok")), 1, 2
+            ).alias("bucket"),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "tok")
+        .limit(_CMS_TOPK)
+    )
+    est = (
+        exact.join(
+            F.broadcast(sketch),
+            F.col("bucket")
+            == F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col("seed").cast("string"), "tok")
+                ),
+                1,
+                2,
+            ),
+        )
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )

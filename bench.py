@@ -106,6 +106,14 @@ HEADLINE = [
     "maintenance_merge_upsert",
     "quality_expectations_report",
     "stream_merge_upsert_table",
+    "join_fuzzy_entity_resolution",
+    "maintenance_snapshot_diff",
+    "behavior_attribution_last_touch",
+    "curation_importance_weights",
+    "curation_decontaminate_bloom",
+    "agg_count_min_sketch",
+    "join_salted_skew_join",
+    "curation_dedup_keep_best",
 ]
 
 
