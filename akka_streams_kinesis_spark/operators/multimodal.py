@@ -305,3 +305,92 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("rep_doc"))
         .filter(F.col("n_members") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_clip_pair_filter — image-text pair curation (LAION-style)
+# ---------------------------------------------------------------------------
+
+# Keep a pair when the first 4 hex chars of sha256(payload || caption)
+# sort below this threshold (hex strings compare lexicographically):
+# 'c000'/'10000' ≈ 75% keep rate. The real system would threshold a CLIP
+# similarity; the deterministic digest stand-in exercises the identical
+# plumbing (paired binary+text batch through Arrow, per-pair score,
+# threshold filter) and stays oracle-checkable.
+_CLIP_KEEP_BELOW = "c000"
+_CLIP_CAPTION_TOKENS = 8
+
+_CLIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("caption", StringType()),
+        StructField("score_hex", StringType()),
+    ]
+)
+
+
+def clip_score_stub(payload: bytes, caption: str) -> str:
+    """Deterministic stand-in for a CLIP image-text similarity: the first
+    4 hex chars of sha256(image_bytes || caption). A real scorer slots in
+    here (same (bytes, str) -> comparable signature) when a vision model
+    is available."""
+    return hashlib.sha256(payload + caption.encode()).hexdigest()[:4]
+
+
+@query(
+    "multimodal_clip_pair_filter",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_id, text,
+               ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:{_CLIP_CAPTION_TOKENS}], ' ')
+                   AS caption
+        FROM documents
+    )
+    SELECT doc_id, caption,
+           SUBSTR(SHA256(text || caption), 1, 4) AS score_hex,
+           (SUBSTR(SHA256(text || caption), 1, 4) < '{_CLIP_KEEP_BELOW}')
+               AS kept
+    FROM pairs
+    """,
+)
+def multimodal_clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair curation, the LAION-style filter: pair every
+    "image" payload with its caption (first {_CLIP_CAPTION_TOKENS} tokens
+    here), score each pair with a CLIP-shaped scorer, and keep pairs
+    above threshold. The scorer is the documented deterministic stub
+    (``clip_score_stub`` — no vision model in this container); everything
+    around it is the production shape: binary+text columns ride ONE Arrow
+    ``mapInPandas`` pass (model inference wants whole batches, amortized
+    weights load), the threshold is a plain column predicate, and nothing
+    shuffles — pair filtering is embarrassingly parallel at any scale."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    pairs = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, _CLIP_CAPTION_TOKENS), " "
+        ).alias("caption"),
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "caption": pdf["caption"],
+                    "score_hex": [
+                        clip_score_stub(bytes(p), c)
+                        for p, c in zip(pdf["payload"], pdf["caption"])
+                    ],
+                }
+            )
+
+    scored = pairs.select("doc_id", "payload", "caption").mapInPandas(
+        _score, schema=_CLIP_SCHEMA
+    )
+    return scored.select(
+        "doc_id",
+        "caption",
+        "score_hex",
+        (F.col("score_hex") < _CLIP_KEEP_BELOW).alias("kept"),
+    )

@@ -6,7 +6,7 @@ md5) — one explode + one aggregate each, no Python in the hot path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import NORM_TEXT_DUCK, normalize_text
 from ..io import fanout, table
@@ -409,4 +409,91 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         F.size(window).alias("chunk_tokens"),
         F.md5(F.array_join(window, " ")).alias("chunk_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_duplicate_spans — exact-substring duplication, span-merged per doc
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 30  # character gram width: the "verbatim copy" detection unit
+
+
+@query(
+    "text_duplicate_spans",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               UNNEST(RANGE(1, LEN(text) - {_SPAN_K} + 2)) AS p
+        FROM documents WHERE LEN(text) >= {_SPAN_K}
+    ), grams AS (
+        SELECT doc_id, p, MD5(SUBSTR(text, CAST(p AS INTEGER), {_SPAN_K})) AS dig
+        FROM pos
+    ), dupdig AS (
+        SELECT dig FROM grams GROUP BY dig
+        HAVING COUNT(DISTINCT doc_id) > 1
+    ), marked AS (
+        SELECT g.doc_id, g.p,
+               g.p - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.p)
+                   AS island
+        FROM grams g JOIN dupdig USING (dig)
+    ), spans AS (
+        SELECT doc_id,
+               MIN(p) AS span_start,
+               MAX(p) + {_SPAN_K} - 1 AS span_end
+        FROM marked GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_chars,
+           CAST(MAX(span_end - span_start + 1) AS BIGINT) AS max_span_len
+    FROM spans GROUP BY doc_id
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit in the style of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ACL 2022
+    — public paper): every {_SPAN_K}-char gram that appears verbatim in
+    more than one document marks its positions, and runs of consecutive
+    marked positions merge into SPANS (start/extent of copied text), the
+    unit substring-level dedup would actually trim. Per-doc rollup:
+    span count, duplicated chars, longest span.
+
+    Plan shape: position fan-out → md5-digest grams (the shuffle carries
+    16-byte digests + ints, never text) → cross-doc document-frequency
+    agg → one equi-join marking duplicated positions → island merge
+    (pos − row_number over each doc — per-doc windows, bounded by doc
+    length) → per-doc agg. Everything is linear in total characters; no
+    pairwise doc joins anywhere, unlike a suffix-array build this
+    approximates."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    pos = d.filter(F.length("text") >= _SPAN_K).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _SPAN_K + 1)
+        ).alias("p"),
+    )
+    grams = pos.select(
+        "doc_id",
+        "p",
+        F.md5(F.expr(f"substring(text, p, {_SPAN_K})")).alias("dig"),
+    )
+    dupdig = (
+        grams.groupBy("dig")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("dig")
+    )
+    marked = grams.join(dupdig, "dig").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = marked.withColumn("island", F.col("p") - F.row_number().over(w))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + _SPAN_K - 1).alias("span_end"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias("max_span_len"),
     )

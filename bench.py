@@ -114,6 +114,8 @@ HEADLINE = [
     "agg_count_min_sketch",
     "join_salted_skew_join",
     "curation_dedup_keep_best",
+    "text_duplicate_spans",
+    "multimodal_clip_pair_filter",
 ]
 
 

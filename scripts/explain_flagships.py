@@ -73,6 +73,29 @@ SHOWCASE = [
     ("curation_domain_mixture_weights",
      "Partial+final agg to |sources| rows, then broadcast 1-row total "
      "joined back — corpus scanned exactly once."),
+    ("join_fuzzy_entity_resolution",
+     "Canonical catalog is a BroadcastHashJoin build side keyed on the "
+     "blocking equality (first char); length band + levenshtein verify "
+     "ride the join condition inside codegen — the dirty side never "
+     "shuffles."),
+    ("curation_importance_weights",
+     "ONE persisted bigram explode feeds target counts, source counts, "
+     "and scoring; both count tables collapse to ≤4096 buckets and the "
+     "scoring model is a BroadcastHashJoin."),
+    ("curation_decontaminate_bloom",
+     "ArrowEvalPython (the Bloom membership prefilter) sits directly on "
+     "the train shingle stream BEFORE any join; the confirm join against "
+     "the exact test-shingle set is a BroadcastHashJoin."),
+    ("agg_count_min_sketch",
+     "Sketch build is partial+final HashAggregate into ≤768 (seed,bucket) "
+     "cells; the estimate lookup broadcasts the sketch."),
+    ("join_salted_skew_join",
+     "Join keys are (partkey, salt) — the hot key's rows spread over 8 "
+     "reducers; the replicated dim is still the broadcast/small side."),
+    ("maintenance_snapshot_diff",
+     "Both snapshot windows and the full-outer join share the user_id "
+     "hash partitioning — AQE plans ONE exchange per side, reused by "
+     "window and join; the join compares md5 digests, not payloads."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
 ]
