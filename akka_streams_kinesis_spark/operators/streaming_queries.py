@@ -651,3 +651,43 @@ def egress_writer_throttle_requeue(spark: SparkSession, sf_dir: str) -> DataFram
         encoded, ThrottleOnceClient(), "bench-stream", sleep_fn=no_sleep
     )
     return flowed.groupBy("error_code").agg(F.count("*").alias("n"))
+
+
+@query(
+    "stream_distinct_users_hll",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE                    AS within_tolerance
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality state machine (applyInPandasWithState): one
+    4 KiB HLL per event_type folded across micro-batches. Estimates only
+    ratchet upward (register merge is max), so the LAST emission per key
+    is the full-stream estimate; the gate joins it to the exact batch
+    COUNT(DISTINCT) and hashes the 5%-tolerance flag — same contract as
+    agg_hll_sketch_union, now with the state living in a checkpointed
+    stream instead of an aggregate."""
+    from ..streaming.stateful import streaming_distinct_hll
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    ests = _run_available_now(
+        streaming_distinct_hll(events), spark, mode="update"
+    )
+    final = ests.groupBy("event_type").agg(F.max("est").alias("est"))
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    tol = (
+        F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+    ) <= 0.05
+    return exact.join(final, "event_type").select(
+        "event_type", "exact_users", tol.alias("within_tolerance")
+    )

@@ -55,3 +55,82 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL cardinality state machine
+# ---------------------------------------------------------------------------
+
+# Plain-Python HyperLogLog with md5-derived 64-bit hashes: deterministic
+# across engines/runs (no JVM hash seeding), 2^p one-byte registers per
+# key, register merge = max (associative, commutative, order-insensitive
+# — the property that makes the stream fold independent of arrival
+# order). p=12 → 4096 registers, ~1.6% standard error, well inside the
+# 5% tolerance gate.
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+_HLL_OUTPUT_SCHEMA = "event_type string, est double"
+_HLL_STATE_SCHEMA = "regs binary"
+
+
+def _hll_fold(regs: bytearray, values) -> None:
+    import hashlib as _hl
+
+    shift = 64 - _HLL_P
+    for v in values:
+        h = int(_hl.md5(str(v).encode()).hexdigest()[:16], 16)
+        idx = h >> shift
+        w = h & ((1 << shift) - 1)
+        # rho = position of the leftmost 1-bit in the remaining bits
+        rho = shift - w.bit_length() + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+
+
+def hll_estimate(regs: bytes) -> float:
+    """Standard HLL estimator with linear-counting small-range correction."""
+    m = _HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -r for r in regs)
+    est = alpha * m * m / s
+    zeros = regs.count(0) if isinstance(regs, (bytes, bytearray)) else sum(
+        1 for r in regs if r == 0
+    )
+    if est <= 2.5 * m and zeros:
+        import math as _math
+
+        est = m * _math.log(m / zeros)
+    return est
+
+
+def _update_hll(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    regs = bytearray(state.get[0]) if state.exists else bytearray(_HLL_M)
+    for pdf in pdfs:
+        _hll_fold(regs, pdf["user_id"].tolist())
+    state.update((bytes(regs),))
+    yield pd.DataFrame({"event_type": [key[0]], "est": [hll_estimate(regs)]})
+
+
+def streaming_distinct_hll(events: DataFrame) -> DataFrame:
+    """Per-event-type streaming distinct-user cardinality: each key owns a
+    4 KiB HLL register array in checkpointed state; every micro-batch
+    folds its users in (register max) and emits the refreshed estimate.
+
+    The state is O(1) per live key — the streaming analog of
+    agg_hll_sketch_union's "sketch locally, merge kilobytes" batch shape,
+    and the reason a distinct-count dashboard over an unbounded stream
+    doesn't need unbounded dedup state. Because register merge is
+    commutative and idempotent, the fold is insensitive to arrival order
+    and at-least-once redelivery — estimates only ratchet upward."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_hll,
+        outputStructType=_HLL_OUTPUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

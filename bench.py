@@ -116,6 +116,7 @@ HEADLINE = [
     "curation_dedup_keep_best",
     "text_duplicate_spans",
     "multimodal_clip_pair_filter",
+    "stream_distinct_users_hll",
 ]
 
 

@@ -54,3 +54,34 @@ def test_raw_sql_surface(spark, sf_dir):
         "ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name"
     ).collect()
     assert sum(r["n"] for r in got) == 25 and len(got) == 5
+
+
+def test_python_hll_accuracy_pinned():
+    """The stream-state HLL must estimate within its design error at
+    several cardinalities (incl. the linear-counting small range)."""
+    from akka_streams_kinesis_spark.streaming.stateful import (
+        _HLL_M,
+        _hll_fold,
+        hll_estimate,
+    )
+
+    for n in (50, 500, 5_000, 50_000):
+        regs = bytearray(_HLL_M)
+        _hll_fold(regs, range(n))
+        est = hll_estimate(bytes(regs))
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_python_hll_merge_is_order_insensitive():
+    from akka_streams_kinesis_spark.streaming.stateful import (
+        _HLL_M,
+        _hll_fold,
+        hll_estimate,
+    )
+
+    a = bytearray(_HLL_M)
+    _hll_fold(a, list(range(1000)))
+    b = bytearray(_HLL_M)
+    _hll_fold(b, list(reversed(range(1000))))
+    _hll_fold(b, range(500))  # redelivery: idempotent
+    assert hll_estimate(bytes(a)) == hll_estimate(bytes(b))
