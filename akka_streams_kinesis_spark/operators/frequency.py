@@ -269,18 +269,21 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), "tok")
         .limit(_CMS_TOPK)
     )
+    # probe side: candidate × seed with ITS OWN bucket precomputed, so the
+    # lookup is a clean (seed, bucket) equi-join against the broadcast
+    # sketch (an expression mixing both sides would force a nested loop)
+    probes = exact.select(
+        "tok", "exact_count", F.explode(seeds).alias("seed")
+    ).select(
+        "tok",
+        "exact_count",
+        "seed",
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), "tok")), 1, 2
+        ).alias("bucket"),
+    )
     est = (
-        exact.join(
-            F.broadcast(sketch),
-            F.col("bucket")
-            == F.substring(
-                F.md5(
-                    F.concat_ws("|", F.col("seed").cast("string"), "tok")
-                ),
-                1,
-                2,
-            ),
-        )
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
         .groupBy("tok", "exact_count")
         .agg(F.min("cnt").alias("cms_estimate"))
     )

@@ -274,3 +274,87 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5("s")).alias("leak_digest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_decontaminate_fuzzy — near-duplicate benchmark leakage (MinHash)
+# ---------------------------------------------------------------------------
+
+# Exact n-gram screens (curation_decontaminate_train / _bloom) miss
+# lightly-paraphrased benchmark copies; the LSH band pipeline already
+# built for dedup finds them. This reuses dedup.py's capped band
+# candidate pairs verbatim and keeps only pairs that CROSS the
+# train/test split — the contamination feed a training run must drop.
+
+from .dedup import _band_cap_ctes as _dedup_band_cap_ctes
+from .dedup import _minhash_ctes as _dedup_minhash_ctes
+from .dedup import dedup_minhash as _dedup_minhash_pairs
+
+
+@query(
+    "curation_decontaminate_fuzzy",
+    oracle=f"""
+    {_dedup_minhash_ctes()}{_dedup_band_cap_ctes()}
+    , split AS (
+        SELECT doc_id, {_SPLIT_CASE.format(st="VARCHAR")} AS split FROM documents
+    ), crossed AS (
+        SELECT CASE WHEN sa.split = 'train' THEN p.doc_a ELSE p.doc_b END
+                   AS train_doc_id,
+               CASE WHEN sa.split = 'train' THEN p.doc_b ELSE p.doc_a END
+                   AS test_doc_id
+        FROM cand_pairs p
+        JOIN split sa ON sa.doc_id = p.doc_a
+        JOIN split sb ON sb.doc_id = p.doc_b
+        WHERE (sa.split = 'train' AND sb.split = 'test')
+           OR (sa.split = 'test'  AND sb.split = 'train')
+    )
+    SELECT train_doc_id,
+           COUNT(DISTINCT test_doc_id) AS n_test_neighbors,
+           MIN(test_doc_id)            AS nearest_test_doc
+    FROM crossed GROUP BY train_doc_id
+    """,
+)
+def curation_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: train-split documents that are NEAR
+    DUPLICATES of test-split documents (MinHash-LSH candidate pairs
+    crossing the split), with how many test docs each one collides with.
+    Catches the paraphrased/templated benchmark leak the exact
+    {_BLOOM_N}-gram screens cannot.
+
+    Plan: reuses the persisted, band-capped LSH pair pipeline from
+    dedup_minhash_lsh unchanged (same scale guarantees: output-sensitive
+    candidate generation, star edges over hot buckets), then two
+    broadcast-able joins against the stateless md5-split assignment and
+    one per-train-doc aggregate. The split predicate is row-local, so at
+    100 TB the only added cost over dedup is the pair→split join on
+    doc_id."""
+    pairs = _dedup_minhash_pairs(spark, sf_dir)
+    split = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
+    )
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    crossed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+            | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+        )
+        .select(
+            F.when(F.col("split_a") == "train", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("train_doc_id"),
+            F.when(F.col("split_a") == "train", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("test_doc_id"),
+        )
+    )
+    return crossed.groupBy("train_doc_id").agg(
+        F.countDistinct("test_doc_id").alias("n_test_neighbors"),
+        F.min("test_doc_id").alias("nearest_test_doc"),
+    )

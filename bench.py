@@ -117,6 +117,7 @@ HEADLINE = [
     "text_duplicate_spans",
     "multimodal_clip_pair_filter",
     "stream_distinct_users_hll",
+    "curation_decontaminate_fuzzy",
 ]
 
 

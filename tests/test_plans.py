@@ -127,3 +127,46 @@ def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
 
     df = registry.QUERIES["pack_sequences_bins"](spark, sf_dir)
     assert num_shuffles(df) == 1
+
+
+def test_fuzzy_er_broadcasts_catalog_no_nested_loop(spark, sf_dir):
+    df = registry.QUERIES["join_fuzzy_entity_resolution"](spark, sf_dir)
+    st = join_strategies(df)
+    assert st["broadcast_hash"] >= 1  # catalog is the broadcast side
+    assert st["cartesian"] == 0
+    assert st.get("broadcast_nested_loop", 0) == 0
+
+
+def test_snapshot_diff_one_exchange_per_side(spark, sf_dir):
+    from akka_streams_kinesis_spark.plans import num_shuffles, physical_plan
+
+    df = registry.QUERIES["maintenance_snapshot_diff"](spark, sf_dir)
+    # each side: ONE user_id exchange shared by window + full-outer join
+    assert num_shuffles(df) == 2, physical_plan(df)
+
+
+def test_attribution_is_window_only_no_join(spark, sf_dir):
+    from akka_streams_kinesis_spark.plans import physical_plan
+
+    df = registry.QUERIES["behavior_attribution_last_touch"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan  # window formulation, not purchases×clicks
+    assert "Window" in plan
+
+
+def test_cms_sketch_is_broadcast_lookup(spark, sf_dir):
+    df = registry.QUERIES["agg_count_min_sketch"](spark, sf_dir)
+    st = join_strategies(df)
+    assert st["broadcast_hash"] >= 1
+    assert st["cartesian"] == 0
+
+
+def test_bloom_prefilter_runs_before_confirm_join(spark, sf_dir):
+    from akka_streams_kinesis_spark.plans import physical_plan
+
+    df = registry.QUERIES["curation_decontaminate_bloom"](spark, sf_dir)
+    plan = physical_plan(df)
+    # Arrow-batched membership test present, and the confirm join is a
+    # broadcast hash join (test-shingle set is the small side)
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" in plan
