@@ -691,3 +691,121 @@ def stream_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(final, "event_type").select(
         "event_type", "exact_users", tol.alias("within_tolerance")
     )
+
+
+# ---------------------------------------------------------------------------
+# DataSource-level sink (df.write.format("kinesis_sim_py")) — gated
+# ---------------------------------------------------------------------------
+
+def _pyds_sink_dir(sf_dir: str, flavor: str) -> str:
+    return _stream_cache_dir(sf_dir, f"sink_{flavor}")
+
+
+@query(
+    "egress_pyds_batch_write",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def egress_pyds_batch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink as a DataSource: events encoded (W9) and APPENDED to a
+    fresh simulated stream via ``df.write.format("kinesis_sim_py")`` —
+    executor tasks chunk per shard to the 500-record AWS limit and run
+    the reference retry/throttle policy per chunk (W2/W4/W10/W11, reused
+    verbatim from the writer flow) — then read back through the same
+    DataSource and aggregated. Hash-matching the plain events oracle
+    proves the put path is lossless and duplicate-free: a dropped chunk,
+    a double-put, or a broken shard assignment all break the counts.
+
+    Scale: record bytes never touch the driver in either direction (Arrow
+    batches both ways); the driver handles only the per-shard sequence
+    floors at commit."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    path = _pyds_sink_dir(sf_dir, "batch")
+    marker = os.path.join(path, "_written")
+    if not os.path.exists(marker):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        SimStream.create(path, n_shards=4)
+        (
+            _encode_events(table(spark, sf_dir, "events"))
+            .write.format(pyds.FORMAT_NAME)
+            .option("path", path)
+            .option("arrival_ts", "2024-06-01T00:00:00")
+            .mode("append")
+            .save()
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    back = (
+        spark.read.format(pyds.FORMAT_NAME).option("path", path).load()
+    )
+    events = decode_json_payload(back, _EVENT_SCHEMA)
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "stream_egress_pyds_relay",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_egress_pyds_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire reason to exist, end to end at the
+    DataSource level: consume a Kinesis stream, produce to another
+    Kinesis stream (``readStream.format("kinesis_sim_py")`` →
+    ``writeStream.format("kinesis_sim_py")``), one put job per
+    micro-batch with the per-shard sequence floor advanced at each
+    commit. The relayed stream is read back and aggregated; matching the
+    source-table oracle proves the relay is lossless across micro-batch
+    boundaries (resume cursors, commit ordering, shard re-hash on the
+    destination's different shard count)."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    src = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    dst = _pyds_sink_dir(sf_dir, "relay")
+    marker = os.path.join(dst, "_relayed")
+    if not os.path.exists(marker):
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        SimStream.create(dst, n_shards=3)
+        sdf = (
+            spark.readStream.format(pyds.FORMAT_NAME)
+            .option("path", src.path)
+            .load()
+            .select("partition_key", "data")
+        )
+        ckpt = os.path.join(
+            tempfile.gettempdir(), f"relay_ckpt_{uuid.uuid4().hex[:10]}"
+        )
+        q = (
+            sdf.writeStream.format(pyds.FORMAT_NAME)
+            .option("path", dst)
+            .option("arrival_ts", "2024-06-01T00:00:00")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(marker, "w") as f:
+            f.write("ok")
+    back = spark.read.format(pyds.FORMAT_NAME).option("path", dst).load()
+    events = decode_json_payload(back, _EVENT_SCHEMA)
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -403,6 +403,28 @@ class KinesisSimDataSource(DataSource):
     def streamReader(self, schema: StructType) -> KinesisSimStreamReader:
         return KinesisSimStreamReader(self.options)
 
+    @staticmethod
+    def _check_write(schema: StructType, overwrite: bool) -> None:
+        names = {f.name for f in schema.fields}
+        if not {"partition_key", "data"} <= names:
+            raise ValueError(
+                "kinesis_sim_py sink requires (partition_key string, "
+                f"data binary) columns; got {sorted(names)}"
+            )
+        if overwrite:
+            raise ValueError(
+                "kinesis_sim_py is append-only (PutRecords has no overwrite); "
+                "use mode('append')"
+            )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        self._check_write(schema, overwrite)
+        return KinesisSimBatchWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        self._check_write(schema, overwrite)
+        return KinesisSimStreamWriter(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the format with a SparkSession.
@@ -414,3 +436,254 @@ def register(spark) -> None:
     (same pattern as the parquet-nanos conf in io.table)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KinesisSimDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path: df.write / writeStream .format("kinesis_sim_py")
+# ---------------------------------------------------------------------------
+#
+# The reference's SINK is a Kinesis PutRecords writer (KinesisGraphStage:
+# buffered ≤500-record chunks, withRetries 7×2^n≤64 s, 800 ms throttle
+# backoff with per-record requeue — W1-W11). This is that surface at the
+# DataSource level: `df.write.format("kinesis_sim_py")` appends records
+# to the simulated stream with the SAME chunking/retry/throttle policy
+# (reused verbatim from streaming/writer.py), and
+# `df.writeStream.format(...)` is the streaming sink (one commit per
+# micro-batch).
+#
+# Sequence contract: tasks snapshot the control-plane next_seq and number
+# their records next_seq + (taskPartitionId << 28) + i; commit() advances
+# next_seq past the batch max. Within a job all tasks share one snapshot
+# (unique, ordered-within-task), and later jobs/batches always start
+# above earlier ones (monotone per shard — what the reader's resume
+# cursor requires). Like Kinesis itself, sequence numbers are opaque
+# increasing tokens, not dense.
+#
+# Delivery semantics: PutRecords is not transactional — the sink is
+# at-least-once. abort() best-effort deletes files acked by completed
+# tasks, but a task that dies after its put cannot be unwound (exactly
+# the reference's failure envelope; dedup belongs downstream, see
+# stream_dedup_* / dedup_incremental_digest).
+
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+_SEQ_TASK_SHIFT = 28  # per-task capacity 2^28 records per put job
+
+
+@_dataclass
+class SimWriteCommit(WriterCommitMessage):
+    files: list        # paths written by this task
+    max_seqs: dict     # shard_id -> max sequence number written
+    n_rows: int
+
+
+def _stream_meta(path: str) -> dict:
+    with open(os.path.join(path, "shards.json")) as f:
+        return json.load(f)
+
+
+def _write_stream_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, "shards.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(path, "shards.json"))
+
+
+def _success_put(stream_name: str, batch: list) -> list:
+    """Default client: the simulated service accepts every record."""
+    return [{"error_code": None, "error_message": None} for _ in batch]
+
+
+def _task_put(
+    arrow_batches,
+    path: str,
+    arrival_ts: datetime,
+    put_client=None,
+    sleep_fn=None,
+) -> SimWriteCommit:
+    """Executor-side put: assign shards by partition-key hash, chunk per
+    shard to the AWS 500-record limit, push every chunk through the
+    reference retry/throttle policy, then persist acked records as one
+    parquet file per shard."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    from ..streaming.writer import AWS_MAX_BUFFER_SIZE, _flush_chunk
+    from .kinesis_sim import hash_key_for_partition_key
+
+    put_fn = put_client or _success_put
+    sleep = sleep_fn or _time.sleep
+
+    meta = _stream_meta(path)
+    ranges = [
+        (s["shard_id"], int(s["starting_hash_key"]), int(s["ending_hash_key"]), int(s["next_seq"]))
+        for s in meta["shards"]
+        if not s["closed"]
+    ]
+    pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+
+    per_shard: dict[str, list[tuple[str, bytes]]] = {}
+    for batch in arrow_batches:
+        pks = batch.column("partition_key").to_pylist()
+        datas = batch.column("data").to_pylist()
+        for pk, data in zip(pks, datas):
+            h = hash_key_for_partition_key(pk)
+            sid = next(s for s, lo, hi, _ in ranges if lo <= h <= hi)
+            per_shard.setdefault(sid, []).append((pk, bytes(data)))
+
+    naive_ts = arrival_ts
+    if naive_ts.tzinfo is not None:
+        naive_ts = naive_ts.astimezone(timezone.utc).replace(tzinfo=None)
+
+    files: list[str] = []
+    max_seqs: dict[str, int] = {}
+    n_rows = 0
+    next_seq_by_shard = {s: ns for s, _, _, ns in ranges}
+    for sid, records in per_shard.items():
+        acked: list[tuple[str, bytes]] = []
+        for i in range(0, len(records), AWS_MAX_BUFFER_SIZE):
+            chunk = records[i : i + AWS_MAX_BUFFER_SIZE]
+            results = _flush_chunk(
+                chunk,
+                put_fn,
+                stream_name=os.path.basename(path.rstrip("/")),
+                max_retries=7,
+                throttle_sleep=0.8,
+                sleep_fn=sleep,
+            )
+            failed = [r for r in results if r["error_code"] is not None]
+            if failed:
+                # fail fast: undeliverable after the full retry budget
+                raise RuntimeError(
+                    f"shard {sid}: {len(failed)} records failed: "
+                    f"{failed[0]['error_code']}"
+                )
+            acked.extend(chunk)
+        base = next_seq_by_shard[sid] + (pid << _SEQ_TASK_SHIFT)
+        seqs = [base + i for i in range(len(acked))]
+        d = os.path.join(path, "data", f"shard_id={sid}")
+        os.makedirs(d, exist_ok=True)
+        import uuid as _uuid
+
+        fname = os.path.join(d, f"put-{_uuid.uuid4().hex}.parquet")
+        tbl = pa.table(
+            {
+                "sequence_number": pa.array(seqs, pa.int64()),
+                "partition_key": pa.array([r[0] for r in acked], pa.string()),
+                "data": pa.array([r[1] for r in acked], pa.binary()),
+                "ts": pa.array([naive_ts] * len(acked), pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, fname)
+        files.append(fname)
+        max_seqs[sid] = seqs[-1]
+        n_rows += len(acked)
+    return SimWriteCommit(files=files, max_seqs=max_seqs, n_rows=n_rows)
+
+
+def _advance_meta(path: str, messages) -> None:
+    """Driver-side commit: bump each shard's next_seq past everything the
+    job wrote, so the next put job (or micro-batch) starts above it."""
+    meta = _stream_meta(path)
+    for m in messages:
+        if m is None:
+            continue
+        for sid, mx in m.max_seqs.items():
+            for s in meta["shards"]:
+                if s["shard_id"] == sid:
+                    s["next_seq"] = max(int(s["next_seq"]), mx + 1)
+    _write_stream_meta(path, meta)
+
+
+def _abort_cleanup(messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for f in m.files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+
+class KinesisSimBatchWriter(DataSourceArrowWriter):
+    """Bounded put job (`df.write.format("kinesis_sim_py").mode("append")`).
+    Arrow batches stream through the executor put loop; the driver commit
+    advances the per-shard sequence floor."""
+
+    def __init__(self, options: dict, put_client=None, sleep_fn=None):
+        self.path = options["path"]
+        self.arrival_ts = (
+            _parse_iso(options["arrival_ts"])
+            if "arrival_ts" in options
+            else datetime.utcnow()
+        )
+        self.put_client = put_client
+        self.sleep_fn = sleep_fn
+
+    def write(self, iterator) -> SimWriteCommit:
+        return _task_put(
+            iterator, self.path, self.arrival_ts, self.put_client, self.sleep_fn
+        )
+
+    def commit(self, messages) -> None:
+        _advance_meta(self.path, messages)
+
+    def abort(self, messages) -> None:
+        _abort_cleanup(messages)
+
+
+class KinesisSimStreamWriter(DataSourceStreamWriter):
+    """Streaming sink (`df.writeStream.format("kinesis_sim_py")`): each
+    micro-batch is one put job; commit(batchId) advances the sequence
+    floor so the NEXT batch's snapshot starts above this one (the
+    monotone-per-shard contract the stream reader's resume cursor needs).
+    At-least-once, like PutRecords: a batch retried after a crash between
+    task success and commit re-puts its records."""
+
+    def __init__(self, options: dict, put_client=None, sleep_fn=None):
+        self.path = options["path"]
+        self.arrival_ts = (
+            _parse_iso(options["arrival_ts"])
+            if "arrival_ts" in options
+            else datetime.utcnow()
+        )
+        self.put_client = put_client
+        self.sleep_fn = sleep_fn
+
+    def write(self, iterator) -> SimWriteCommit:
+        import pyarrow as pa
+
+        # stream writer receives Rows; convert to one Arrow batch so the
+        # batch/stream paths share _task_put verbatim
+        rows = list(iterator)
+        if not rows:
+            return SimWriteCommit(files=[], max_seqs={}, n_rows=0)
+        batch = pa.record_batch(
+            {
+                "partition_key": pa.array(
+                    [r["partition_key"] for r in rows], pa.string()
+                ),
+                "data": pa.array(
+                    [bytes(r["data"]) for r in rows], pa.binary()
+                ),
+            }
+        )
+        return _task_put(
+            [batch], self.path, self.arrival_ts, self.put_client, self.sleep_fn
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        _advance_meta(self.path, messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_cleanup(messages)

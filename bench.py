@@ -118,6 +118,8 @@ HEADLINE = [
     "multimodal_clip_pair_filter",
     "stream_distinct_users_hll",
     "curation_decontaminate_fuzzy",
+    "egress_pyds_batch_write",
+    "stream_egress_pyds_relay",
 ]
 
 
