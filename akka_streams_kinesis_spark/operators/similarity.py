@@ -398,3 +398,74 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("err") / F.count("*"), 6).alias("avg_q_err"),
         F.round(F.max("scale"), 6).alias("max_scale"),
     )
+
+
+_KNN_K = 3
+
+
+@query(
+    "similarity_knn_graph_blocked",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+               ROUND(
+                 SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+                 6) AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        GROUP BY a.vec_id, b.vec_id, a.label
+    ), ranked AS (
+        SELECT src, dst, label, sim,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+        FROM pairs
+    )
+    SELECT src AS vec_id, dst AS neighbor_id, label, sim, rnk
+    FROM ranked WHERE rnk <= {_KNN_K}
+    """,
+)
+def similarity_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor GRAPH construction (every vector's top-{_KNN_K}
+    neighbors), the substrate for graph-based dedup/diversity/cluster
+    steps — blocked by the label cell so the pairwise stage is an
+    EQUI-join per cell, never a corpus × corpus product. This is the
+    kNN-graph analog of the IVF search path: at 100 TB the cells come
+    from a learned quantizer (see dedup_semantic_kmeans) and each cell's
+    block is GEMM-sized; with the toy label blocking here the same plan
+    shape is exact and oracle-checkable.
+
+    Per-source top-k uses the 6-dp-rounded similarity with dst tie-break
+    (deterministic on both engines); WindowGroupLimit pushes the k-cut
+    into the per-cell sort."""
+    e = table(spark, sf_dir, "embeddings")
+    a = fanout(e).select(
+        F.col("vec_id").alias("src"), "label", F.col("embedding").alias("a_emb")
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("b_label")) & (F.col("src") != F.col("dst")),
+    ).select(
+        "src",
+        "dst",
+        "label",
+        F.round(cosine_sim("a_emb", "b_emb"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            "label",
+            "sim",
+            "rnk",
+        )
+    )

@@ -315,3 +315,103 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_lm_kneser_ney — interpolated-KN bigram LM perplexity proxy
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+
+
+@query(
+    "text_bigram_lm_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM}, ' ') AS w FROM documents
+    ), bigrams AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN LEN(w) >= 2
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i])
+                           ELSE [] END) AS w1,
+               UNNEST(CASE WHEN LEN(w) >= 2
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i+1])
+                           ELSE [] END) AS w2
+        FROM toks
+    ), cb AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bigrams GROUP BY w1, w2
+    ), cu AS (
+        SELECT w1, SUM(c) AS c1, COUNT(*) AS n1_fwd FROM cb GROUP BY w1
+    ), cont AS (
+        SELECT w2, COUNT(*) AS n1_back FROM cb GROUP BY w2
+    ), types AS (
+        SELECT COUNT(*) AS t FROM cb
+    ), model AS (
+        SELECT cb.w1, cb.w2,
+               (GREATEST(cb.c - {_KN_D}, 0) / cu.c1)
+               + ({_KN_D} * cu.n1_fwd / cu.c1) * (cont.n1_back * 1.0 / types.t)
+                   AS p_kn
+        FROM cb JOIN cu USING (w1) JOIN cont USING (w2) CROSS JOIN types
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LOG2(m.p_kn)), 4) AS avg_surprisal_bits
+    FROM bigrams b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM fit on the corpus, scoring each
+    document by mean per-bigram surprisal — the CCNet-style LM-quality
+    filter one tier above unigram surprisal: KN's continuation
+    probability ranks tokens by how many CONTEXTS they follow, so
+    formulaic boilerplate (few contexts, high raw frequency) scores
+    differently than fluent text.
+
+    Plan: ONE bigram explode is persisted and feeds the count model
+    (bigram counts → left/continuation marginals, all map-side partial
+    hash-aggs into Heaps-law-bounded tables) and the scoring join; the
+    model is broadcast — a natural-language bigram table is millions of
+    rows regardless of corpus size — so scoring pipelines with the
+    stream and the only doc-keyed shuffle is the final average."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    bigrams = (
+        toks.select("doc_id", F.explode(word_shingles("w", 2)).alias("bg"))
+        .select(
+            "doc_id",
+            F.split("bg", " ")[0].alias("w1"),
+            F.split("bg", " ")[1].alias("w2"),
+        )
+        .persist()
+    )
+    cb = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cu = cb.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n1_fwd")
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").alias("n1_back"))
+    types = cb.agg(F.count("*").alias("t"))
+    model = (
+        cb.join(cu, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.greatest(F.col("c") - _KN_D, F.lit(0)) / F.col("c1")
+                + (_KN_D * F.col("n1_fwd") / F.col("c1"))
+                * (F.col("n1_back") * 1.0 / F.col("t"))
+            ).alias("p_kn"),
+        )
+    )
+    return (
+        bigrams.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log2("p_kn")), 4).alias("avg_surprisal_bits"),
+        )
+    )

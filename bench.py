@@ -120,6 +120,8 @@ HEADLINE = [
     "curation_decontaminate_fuzzy",
     "egress_pyds_batch_write",
     "stream_egress_pyds_relay",
+    "similarity_knn_graph_blocked",
+    "text_bigram_lm_kneser_ney",
 ]
 
 
