@@ -227,3 +227,80 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_date", "n_rows", "compacted_to_one_file")
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_formats_roundtrip — csv/json/orc sinks+scans, driver-gated
+# ---------------------------------------------------------------------------
+
+_RT_FORMATS = ("parquet", "csv", "json", "orc")
+_RT_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+)
+
+
+@query(
+    "scan_formats_roundtrip",
+    oracle="""
+    SELECT f.fmt,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderdate) AS max_date
+    FROM orders
+    CROSS JOIN (VALUES ('parquet'), ('csv'), ('json'), ('orc')) AS f(fmt)
+    GROUP BY f.fmt
+    """,
+)
+def scan_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every file sink+scan format the engine ships, gated end-to-end in
+    one query: orders is written to csv, json, and orc copies (explicit
+    schema on read-back — the production posture; inference is a
+    double-scan and a type lottery), each copy is re-read and aggregated,
+    and all four formats (parquet = the source itself) must produce the
+    IDENTICAL aggregate — a lossy round trip (timestamp truncation, float
+    formatting, null mangling) breaks the per-format hash against the
+    oracle.
+
+    Scale: each write/read is an embarrassingly parallel format
+    transcode; the aggregates are plain partial+final hash-aggs."""
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        # parquet NTZ → LTZ: pure type change under the UTC session tz,
+        # and the one timestamp flavor all four formats round-trip
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    outs = {"parquet": src}
+    for fmt in _RT_FORMATS[1:]:
+        out = os.path.join(wh, f"aks_orders_rt_{fmt}_{_tag(sf_dir)}")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            w = src.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.save(out)
+        r = spark.read.format(fmt).schema(_RT_SCHEMA)
+        if fmt == "csv":
+            r = r.option("header", "true")
+        outs[fmt] = r.load(out)
+    parts = []
+    for fmt, df in outs.items():
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+                F.max("o_orderdate").alias("max_date"),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

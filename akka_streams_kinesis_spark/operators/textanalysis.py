@@ -478,7 +478,7 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "p",
         F.md5(F.expr(f"substring(text, p, {_SPAN_K})")).alias("dig"),
-    )
+    ).persist()  # two consumers: the df aggregate and the mark-join
     dupdig = (
         grams.groupBy("dig")
         .agg(F.countDistinct("doc_id").alias("df"))

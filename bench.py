@@ -122,6 +122,7 @@ HEADLINE = [
     "stream_egress_pyds_relay",
     "similarity_knn_graph_blocked",
     "text_bigram_lm_kneser_ney",
+    "scan_formats_roundtrip",
 ]
 
 
