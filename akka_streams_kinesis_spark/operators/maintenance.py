@@ -268,3 +268,88 @@ def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.unionByName(ref).orderBy("table_name", "expectation")
+
+
+# ---------------------------------------------------------------------------
+# maintenance_table_stats — ANALYZE-style column statistics in one pass
+# ---------------------------------------------------------------------------
+
+# (table, column, kind) — numeric columns get min/max as values; strings
+# get lexicographic min/max. ndv is exact here; at 100 TB swap
+# count_distinct for approx_count_distinct and the shape is unchanged.
+_STATS_COLS = [
+    ("orders", "o_totalprice", "numeric"),
+    ("orders", "o_orderpriority", "string"),
+    ("lineitem", "l_quantity", "numeric"),
+    ("lineitem", "l_discount", "numeric"),
+    ("customer", "c_acctbal", "numeric"),
+    ("customer", "c_mktsegment", "string"),
+    ("events", "value", "numeric"),
+    ("events", "event_type", "string"),
+    ("documents", "n_chars", "numeric"),
+    ("documents", "lang", "string"),
+]
+
+
+@query(
+    "maintenance_table_stats",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({col}) AS n_nulls,
+           COUNT(DISTINCT {col}) AS ndv,
+           CAST(MIN({col}) AS VARCHAR) AS min_value,
+           CAST(MAX({col}) AS VARCHAR) AS max_value
+    FROM {tbl}"""
+        for tbl, col, _kind in _STATS_COLS
+    ),
+)
+def maintenance_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE, the operator: per-column row/null/ndv/min/max
+    statistics — what a cost-based optimizer (and every data-quality
+    dashboard) feeds on. Each table computes ALL its column stats in ONE
+    scan (conditional aggregates share the pass); min/max surface as
+    strings so one report row type covers numeric and categorical
+    columns.
+
+    Scale: pure partial+final aggregates, no joins, no shuffle beyond
+    the per-table single-row reduction. Exact ndv here; at 100 TB the
+    same plan takes approx_count_distinct (HLL) for the high-cardinality
+    columns — a one-function swap."""
+    per_table: dict[str, list] = {}
+    for tbl, col, _kind in _STATS_COLS:
+        per_table.setdefault(tbl, []).append(col)
+    parts = []
+    for tbl, cols in per_table.items():
+        t = table(spark, sf_dir, tbl)
+        aggs = []
+        for c in cols:
+            aggs.extend(
+                [
+                    F.count("*").alias(f"{c}__n"),
+                    (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+                    F.countDistinct(c).alias(f"{c}__ndv"),
+                    F.min(c).cast("string").alias(f"{c}__min"),
+                    F.max(c).cast("string").alias(f"{c}__max"),
+                ]
+            )
+        one = t.agg(*aggs)
+        for c in cols:
+            parts.append(
+                one.select(
+                    F.lit(tbl).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col(f"{c}__n").alias("n_rows"),
+                    F.col(f"{c}__nulls").alias("n_nulls"),
+                    F.col(f"{c}__ndv").alias("ndv"),
+                    F.col(f"{c}__min").alias("min_value"),
+                    F.col(f"{c}__max").alias("max_value"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -469,7 +469,7 @@ from dataclasses import dataclass as _dataclass
 
 from pyspark.sql.datasource import (
     DataSourceArrowWriter,
-    DataSourceStreamWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -642,13 +642,15 @@ class KinesisSimBatchWriter(DataSourceArrowWriter):
         _abort_cleanup(messages)
 
 
-class KinesisSimStreamWriter(DataSourceStreamWriter):
+class KinesisSimStreamWriter(DataSourceStreamArrowWriter):
     """Streaming sink (`df.writeStream.format("kinesis_sim_py")`): each
-    micro-batch is one put job; commit(batchId) advances the sequence
-    floor so the NEXT batch's snapshot starts above this one (the
-    monotone-per-shard contract the stream reader's resume cursor needs).
-    At-least-once, like PutRecords: a batch retried after a crash between
-    task success and commit re-puts its records."""
+    micro-batch is one put job over Arrow RecordBatches (the same
+    zero-row-object fast path as the batch writer); commit(batchId)
+    advances the sequence floor so the NEXT batch's snapshot starts
+    above this one (the monotone-per-shard contract the stream reader's
+    resume cursor needs). At-least-once, like PutRecords: a batch
+    retried after a crash between task success and commit re-puts its
+    records."""
 
     def __init__(self, options: dict, put_client=None, sleep_fn=None):
         self.path = options["path"]
@@ -661,25 +663,8 @@ class KinesisSimStreamWriter(DataSourceStreamWriter):
         self.sleep_fn = sleep_fn
 
     def write(self, iterator) -> SimWriteCommit:
-        import pyarrow as pa
-
-        # stream writer receives Rows; convert to one Arrow batch so the
-        # batch/stream paths share _task_put verbatim
-        rows = list(iterator)
-        if not rows:
-            return SimWriteCommit(files=[], max_seqs={}, n_rows=0)
-        batch = pa.record_batch(
-            {
-                "partition_key": pa.array(
-                    [r["partition_key"] for r in rows], pa.string()
-                ),
-                "data": pa.array(
-                    [bytes(r["data"]) for r in rows], pa.binary()
-                ),
-            }
-        )
         return _task_put(
-            [batch], self.path, self.arrival_ts, self.put_client, self.sleep_fn
+            iterator, self.path, self.arrival_ts, self.put_client, self.sleep_fn
         )
 
     def commit(self, messages, batchId: int) -> None:

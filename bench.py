@@ -123,6 +123,7 @@ HEADLINE = [
     "similarity_knn_graph_blocked",
     "text_bigram_lm_kneser_ney",
     "scan_formats_roundtrip",
+    "maintenance_table_stats",
 ]
 
 
