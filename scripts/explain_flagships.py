@@ -96,6 +96,17 @@ SHOWCASE = [
      "Both snapshot windows and the full-outer join share the user_id "
      "hash partitioning — AQE plans ONE exchange per side, reused by "
      "window and join; the join compares md5 digests, not payloads."),
+    ("similarity_knn_graph_blocked",
+     "Pairwise stage is an EQUI-join on the label cell (never a corpus "
+     "crossJoin); per-source top-k via WindowGroupLimit."),
+    ("text_bigram_lm_kneser_ney",
+     "ONE persisted bigram explode (InMemoryTableScan) feeds the count "
+     "model and the scoring join; the KN model is the BroadcastHashJoin "
+     "build side."),
+    ("maintenance_table_stats",
+     "Each table computes all its column stats in one scan — "
+     "partial+final aggregate pairs, no joins, union of single-row "
+     "results."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
 ]

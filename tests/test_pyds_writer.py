@@ -144,3 +144,22 @@ def test_sequence_floor_advances_across_jobs(tmp_path):
         for f in glob.glob(os.path.join(d, "*.parquet")):
             ss.extend(pq.read_table(f)["sequence_number"].to_pylist())
         assert len(ss) == len(set(ss)), d
+
+
+def test_writer_follows_reshard(tmp_path):
+    """After a shard split, new puts land in the CHILD shards (placement
+    consults open shards only) and sequence floors stay monotone — the
+    writer-side counterpart of the reader's reshard-follow (S13)."""
+    path = _mk_stream(tmp_path, n_shards=1)
+    m1 = pyds._task_put([_batch(50, "a")], path, _TS)
+    pyds._advance_meta(path, [m1])
+    stream = SimStream(path)
+    parent = stream.open_shards()[0]["shard_id"]
+    stream.split_shard(parent)
+    children = {s["shard_id"] for s in stream.open_shards()}
+    assert parent not in children and len(children) == 2
+    m2 = pyds._task_put([_batch(200, "b")], path, _TS)
+    pyds._advance_meta(path, [m2])
+    assert set(m2.max_seqs) <= children  # nothing written to the closed parent
+    # both children received records (hash range split spreads keys)
+    assert len(m2.max_seqs) == 2
