@@ -304,3 +304,82 @@ def scan_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# maintenance_retention_vacuum — partition-level TTL expiry, gated end-to-end
+# ---------------------------------------------------------------------------
+
+_RETENTION_DAYS = 21  # keep the first N days of the event log
+
+
+@query(
+    "maintenance_retention_vacuum",
+    oracle=f"""
+    WITH dated AS (
+        SELECT CAST(ts AS DATE) AS event_date, event_type, value FROM events
+    ), bounds AS (
+        SELECT MIN(event_date) AS d0 FROM dated
+    )
+    SELECT event_date, event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM dated, bounds
+    WHERE event_date < d0 + INTERVAL {_RETENTION_DAYS} DAY
+    GROUP BY event_date, event_type
+    """,
+)
+def maintenance_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL expiry as a PARTITION-level operation: a copy of the
+    day-partitioned event log is vacuumed down to its first
+    {_RETENTION_DAYS} days by deleting whole expired partitions — never
+    rewriting retained data. The expired set is decided from the
+    partition COLUMN (a metadata-only listing scan: `.select(partition
+    col).distinct()` reads directory names, zero data files), which is
+    what makes TTL on a 100 TB log an O(|partitions|) control-plane
+    operation instead of an O(data) rewrite; on an object store the
+    per-partition delete maps to the same prefix-delete a Hadoop
+    FS/catalog DROP PARTITION issues.
+
+    Gated end-to-end: the query re-reads the VACUUMED copy and must match
+    the oracle's date-filtered aggregate over raw events — deleting a
+    retained partition, keeping an expired one, or touching row data all
+    break the hash."""
+    import shutil as _shutil
+
+    src = partitioned_events_path(spark, sf_dir)
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    out = os.path.join(wh, f"aks_events_retained_{_tag(sf_dir)}")
+    marker = os.path.join(out, "_VACUUMED")
+    if not os.path.exists(marker):
+        if os.path.exists(out):
+            _shutil.rmtree(out)
+        _shutil.copytree(src, out)
+        part_df = spark.read.option("basePath", out).parquet(out)
+        # metadata-only: distinct partition values come from directory
+        # names, no data-file reads
+        days = sorted(
+            r.event_date
+            for r in part_df.select("event_date").distinct().collect()
+        )
+        cutoff = days[0] + __import__("datetime").timedelta(
+            days=_RETENTION_DAYS
+        )
+        for d in days:
+            if d >= cutoff:
+                _shutil.rmtree(os.path.join(out, f"event_date={d}"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    retained = spark.read.option("basePath", out).parquet(out)
+    return (
+        retained.groupBy(
+            F.col("event_date"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("event_date", "event_type", "n", "total_value")
+    )

@@ -124,6 +124,7 @@ HEADLINE = [
     "text_bigram_lm_kneser_ney",
     "scan_formats_roundtrip",
     "maintenance_table_stats",
+    "maintenance_retention_vacuum",
 ]
 
 
