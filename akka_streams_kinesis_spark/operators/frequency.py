@@ -296,3 +296,122 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_quantiles — mergeable equi-width histogram → quantiles
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 128
+
+
+@query(
+    "agg_histogram_quantiles",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n FROM events
+    ), hist AS (
+        SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 128)) AS INTEGER),
+                     127) AS bucket,
+               COUNT(*) AS cnt
+        FROM events, bounds GROUP BY 1
+    ), cum AS (
+        SELECT bucket, cnt,
+               SUM(cnt) OVER (ORDER BY bucket) AS cum_n
+        FROM hist
+    ), est AS (
+        SELECT q.p, MIN(bucket) AS qb
+        FROM cum CROSS JOIN (VALUES (0.5), (0.95), (0.99)) AS q(p)
+        CROSS JOIN bounds
+        WHERE cum_n >= p * n
+        GROUP BY q.p
+    ), exact AS (
+        SELECT 0.5 AS p, QUANTILE_CONT(value, 0.5) AS exact_v FROM events
+        UNION ALL
+        SELECT 0.95, QUANTILE_CONT(value, 0.95) FROM events
+        UNION ALL
+        SELECT 0.99, QUANTILE_CONT(value, 0.99) FROM events
+    )
+    SELECT CAST(est.p AS DOUBLE) AS p,
+           ROUND(lo + (qb + 0.5) * ((hi - lo) / 128), 4) AS est_value,
+           ROUND(exact_v, 4) AS exact_value,
+           (ABS((lo + (qb + 0.5) * ((hi - lo) / 128)) - exact_v)
+             <= (hi - lo) / 128) AS within_bucket_width
+    FROM est JOIN exact ON exact.p = est.p CROSS JOIN bounds
+    """,
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch → quantile estimates, the
+    fourth mergeable-sketch family next to HLL (distincts), CMS (point
+    frequencies), and Misra-Gries (heavy hitters): per-partition bucket
+    counts just ADD, so a 1000-executor fleet sketches locally and merges
+    128 integers. p50/p95/p99 are read off the cumulative
+    histogram (bucket midpoint); the gate pins the estimator's error
+    contract — each estimate within one bucket width of DuckDB's exact
+    continuous quantile — as a hashed boolean.
+
+    Two scans total (bounds, then counts), both partial+final hash-aggs
+    into O(1) state; the quantile read-off is a window over
+    128 rows."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / _HIST_BUCKETS
+    hist = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(_HIST_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum_n", F.sum("cnt").over(Window.orderBy("bucket"))
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("p")
+    )
+    est = (
+        cum.crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(bounds.select("n")))
+        .filter(F.col("cum_n") >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    exact = (
+        e.agg(
+            F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("ev")
+        )
+        .select(F.posexplode("ev").alias("i", "exact_v"))
+        .select(
+            F.element_at(
+                F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+                F.col("i") + 1,
+            ).alias("p"),
+            "exact_v",
+        )
+    )
+    return (
+        est.join(exact, "p")
+        .crossJoin(F.broadcast(bounds.select("lo", "hi")))
+        .select(
+            "p",
+            F.round(
+                F.col("lo") + (F.col("qb") + 0.5) * width, 4
+            ).alias("est_value"),
+            F.round(F.col("exact_v"), 4).alias("exact_value"),
+            (
+                F.abs(
+                    (F.col("lo") + (F.col("qb") + 0.5) * width)
+                    - F.col("exact_v")
+                )
+                <= width
+            ).alias("within_bucket_width"),
+        )
+    )

@@ -469,3 +469,117 @@ def similarity_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+_MRL_DIM = 16  # truncated prefix dimensionality
+
+
+def _fold_prefix(a: str, b: str, d: int) -> Column:
+    """Σ a[i]*b[i] over the first d dims — same strict left-to-right
+    DOUBLE fold as _fold, on sliced arrays."""
+    return F.expr(
+        f"aggregate(zip_with(slice({a}, 1, {d}), slice({b}, 1, {d}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+@query(
+    "embedding_matryoshka_truncation_qa",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    full_sims AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               ROUND({_DUCK_SIM}, 6) AS sim
+        FROM q JOIN embeddings v ON q.vec_id <> v.vec_id
+        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        GROUP BY q.vec_id, v.vec_id
+    ), full_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rnk
+            FROM full_sims
+        ) WHERE rnk <= {_TOPK}
+    ), trunc_sims AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               ROUND({_DUCK_SIM}, 6) AS sim
+        FROM q JOIN embeddings v ON q.vec_id <> v.vec_id
+        CROSS JOIN UNNEST(RANGE(1, {_MRL_DIM + 1})) AS t(i)
+        GROUP BY q.vec_id, v.vec_id
+    ), trunc_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rnk
+            FROM trunc_sims
+        ) WHERE rnk <= {_TOPK}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(t.vec_id) * 1.0 / {_TOPK}, 4) AS recall_at_{_TOPK}
+    FROM full_top f
+    LEFT JOIN trunc_top t
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def embedding_matryoshka_truncation_qa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation audit: per query, the top-{_TOPK}
+    neighbor overlap between full 64-dim cosine and the first-{_MRL_DIM}-
+    dims-only cosine — the recall@k a store would KEEP if it served
+    truncated prefixes (4× smaller vectors, MRL's storage play). This is
+    the go/no-go QA gate before switching a serving index to truncated
+    embeddings, next to embedding_quantize_int8's int8 audit.
+
+    Both rankings run in one broadcast-query pass over the corpus scan
+    (two JVM folds per pair, no second scan — the truncated fold slices
+    the SAME array column); the overlap join is per-query top-k sized,
+    i.e. tiny."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    v = fanout(e).select(
+        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("v_emb")
+    )
+    trunc_sim = _fold_prefix("q_emb", "v_emb", _MRL_DIM) / (
+        F.sqrt(_fold_prefix("q_emb", "q_emb", _MRL_DIM))
+        * F.sqrt(_fold_prefix("v_emb", "v_emb", _MRL_DIM))
+    )
+    sims = v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim("q_emb", "v_emb"), 6).alias("full_sim"),
+        F.round(trunc_sim, 6).alias("trunc_sim"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("full_sim").desc(), F.col("vec_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("trunc_sim").desc(), F.col("vec_id")
+    )
+    ranked = sims.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("full_rnk"),
+        F.row_number().over(wt).alias("trunc_rnk"),
+    )
+    full_top = ranked.filter(F.col("full_rnk") <= _TOPK).select(
+        "query_id", "vec_id"
+    )
+    trunc_top = ranked.filter(F.col("trunc_rnk") <= _TOPK).select(
+        F.col("query_id").alias("t_qid"), F.col("vec_id").alias("t_vid")
+    )
+    joined = full_top.join(
+        trunc_top,
+        (F.col("query_id") == F.col("t_qid"))
+        & (F.col("vec_id") == F.col("t_vid")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("t_vid").alias("n_overlap"),
+        F.round(F.count("t_vid") * 1.0 / _TOPK, 4).alias(f"recall_at_{_TOPK}"),
+    )

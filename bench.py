@@ -125,6 +125,8 @@ HEADLINE = [
     "scan_formats_roundtrip",
     "maintenance_table_stats",
     "maintenance_retention_vacuum",
+    "agg_histogram_quantiles",
+    "embedding_matryoshka_truncation_qa",
 ]
 
 
