@@ -809,3 +809,77 @@ def stream_egress_pyds_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "stream_heavy_hitters_mg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           TRUE     AS mg_bound_holds
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter sketch (applyInPandasWithState): per
+    event_type, a bounded Misra-Gries counter table folded across
+    micro-batches. The gate hashes the MG CORRECTNESS BOUND, which holds
+    for any arrival order: for every surviving candidate,
+    estimate ≤ true count ≤ estimate + n_key/capacity — checked against
+    exact per-(type,user) batch counts. A broken merge (lost state,
+    double-count, wrong decrement) violates the bound and flips the
+    hashed boolean."""
+    import json as _json
+
+    from ..streaming.stateful import _MG_STREAM_CAP, streaming_heavy_hitters
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    snaps = _run_available_now(
+        streaming_heavy_hitters(events), spark, mode="update"
+    )
+    final = (
+        snaps.groupBy("event_type")
+        .agg(F.max(F.struct("n_seen", "state_json")).alias("fin"))
+        .select(
+            "event_type",
+            F.col("fin.n_seen").alias("n_seen"),
+            F.col("fin.state_json").alias("state_json"),
+        )
+    )
+    # exact per-(type, user) counts from the batch table
+    e = table(spark, sf_dir, "events")
+    exact = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("true_n")
+    )
+    cand = final.select(
+        "event_type",
+        "n_seen",
+        F.explode(
+            F.from_json("state_json", "map<string, long>")
+        ).alias("user_key", "est"),
+    ).select(
+        "event_type",
+        "n_seen",
+        F.col("user_key").cast("long").alias("user_id"),
+        "est",
+    )
+    checked = cand.join(exact, ["event_type", "user_id"]).select(
+        "event_type",
+        (
+            (F.col("est") <= F.col("true_n"))
+            & (
+                F.col("true_n")
+                <= F.col("est") + F.col("n_seen") / _MG_STREAM_CAP
+            )
+        ).alias("ok"),
+    )
+    totals = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return (
+        checked.groupBy("event_type")
+        .agg(F.bool_and("ok").alias("mg_bound_holds"))
+        .join(totals, "event_type")
+        .select("event_type", "n_events", "mg_bound_holds")
+    )

@@ -134,3 +134,70 @@ def streaming_distinct_hll(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy-hitter state machine
+# ---------------------------------------------------------------------------
+
+# Per-key candidate capacity. The MG guarantee — every counter
+# undercounts its item's true frequency by at most n_key/CAP — holds for
+# ANY arrival order and any interleaving of merges, which is what makes
+# the bound (not the raw counts) the right thing to gate a stream on.
+_MG_STREAM_CAP = 64
+
+_MG_OUTPUT_SCHEMA = "event_type string, state_json string, n_seen long"
+_MG_STATE_SCHEMA = "counters string, n long"
+
+
+def _mg_fold(counters: dict, values) -> None:
+    for v in values:
+        k = str(v)
+        counters[k] = counters.get(k, 0) + 1
+        if len(counters) > _MG_STREAM_CAP:
+            d = sorted(counters.values(), reverse=True)[_MG_STREAM_CAP]
+            for kk in list(counters):
+                counters[kk] -= d
+                if counters[kk] <= 0:
+                    del counters[kk]
+
+
+def _update_mg(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import json as _json
+
+    if state.exists:
+        counters, n = _json.loads(state.get[0]), state.get[1]
+    else:
+        counters, n = {}, 0
+    for pdf in pdfs:
+        _mg_fold(counters, pdf["user_id"].tolist())
+        n += len(pdf)
+    state.update((_json.dumps(counters), n))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "state_json": [_json.dumps(counters, sort_keys=True)],
+            "n_seen": [n],
+        }
+    )
+
+
+def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Per-event-type streaming heavy-hitter candidates: each key owns a
+    ≤{cap}-entry Misra-Gries counter table in checkpointed state — O(1)
+    state per live key, the streaming analog of the batch
+    agg_heavy_hitters_topk sketch pass. Every micro-batch folds its rows
+    in and emits the refreshed (counter table, rows seen) snapshot; the
+    caller checks the MG bound (estimate ≤ true ≤ estimate + n/cap)
+    against exact batch counts.""".format(cap=_MG_STREAM_CAP)
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_mg,
+        outputStructType=_MG_OUTPUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

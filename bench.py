@@ -127,6 +127,7 @@ HEADLINE = [
     "maintenance_retention_vacuum",
     "agg_histogram_quantiles",
     "embedding_matryoshka_truncation_qa",
+    "stream_heavy_hitters_mg",
 ]
 
 
