@@ -747,3 +747,153 @@ def curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality").alias("kept_quality"),
         (F.col("cluster_size") - 1).alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_pretraining_prep — the whole prep funnel as ONE declarative DAG
+# ---------------------------------------------------------------------------
+
+_PREP_MIN_TOKENS = 20
+_PREP_MIN_TTR = 0.3    # distinct-token ratio floor
+_PREP_N = 4            # decontamination shingle width
+
+
+@query(
+    "pipeline_pretraining_prep",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, lang, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, lang, t, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), quality AS (
+        SELECT doc_id, lang, t, w,
+               (LEN(w) >= {_PREP_MIN_TOKENS}
+                AND LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w) >= {_PREP_MIN_TTR})
+                   AS q_pass
+        FROM toks
+    ), deduped AS (
+        SELECT doc_id, lang, w,
+               doc_id = MIN(doc_id) OVER (PARTITION BY MD5(t)) AS is_canonical
+        FROM quality WHERE q_pass
+    ), survivors AS (
+        SELECT doc_id, lang, w FROM deduped WHERE is_canonical
+    ), split AS (
+        SELECT doc_id, {_SPLIT_CASE.format(st="VARCHAR")} AS split FROM documents
+    ), sh AS (
+        SELECT DISTINCT s.doc_id,
+               UNNEST(CASE WHEN LEN(w) >= {_PREP_N}
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_PREP_N - 2}),
+                                               i -> {" || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(_PREP_N))})
+                           ELSE [] END) AS g
+        FROM survivors s
+    ), test_sh AS (
+        SELECT DISTINCT g FROM sh
+        JOIN split USING (doc_id) WHERE split = 'test'
+    ), contaminated AS (
+        SELECT DISTINCT sh.doc_id FROM sh
+        JOIN split ON split.doc_id = sh.doc_id AND split.split = 'train'
+        JOIN test_sh USING (g)
+    )
+    SELECT q.lang,
+           COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN q.q_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_quality,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_after_dedup,
+           CAST(SUM(CASE WHEN sp.split = 'train'
+                          AND s.doc_id IS NOT NULL
+                          AND c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train_kept,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train_contaminated
+    FROM quality q
+    LEFT JOIN survivors s ON s.doc_id = q.doc_id
+    LEFT JOIN split sp ON sp.doc_id = q.doc_id
+    LEFT JOIN contaminated c ON c.doc_id = q.doc_id
+    GROUP BY q.lang
+    """,
+)
+def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training prep funnel in ONE declarative DAG —
+    quality gate (length + type-token ratio) → exact dedup (canonical =
+    min doc_id per normalized-text digest) → benchmark decontamination
+    (train survivors sharing any {_PREP_N}-gram with test survivors are
+    dropped) — reported as a per-language funnel: input → post-quality →
+    post-dedup → train kept/contaminated. This is the integration
+    flagship: every stage is an operator the registry also gates in
+    isolation, and Catalyst schedules the whole funnel as one job, no
+    intermediate materialization.
+
+    Scale: quality is row-local; dedup shuffles 16-byte digests; the
+    decontamination join broadcasts the (dedup'd, ~10%-split) test
+    shingle set; the funnel report is a per-language rollup of booleans
+    carried through three LEFT joins that all share the doc_id key."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        normalize_text(F.col("text")).alias("t"),
+    ).withColumn("w", F.split("t", " "))
+    quality = toks.withColumn(
+        "q_pass",
+        (F.size("w") >= _PREP_MIN_TOKENS)
+        & (
+            F.size(F.array_distinct("w")) * 1.0 / F.size("w")
+            >= _PREP_MIN_TTR
+        ),
+    )
+    wmin = Window.partitionBy(F.md5("t"))
+    deduped = (
+        quality.filter("q_pass")
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.min("doc_id").over(wmin)
+        )
+    )
+    survivors = deduped.filter("is_canonical").select("doc_id", "w").persist()
+    split = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
+    )
+    sh = survivors.select(
+        "doc_id", F.explode(word_shingles("w", _PREP_N)).alias("g")
+    ).distinct()
+    test_sh = (
+        sh.join(split.filter(F.col("split") == "test"), "doc_id")
+        .select("g")
+        .distinct()
+    )
+    contaminated = (
+        sh.join(split.filter(F.col("split") == "train"), "doc_id")
+        .join(F.broadcast(test_sh), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    base = (
+        quality.select("doc_id", "lang", "q_pass")
+        .join(
+            survivors.select("doc_id", F.lit(True).alias("survived")),
+            "doc_id",
+            "left",
+        )
+        .join(split, "doc_id", "left")
+        .join(
+            contaminated.select("doc_id", F.lit(True).alias("contam")),
+            "doc_id",
+            "left",
+        )
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("q_pass").cast("long")).alias("n_after_quality"),
+        F.sum(F.coalesce("survived", F.lit(False)).cast("long")).alias(
+            "n_after_dedup"
+        ),
+        F.sum(
+            (
+                (F.col("split") == "train")
+                & F.coalesce("survived", F.lit(False))
+                & ~F.coalesce("contam", F.lit(False))
+            ).cast("long")
+        ).alias("n_train_kept"),
+        F.sum(F.coalesce("contam", F.lit(False)).cast("long")).alias(
+            "n_train_contaminated"
+        ),
+    )

@@ -128,6 +128,7 @@ HEADLINE = [
     "agg_histogram_quantiles",
     "embedding_matryoshka_truncation_qa",
     "stream_heavy_hitters_mg",
+    "pipeline_pretraining_prep",
 ]
 
 

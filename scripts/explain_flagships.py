@@ -107,6 +107,11 @@ SHOWCASE = [
      "Each table computes all its column stats in one scan — "
      "partial+final aggregate pairs, no joins, union of single-row "
      "results."),
+    ("pipeline_pretraining_prep",
+     "Whole prep funnel in one job: row-local quality predicate, digest "
+     "window dedup, broadcast test-shingle decontamination join, and a "
+     "per-language rollup — the three report joins all share the doc_id "
+     "key."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
 ]
