@@ -156,3 +156,85 @@ def asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", F.col("last_purchase_ts").alias("next_purchase_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# asof_feature_snapshot — point-in-time-correct training-set assembly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_feature_snapshot",
+    oracle="""
+    WITH labeled AS (
+        SELECT event_id, user_id, ts,
+               CAST(value AS DECIMAL(18,2)) AS label_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+           l.label_value,
+           (SELECT COUNT(*) FROM events e
+             WHERE e.user_id = l.user_id
+               AND (e.ts < l.ts OR (e.ts = l.ts AND e.event_id < l.event_id)))
+               AS f_n_prior_events,
+           (SELECT CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+              FROM events e
+             WHERE e.user_id = l.user_id AND e.event_type = 'purchase'
+               AND (e.ts < l.ts OR (e.ts = l.ts AND e.event_id < l.event_id)))
+               AS f_prior_spend,
+           (SELECT COUNT(*) FROM events e
+             WHERE e.user_id = l.user_id AND e.event_type = 'click'
+               AND (e.ts < l.ts OR (e.ts = l.ts AND e.event_id < l.event_id)))
+               AS f_prior_clicks
+    FROM labeled l
+    """,
+)
+def asof_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature snapshot — the feature-store join
+    that assembles a training set WITHOUT label leakage: for every label
+    event (purchase), every feature is computed over STRICTLY-PRIOR
+    events only (prior event count, prior purchase spend, prior clicks).
+    The classic bug this operator exists to prevent is a feature window
+    that includes the label row itself or later rows; the oracle states
+    the strictly-before semantics as correlated subqueries, so any
+    off-by-one in the frame breaks the hash.
+
+    Plan: NO correlated subqueries and NO as-of self-join per feature —
+    one per-user ordered window pass (rowsBetween unbounded-preceding →
+    -1) computes all three features in the same frame, then the label
+    filter keeps purchase rows. Linear in events, one user_id shuffle
+    shared by every feature; adding a feature is one more aggregate over
+    the SAME window, not another join."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    snap = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        dec.alias("label_value"),
+        F.count("*").over(w).alias("f_n_prior_events"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec)).over(w),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("f_prior_spend"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .over(w)
+        .alias("f_prior_clicks"),
+    )
+    return snap.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "label_value",
+        F.coalesce("f_n_prior_events", F.lit(0)).alias("f_n_prior_events"),
+        "f_prior_spend",
+        F.coalesce("f_prior_clicks", F.lit(0)).alias("f_prior_clicks"),
+    )

@@ -129,6 +129,7 @@ HEADLINE = [
     "embedding_matryoshka_truncation_qa",
     "stream_heavy_hitters_mg",
     "pipeline_pretraining_prep",
+    "asof_feature_snapshot",
 ]
 
 
