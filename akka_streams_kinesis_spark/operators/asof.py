@@ -238,3 +238,73 @@ def asof_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_prior_spend",
         F.coalesce("f_prior_clicks", F.lit(0)).alias("f_prior_clicks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# asof_join_tolerance — as-of with a staleness bound
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_S = 86400  # 1 day: matches older than this are too stale to use
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH matched AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT MAX(c.ts) FROM events c
+                 WHERE c.event_type = 'click'
+                   AND c.user_id = p.user_id
+                   AND c.ts <= p.ts) AS last_click_ts
+        FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(last_click_ts)
+                     <= CAST({_ASOF_TOL_S} AS BIGINT) * 1000000
+                THEN last_click_ts END AS last_click_ts,
+           (last_click_ts IS NOT NULL
+            AND epoch_us(ts) - epoch_us(last_click_ts)
+                > CAST({_ASOF_TOL_S} AS BIGINT) * 1000000) AS dropped_stale
+    FROM matched
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE: each purchase gets the user's most
+    recent click only if it is at most 1 day old — older matches are
+    nulled and flagged stale. This is the feature-store staleness bound
+    (pandas ``merge_asof(tolerance=...)``): serving a feature computed
+    from week-old activity is usually worse than serving none.
+
+    Same linear union+window as-of core (one user_id shuffle, no
+    inequality join); the tolerance is a post-window row-local predicate
+    on the matched timestamp, so it adds zero shuffles."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_ts"],
+    )
+    age_us = F.unix_micros("ts") - F.unix_micros("last_click_ts")
+    fresh = F.col("last_click_ts").isNotNull() & (
+        age_us <= _ASOF_TOL_S * 1_000_000
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("last_click_ts")).alias("last_click_ts"),
+        (
+            F.col("last_click_ts").isNotNull()
+            & (age_us > _ASOF_TOL_S * 1_000_000)
+        ).alias("dropped_stale"),
+    )

@@ -130,6 +130,7 @@ HEADLINE = [
     "stream_heavy_hitters_mg",
     "pipeline_pretraining_prep",
     "asof_feature_snapshot",
+    "asof_join_tolerance",
 ]
 
 
