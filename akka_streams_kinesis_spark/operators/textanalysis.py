@@ -497,3 +497,66 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
         F.max(F.col("span_end") - F.col("span_start") + 1).alias("max_span_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_langid_confusion — classifier evaluation against ground truth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, lang, {_NORM} AS t FROM documents
+    ), doc_tokens AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), scored AS (
+        SELECT doc_id,
+               {_langid_score_sql()}
+        FROM doc_tokens
+        GROUP BY doc_id
+    ), pred AS (
+        SELECT doc_id, {_langid_pick_sql()} AS pred_lang FROM scored
+    )
+    SELECT n.lang AS true_lang, p.pred_lang,
+           COUNT(*) AS n_docs,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY n.lang), 4) AS frac_of_true
+    FROM norm n JOIN pred p USING (doc_id)
+    GROUP BY n.lang, p.pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline self-evaluation: confusion matrix of the stopword-marker
+    language-ID classifier against the corpus's ground-truth ``lang``
+    column, with each cell's share of its true-language row. Every
+    classifier the pipeline gates on (langid, quality, CLIP filter)
+    needs exactly this report before its threshold is trusted — shipping
+    it as a first-class gated operator keeps the evaluation in the same
+    declarative DAG as the classifier.
+
+    Plan: the scoring pass is the same explode → per-doc hash-agg as
+    text_language_id (shared SQL text); the matrix is a ≤|langs|² agg
+    and the row-share window runs over that tiny aggregate."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    ).createOrReplaceTempView("doc_tokens")
+    spark.sql(_LANGID_AGG_SQL).createOrReplaceTempView("scored")
+    pred = spark.sql(
+        f"SELECT doc_id, {_langid_pick_sql()} AS pred_lang FROM scored"
+    )
+    truth = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    m = (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return m.withColumn(
+        "frac_of_true", F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
+    )

@@ -131,6 +131,7 @@ HEADLINE = [
     "pipeline_pretraining_prep",
     "asof_feature_snapshot",
     "asof_join_tolerance",
+    "text_langid_confusion",
 ]
 
 
