@@ -332,3 +332,95 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_scd2_point_in_time — facts joined to the dimension state valid at
+# event time (the warehouse temporal join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type AS state, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ), unioned AS (
+        SELECT user_id, ts, event_id, 0 AS kind, state,
+               NULL::BIGINT AS fact_id
+        FROM changes
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS kind, NULL AS state,
+               event_id AS fact_id
+        FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+        SELECT user_id, ts, kind, fact_id,
+               LAST_VALUE(state IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS state_at_ts
+        FROM unioned
+    )
+    SELECT fact_id AS event_id, user_id, ts, state_at_ts
+    FROM carried WHERE kind = 1
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse temporal join: each fact (purchase) picks up the
+    SCD2 dimension state that was valid AT its event time — here the
+    user's state-change history built by events_scd2_user_state. A change
+    landing at the same instant as the fact is visible to it exactly
+    when it precedes the fact in log order (ts, then event_id — the same
+    total order the SCD2 build uses), so the lookup is deterministic
+    even under timestamp ties.
+
+    Plan: NOT a range join against [valid_from, valid_to) intervals
+    (whose inequality pairs blow up on chatty users) — the linear as-of
+    algorithm instead: union state-starts with facts, ONE per-user
+    ordered window carries the last-seen state forward, facts filter
+    out. One user_id shuffle for any number of facts and any history
+    depth; valid_to never needs materializing because segment starts
+    partition the timeline."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(0).alias("kind"),
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("long").alias("fact_id"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_id").alias("fact_id"),
+    )
+    carried = changes.unionByName(facts).withColumn(
+        "state_at_ts",
+        F.last("state", ignorenulls=True).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id", "kind")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        F.col("fact_id").alias("event_id"), "user_id", "ts", "state_at_ts"
+    )

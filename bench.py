@@ -132,6 +132,7 @@ HEADLINE = [
     "asof_feature_snapshot",
     "asof_join_tolerance",
     "text_langid_confusion",
+    "join_scd2_point_in_time",
 ]
 
 
