@@ -897,3 +897,146 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_train_contaminated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_ngram_novelty — per-doc novelty vs the rest of the corpus
+# ---------------------------------------------------------------------------
+
+_NOV_N = 4
+
+
+@query(
+    "curation_ngram_novelty",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               MD5(UNNEST(CASE WHEN LEN(w) >= {_NOV_N}
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_NOV_N - 2}),
+                                               i -> {" || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(_NOV_N))})
+                           ELSE [] END)) AS h
+        FROM toks
+    ), df AS (
+        SELECT h, COUNT(*) AS df FROM sh GROUP BY h
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_grams,
+           ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS novelty
+    FROM sh JOIN df USING (h)
+    GROUP BY sh.doc_id
+    """,
+)
+def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    {_NOV_N}-grams that appear NOWHERE else in the corpus. Low-novelty
+    docs are templated/boilerplate-heavy (near-dup candidates that LSH
+    thresholds may miss); the corpus-level novelty distribution is the
+    diversity metric a data card reports. Dual of the duplication
+    screens: those find what's shared, this scores what isn't.
+
+    Plan: one digest-collapsed shingle explode feeds the document-
+    frequency aggregate and the per-doc rollup; the join key is a
+    16-byte digest, and since both sides come from the same persisted
+    frame, the df table arrives co-partitioned on it."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    sh = (
+        toks.select(
+            "doc_id", F.explode(word_shingles("w", _NOV_N)).alias("g")
+        )
+        .select("doc_id", F.md5("g").alias("h"))
+        .distinct()
+        .persist()
+    )
+    df = sh.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique_grams"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("long")) * 1.0 / F.count("*"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_reservoir — deterministic weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+_WRS_K = 25
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH weighted AS (
+        SELECT doc_id, lang,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               -- u in (0,1]: md5-derived uniform, identical both engines
+               (CAST(('0x' || SUBSTR(MD5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                   / 4294967296.0 AS u
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, lang, n_tokens,
+               POW(u, 1.0 / n_tokens) AS k
+        FROM weighted WHERE n_tokens > 0
+    ), ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, lang, n_tokens, rn
+    FROM ranked WHERE rn <= {_WRS_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis A-ES
+    form: each doc draws a deterministic md5-uniform u and keeps key
+    u^(1/weight) (weight = token count — sampling docs proportional to
+    the tokens they contribute); the global top-{_WRS_K} keys ARE the
+    weighted sample. The md5-seeded u makes the draw reproducible on any
+    engine, cluster layout, or rerun — the property a sampled eval set
+    needs.
+
+    Plan: key computation is row-local; the top-k is a TakeOrdered
+    (per-partition partial top-k, no global sort). At 100 TB this is one
+    scan + a k-row reduction; the same keys also merge across corpus
+    shards, which is why A-ES is the distributed weighted sampler."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / 4294967296.0
+    n_tokens = F.size(F.split("text", " "))
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.pow(u, 1.0 / n_tokens).alias("k"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WRS_K)
+        .select("doc_id", "lang", "n_tokens", "rn")
+    )

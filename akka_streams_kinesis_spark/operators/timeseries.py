@@ -424,3 +424,60 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("kind") == 1).select(
         F.col("fact_id").alias("event_id"), "user_id", "ts", "state_at_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# events_inter_arrival_stats — per-type inter-arrival time distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               )) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           ROUND(AVG(gap_us) / 1000000, 4) AS mean_gap_s,
+           ROUND(QUANTILE_CONT(gap_us, 0.5) / 1000000, 4) AS p50_gap_s,
+           ROUND(QUANTILE_CONT(gap_us, 0.95) / 1000000, 4) AS p95_gap_s,
+           ROUND(MAX(gap_us) / 1000000.0, 4) AS max_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (per-user gaps):
+    mean, median, p95, and max of the time between a user's consecutive
+    events of the same type — the rate/burstiness profile capacity
+    planning and anomaly baselines read. Gaps in exact integer
+    microseconds (engine-parity), reported in seconds.
+
+    Plan: one (user_id, event_type)-partitioned lag window — high
+    cardinality, skew-free — then a 5-group aggregate; the exact
+    percentiles run over per-type gap sets, which an approx_percentile
+    swap makes O(1)-state at 100 TB without changing the plan."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1_000_000, 4).alias("mean_gap_s"),
+        F.round(
+            F.expr("percentile(gap_us, 0.5D)") / 1_000_000, 4
+        ).alias("p50_gap_s"),
+        F.round(
+            F.expr("percentile(gap_us, 0.95D)") / 1_000_000, 4
+        ).alias("p95_gap_s"),
+        F.round(F.max("gap_us") / 1_000_000.0, 4).alias("max_gap_s"),
+    )

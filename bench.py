@@ -133,6 +133,9 @@ HEADLINE = [
     "asof_join_tolerance",
     "text_langid_confusion",
     "join_scd2_point_in_time",
+    "curation_ngram_novelty",
+    "sample_weighted_reservoir",
+    "events_inter_arrival_stats",
 ]
 
 
