@@ -643,3 +643,32 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(unioned).select(
         "exact_users", tol.alias("within_tolerance")
     )
+
+
+@query(
+    "scalar_bitwise_functions",
+    oracle="""
+    SELECT event_id,
+           event_id & 255                      AS low_byte,
+           event_id | 4096                     AS with_flag,
+           xor(event_id, 1431655765)           AS toggled,
+           CAST(event_id << 3 AS BIGINT)       AS shifted_up,
+           CAST(event_id >> 2 AS BIGINT)       AS shifted_down,
+           bit_count(event_id)                 AS popcount
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (AND/OR/XOR/shifts/popcount) — the bit-math
+    surface flag fields, bloom/bitmap indexes, and the Z-order operator
+    lean on. Pure row-local projection in whole-stage codegen."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.lit(1431655765)).alias("toggled"),
+        F.expr("shiftleft(event_id, 3)").cast("long").alias("shifted_up"),
+        F.expr("shiftright(event_id, 2)").cast("long").alias("shifted_down"),
+        F.expr("bit_count(event_id)").alias("popcount"),
+    )

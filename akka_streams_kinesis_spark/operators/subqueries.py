@@ -46,3 +46,49 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_IN_SQL)
+
+
+@query(
+    "subquery_lateral_recent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           r.o_orderkey, r.o_totalprice, r.rn
+    FROM customer c,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        LIMIT 2
+    ) r
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def subquery_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: for each sampled customer, their two
+    most recent orders — the per-row-parameterized-subquery surface SQL
+    users reach for before learning window functions. Spark decorrelates
+    the lateral into a window-limited join (DomainJoin rewrite), so the
+    executed plan is the same rank≤2-per-key shape as
+    window_topk_orders_per_customer — per-key LIMIT pushes into the sort
+    (WindowGroupLimit), no per-customer re-execution."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               r.o_orderkey, r.o_totalprice, r.rn
+        FROM customer c,
+        LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+            LIMIT 2
+        ) r
+        WHERE c.c_custkey % 10 = 0
+        """
+    )

@@ -337,3 +337,41 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.lead("o_orderkey").over(w_lead).alias("next_order"),
     )
+
+
+@query(
+    "window_rows_frame_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ), 4) AS ma4,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_in_frame
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def window_rows_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based sliding frame (ROWS BETWEEN 3 PRECEDING AND CURRENT):
+    4-point trailing moving average of purchase values per user — the
+    row-count frame family, complementing the value-range frame
+    (window_range_frame_trailing_spend) and the unbounded running frame
+    (window_running_totals). One per-user ordered window, frame state is
+    4 rows regardless of history length."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("ma4"),
+        F.count("*").over(w).alias("n_in_frame"),
+    )

@@ -136,6 +136,9 @@ HEADLINE = [
     "curation_ngram_novelty",
     "sample_weighted_reservoir",
     "events_inter_arrival_stats",
+    "subquery_lateral_recent_orders",
+    "window_rows_frame_moving_avg",
+    "scalar_bitwise_functions",
 ]
 
 
