@@ -583,3 +583,118 @@ def embedding_matryoshka_truncation_qa(
         F.count("t_vid").alias("n_overlap"),
         F.round(F.count("t_vid") * 1.0 / _TOPK, 4).alias(f"recall_at_{_TOPK}"),
     )
+
+
+_PAIRED_K = 10
+_PAIRED_N_QUERIES = 50
+
+
+@query(
+    "similarity_paired_retrieval_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 7 = 0 AND vec_id < {7 * _PAIRED_N_QUERIES}
+    ), sims AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               ROUND({_DUCK_SIM}, 6) AS sim
+        FROM q JOIN embeddings v ON q.vec_id <> v.vec_id
+        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        GROUP BY q.vec_id, v.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    ), target AS (
+        -- the "paired" item: the query's nearest same-label neighbor,
+        -- i.e. the ground-truth positive a retrieval benchmark stores
+        SELECT r.query_id, MIN(r.vec_id) AS target_id
+        FROM ranked r
+        JOIN embeddings a ON a.vec_id = r.query_id
+        JOIN embeddings b ON b.vec_id = r.vec_id AND b.label = a.label
+        WHERE r.rnk = (
+            SELECT MIN(r2.rnk) FROM ranked r2
+            JOIN embeddings b2 ON b2.vec_id = r2.vec_id
+            JOIN embeddings a2 ON a2.vec_id = r2.query_id
+            WHERE r2.query_id = r.query_id AND b2.label = a2.label
+        )
+        GROUP BY r.query_id
+    )
+    SELECT t.query_id, t.target_id,
+           MIN(r.rnk) AS target_rank,
+           (MIN(r.rnk) = 1)            AS hit_at_1,
+           (MIN(r.rnk) <= {_PAIRED_K}) AS hit_at_{_PAIRED_K}
+    FROM target t JOIN ranked r
+      ON r.query_id = t.query_id AND r.vec_id = t.target_id
+    GROUP BY t.query_id, t.target_id
+    """,
+)
+def similarity_paired_retrieval_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval-benchmark evaluation (the recall@k table a CLIP-style
+    paired dataset reports): for each query vector, the ground-truth
+    positive is its nearest same-label neighbor, and the metric is that
+    target's rank in the UNRESTRICTED top-k — hit@1 / hit@{_PAIRED_K}
+    booleans cross the oracle hash per query. This is the eval harness
+    that gates every ANN/quantization/truncation change shipped by the
+    similarity family.
+
+    Plan: one broadcast-query pass computes the full ranking (same
+    JVM-fold shape as similarity_cosine_topk); target selection and the
+    metric join run over per-query ranked rows, never the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") % 7 == 0)
+        & (F.col("vec_id") < 7 * _PAIRED_N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    v = fanout(e).select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("label").alias("v_label"),
+    )
+    ranked = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "q_label",
+            "v_label",
+            F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .persist()
+    )
+    same = ranked.filter(F.col("q_label") == F.col("v_label"))
+    best = same.groupBy("query_id").agg(F.min("rnk").alias("best_rnk"))
+    target = (
+        same.join(best, "query_id")
+        .filter(F.col("rnk") == F.col("best_rnk"))
+        .groupBy("query_id")
+        .agg(F.min("vec_id").alias("target_id"))
+    )
+    tgt = target.select(
+        F.col("query_id").alias("t_qid"), "target_id"
+    )
+    metric = ranked.join(
+        tgt,
+        (F.col("query_id") == F.col("t_qid"))
+        & (F.col("vec_id") == F.col("target_id")),
+    ).select(F.col("t_qid").alias("query_id"), "target_id", "rnk")
+    return metric.groupBy("query_id", "target_id").agg(
+        F.min("rnk").alias("target_rank"),
+        (F.min("rnk") == 1).alias("hit_at_1"),
+        (F.min("rnk") <= _PAIRED_K).alias(f"hit_at_{_PAIRED_K}"),
+    )

@@ -481,3 +481,54 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_gap_s"),
         F.round(F.max("gap_us") / 1_000_000.0, 4).alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_burst_detection — rate-anomaly flags over the hourly profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_burst_detection",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY event_type, hour
+    ), stats AS (
+        SELECT event_type,
+               AVG(n) AS mu,
+               STDDEV_SAMP(n) AS sigma
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n,
+           ROUND((h.n - s.mu) / s.sigma, 4) AS z,
+           (h.n > s.mu + 3 * s.sigma) AS is_burst
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE h.n > s.mu + 2 * s.sigma
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: hours where an event type's volume exceeds
+    its own mean by 2σ (reported with z-scores; ≥3σ flagged as bursts) —
+    the traffic-anomaly monitor an ingest pipeline alarms on. Two
+    aggregates: the hourly profile (map-side partials over the raw
+    stream), then per-type moments over the SMALL profile table; the
+    flag join broadcasts |event_type| rows. At 100 TB only the first
+    aggregate ever sees the data."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    flagged = hourly.join(F.broadcast(stats), "event_type")
+    return flagged.filter(
+        F.col("n") > F.col("mu") + 2 * F.col("sigma")
+    ).select(
+        "event_type",
+        "hour",
+        "n",
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        (F.col("n") > F.col("mu") + 3 * F.col("sigma")).alias("is_burst"),
+    )

@@ -139,6 +139,8 @@ HEADLINE = [
     "subquery_lateral_recent_orders",
     "window_rows_frame_moving_avg",
     "scalar_bitwise_functions",
+    "events_burst_detection",
+    "similarity_paired_retrieval_eval",
 ]
 
 
