@@ -116,3 +116,56 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+@query(
+    "behavior_dau_wau_stickiness",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), dau AS (
+        SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day
+    ), contrib AS (
+        -- a user active on day d counts toward WAU of days d .. d+6
+        SELECT DISTINCT user_id, day + CAST(o.i AS INTEGER) AS wau_day
+        FROM user_days CROSS JOIN UNNEST(RANGE(0, 7)) AS o(i)
+    ), wau AS (
+        SELECT wau_day AS day, COUNT(*) AS wau FROM contrib GROUP BY wau_day
+    )
+    SELECT d.day, d.dau, w.wau,
+           ROUND(d.dau * 1.0 / w.wau, 4) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def behavior_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU), the product
+    engagement headline. The trailing-window distinct count does NOT
+    re-scan 7 days per day: each (user, active-day) pair fans out to the
+    7 window days it contributes to, and one distinct+count aggregate
+    yields every day's WAU — O(7·|user-days|) work total, versus
+    O(7·days·users) for a per-day band self-join. Same shape at any
+    window length; the fan-out constant IS the window."""
+    e = table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().persist()
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+        )
+        .select("user_id", F.date_add("day", F.col("i")).alias("day"))
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 4).alias("stickiness"),
+        )
+    )

@@ -698,3 +698,83 @@ def similarity_paired_retrieval_eval(
         (F.min("rnk") == 1).alias("hit_at_1"),
         (F.min("rnk") <= _PAIRED_K).alias(f"hit_at_{_PAIRED_K}"),
     )
+
+
+_HN_K = 5
+
+
+@query(
+    "similarity_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 7 = 0 AND vec_id < {7 * _PAIRED_N_QUERIES}
+    ), sims AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               v.label AS neg_label,
+               ROUND({_DUCK_SIM}, 6) AS sim
+        FROM q JOIN embeddings v
+          ON q.vec_id <> v.vec_id AND v.label <> q.label
+        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        GROUP BY q.vec_id, v.vec_id, v.label
+    ), ranked AS (
+        SELECT query_id, vec_id, neg_label, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    )
+    SELECT query_id, vec_id AS negative_id, neg_label, sim, rnk
+    FROM ranked WHERE rnk <= {_HN_K}
+    """,
+)
+def similarity_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-{_HN_K} most-similar vectors with a DIFFERENT label — the
+    negatives that actually move an embedding model, versus the trivial
+    random ones. The other half of the retrieval-training data pipeline
+    next to similarity_paired_retrieval_eval's positives.
+
+    Plan: identical broadcast-query corpus pass as cosine top-k with the
+    label-mismatch predicate fused into the join condition (negatives
+    filtered BEFORE the fold output ranks), then the per-query top-k
+    window with WindowGroupLimit."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") % 7 == 0)
+        & (F.col("vec_id") < 7 * _PAIRED_N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    v = fanout(e).select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("label").alias("neg_label"),
+    )
+    sims = v.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("vec_id"))
+        & (F.col("neg_label") != F.col("q_label")),
+    ).select(
+        "query_id",
+        "vec_id",
+        "neg_label",
+        F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            "neg_label",
+            "sim",
+            "rnk",
+        )
+    )

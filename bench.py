@@ -141,6 +141,8 @@ HEADLINE = [
     "scalar_bitwise_functions",
     "events_burst_detection",
     "similarity_paired_retrieval_eval",
+    "similarity_hard_negative_mining",
+    "behavior_dau_wau_stickiness",
 ]
 
 
