@@ -12,7 +12,7 @@ shuffle key.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import table
 from ..registry import query
@@ -168,4 +168,62 @@ def behavior_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau",
             F.round(F.col("dau") * 1.0 / F.col("wau"), 4).alias("stickiness"),
         )
+    )
+
+
+@query(
+    "behavior_longest_streak",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), islands AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INTEGER) AS grp
+        FROM user_days
+    ), streaks AS (
+        SELECT user_id, COUNT(*) AS streak_len, MIN(day) AS streak_start
+        FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(streak_len) AS longest_streak,
+           ARG_MIN(streak_start, CONCAT(
+               LPAD(CAST(100000 - streak_len AS VARCHAR), 6, '0'),
+               CAST(streak_start AS VARCHAR))) AS longest_streak_start,
+           COUNT(*) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def behavior_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom: within each user, ``day − row_number(day)``
+    is constant exactly along runs of consecutive dates, so one window
+    plus two aggregates finds every streak. The earliest longest streak
+    is picked via an order-key argmin (length desc, start asc) encoded
+    portably, keeping the tiebreak engine-deterministic.
+
+    Plan: per-user window (high-cardinality key) → two hash aggregates;
+    everything after the distinct-day reduction is proportional to
+    active user-days, not events."""
+    e = table(spark, sf_dir, "events")
+    user_days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = user_days.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    order_key = F.concat(
+        F.lpad((F.lit(100000) - F.col("streak_len")).cast("string"), 6, "0"),
+        F.col("streak_start").cast("string"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.expr(
+            "min_by(streak_start, concat(lpad(cast(100000 - streak_len as string), 6, '0'), cast(streak_start as string)))"
+        ).alias("longest_streak_start"),
+        F.count("*").alias("n_streaks"),
     )

@@ -672,3 +672,33 @@ def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 2)").cast("long").alias("shifted_down"),
         F.expr("bit_count(event_id)").alias("popcount"),
     )
+
+
+@query(
+    "agg_argmin_argmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, o_totalprice) AS biggest_order,
+           ROUND(MAX(o_totalprice), 2)       AS biggest_price,
+           ARG_MIN(o_orderkey, o_totalprice) AS smallest_order,
+           ROUND(MIN(o_totalprice), 2)       AS smallest_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmin_argmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregates (``max_by``/``min_by``): per priority
+    class, WHICH order carries the extreme price, not just the extreme —
+    the single-pass answer to the classic "row of the max" question that
+    otherwise costs a join-back or a window. Ties are impossible here
+    (o_totalprice is effectively continuous), keeping the picked key
+    engine-deterministic; with tie-prone data the struct-min idiom
+    (min(struct(price, key))) pins the tiebreak explicitly, as
+    tpch_q2_min_cost_supplier does."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("biggest_price"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("smallest_price"),
+    )

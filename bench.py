@@ -143,6 +143,8 @@ HEADLINE = [
     "similarity_paired_retrieval_eval",
     "similarity_hard_negative_mining",
     "behavior_dau_wau_stickiness",
+    "agg_argmin_argmax_by",
+    "behavior_longest_streak",
 ]
 
 
