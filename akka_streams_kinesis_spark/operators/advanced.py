@@ -583,3 +583,53 @@ def join_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "curation_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                   AS n_subwords
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT)    AS total_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+           ROUND(SUM(n_subwords) * 1.0 / SUM(n_words), 4) AS fertility
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def curation_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-tokens-per-word under
+    the BPE-ish regex segmentation — the multilingual-tokenizer-equity
+    audit (languages a tokenizer over-fragments pay more compute per
+    word and effectively see less context), and the conversion factor
+    that turns word budgets into token budgets per language.
+
+    Plan: the two token counters are one row-local projection (no
+    explode — counts come straight off the regex/split arrays), then a
+    |langs|-row aggregate. Entirely map-side until the tiny final
+    exchange."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
+            )
+        ).alias("n_subwords"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_subwords").alias("total_subwords"),
+        F.round(
+            F.sum("n_subwords") * 1.0 / F.sum("n_words"), 4
+        ).alias("fertility"),
+    )

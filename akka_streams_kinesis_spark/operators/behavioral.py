@@ -227,3 +227,64 @@ def behavior_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("longest_streak_start"),
         F.count("*").alias("n_streaks"),
     )
+
+
+@query(
+    "behavior_spend_pareto",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS spend
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), ranked AS (
+        SELECT spend,
+               NTILE(10) OVER (ORDER BY spend DESC, user_id) AS decile
+        FROM per_user
+    )
+    SELECT decile,
+           COUNT(*) AS n_users,
+           CAST(SUM(spend) AS DOUBLE) AS decile_spend,
+           ROUND(SUM(SUM(spend)) OVER (ORDER BY decile)
+                 / SUM(SUM(spend)) OVER (), 4) AS cum_share
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def behavior_spend_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/Lorenz concentration of purchase value: users ranked by
+    total spend, cut into deciles, with each decile's spend and the
+    cumulative share — the "top 10% of users drive X% of revenue"
+    number. Spend sums ride DECIMAL end to end, so the ranking and the
+    shares are exact and engine-identical.
+
+    Plan: the ONLY per-event work is the per-user aggregate (map-side
+    partials on a high-cardinality key); the NTILE window then sorts the
+    per-USER aggregate — |users|, orders of magnitude below |events| —
+    and the decile rollup plus share windows run over 10 rows."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), "user_id")
+    ranked = per_user.withColumn("decile", F.ntile(10).over(w))
+    deciles = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("spend").alias("dec_spend"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return deciles.select(
+        "decile",
+        "n_users",
+        F.col("dec_spend").cast("double").alias("decile_spend"),
+        F.round(
+            (F.sum("dec_spend").over(wcum) / F.sum("dec_spend").over(wall)).cast(
+                "double"
+            ),
+            4,
+        ).alias("cum_share"),
+    )

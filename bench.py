@@ -145,6 +145,8 @@ HEADLINE = [
     "behavior_dau_wau_stickiness",
     "agg_argmin_argmax_by",
     "behavior_longest_streak",
+    "curation_tokenizer_fertility",
+    "behavior_spend_pareto",
 ]
 
 
