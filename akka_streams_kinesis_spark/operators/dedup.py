@@ -14,7 +14,7 @@ never materialized, only co-occurring shingles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
 from ..io import fanout, table
@@ -509,4 +509,91 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a", "doc_b", "n_common", F.round(cont, 4).alias("containment")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_method_venn — which duplicates does each method find?
+# ---------------------------------------------------------------------------
+
+
+def _venn_oracle() -> str:
+    from .simhash import _SHARED_AGG_SQL
+
+    return f"""
+    {_minhash_ctes()}{_band_cap_ctes()}
+    , mh_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM cand_pairs
+            UNION ALL SELECT doc_b FROM cand_pairs
+        )
+    ), exact_groups AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY MD5(t)) AS grp_n FROM norm
+    ), doc_tokens AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), sim_sigs AS (
+        {_SHARED_AGG_SQL}
+    ), sim_groups AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY simhash) AS grp_n
+        FROM sim_sigs
+    ), flags AS (
+        SELECT e.doc_id,
+               e.grp_n > 1 AS by_exact,
+               s.grp_n > 1 AS by_simhash,
+               (m.doc_id IS NOT NULL) AS by_minhash
+        FROM exact_groups e
+        JOIN sim_groups s USING (doc_id)
+        LEFT JOIN mh_docs m USING (doc_id)
+    )
+    SELECT by_exact, by_simhash, by_minhash, COUNT(*) AS n_docs
+    FROM flags GROUP BY by_exact, by_simhash, by_minhash
+    """
+
+
+@query("dedup_method_venn", oracle=_venn_oracle())
+def dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-methodology audit: every document flagged by each of the
+    three families — exact (normalized-digest group > 1), SimHash
+    (fingerprint group > 1), MinHash-LSH (appears in a capped candidate
+    pair) — and the 2³ Venn cell counts. This is the report that
+    justifies a dedup stack: exact-only cells are hash-fragile dups the
+    fuzzy methods missed (shouldn't happen), fuzzy-only cells measure
+    what exact dedup leaves behind, and the all-three cell sizes the
+    easy wins. Each flag pipeline is the SAME plan its standalone
+    operator runs; the Venn is two digest-keyed windows, one distinct,
+    and a 3-key rollup on top."""
+    from .simhash import dedup_simhash as _simhash_sigs
+
+    d = table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("nh")
+    )
+    exact_flag = norm.select(
+        "doc_id",
+        (F.count("*").over(Window.partitionBy("nh")) > 1).alias("by_exact"),
+    )
+    sim_flag = _simhash_sigs(spark, sf_dir).select(
+        "doc_id",
+        (F.count("*").over(Window.partitionBy("simhash")) > 1).alias(
+            "by_simhash"
+        ),
+    )
+    pairs = dedup_minhash(spark, sf_dir)
+    mh_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("mh", F.lit(True))
+    )
+    flags = (
+        exact_flag.join(sim_flag, "doc_id")
+        .join(mh_docs, "doc_id", "left")
+        .select(
+            "by_exact",
+            "by_simhash",
+            F.coalesce("mh", F.lit(False)).alias("by_minhash"),
+        )
+    )
+    return flags.groupBy("by_exact", "by_simhash", "by_minhash").agg(
+        F.count("*").alias("n_docs")
     )

@@ -147,6 +147,7 @@ HEADLINE = [
     "behavior_longest_streak",
     "curation_tokenizer_fertility",
     "behavior_spend_pareto",
+    "dedup_method_venn",
 ]
 
 
