@@ -383,3 +383,70 @@ def maintenance_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_date", "event_type", "n", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_manifest_zonemap — manifest + zone-map table over the compacted log
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "layout_manifest_zonemap",
+    oracle="""
+    WITH dated AS (
+        SELECT CAST(ts AS DATE) AS event_date, ts, user_id FROM events
+    )
+    SELECT event_date,
+           1 AS n_files,
+           COUNT(*) AS n_rows,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM dated GROUP BY event_date
+    """,
+)
+def layout_manifest_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest + zone-map construction — the Iceberg/Delta-manifest-lite
+    a parquet lake keeps so planners can skip files without opening them:
+    per partition of the COMPACTED event log, the file count and the
+    min/max "zones" of the scan-predicate columns (ts, user_id). The
+    query builds it from the physical table (``input_file_name()``
+    grouping, so multi-file partitions are counted honestly) and the
+    oracle derives the same zones from the raw log — a compaction bug,
+    row loss, or a zone that doesn't cover its partition all break the
+    hash.
+
+    Scale: one pass over the table, partial+final agg keyed by
+    (partition, file); the manifest output is O(|files|), the whole
+    point — planners read IT, not the data."""
+    src = partitioned_events_path(spark, sf_dir)
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    out = os.path.join(wh, f"aks_events_compacted_{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # reuse the compaction operator's one-file-per-day table
+        layout_compact_small_files(spark, sf_dir).count()
+    compacted = spark.read.option("basePath", out).parquet(out)
+    per_file = (
+        compacted.select(
+            "event_date", F.input_file_name().alias("_file"), "ts", "user_id"
+        )
+        .groupBy("event_date", "_file")
+        .agg(
+            F.count("*").alias("f_rows"),
+            F.min("ts").alias("f_min_ts"),
+            F.max("ts").alias("f_max_ts"),
+            F.min("user_id").alias("f_min_user"),
+            F.max("user_id").alias("f_max_user"),
+        )
+    )
+    return per_file.groupBy("event_date").agg(
+        F.count("*").cast("int").alias("n_files"),
+        F.sum("f_rows").alias("n_rows"),
+        F.min("f_min_ts").alias("min_ts"),
+        F.max("f_max_ts").alias("max_ts"),
+        F.min("f_min_user").alias("min_user"),
+        F.max("f_max_user").alias("max_user"),
+    )

@@ -532,3 +532,65 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
         (F.col("n") > F.col("mu") + 3 * F.col("sigma")).alias("is_burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_velocity_features — multi-horizon rolling activity counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_velocity_features",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+    ), feats AS (
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) - 1 AS BIGINT) AS n_prior_1h,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+               ) - 1 AS BIGINT) AS n_prior_24h
+        FROM base
+    )
+    SELECT * FROM feats WHERE event_id % 20 = 0
+    """,
+)
+def events_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity features — rolling 1-hour and 24-hour activity counts per
+    user at every event (self excluded): the fraud/abuse staple ("how
+    many actions did this account take in the last hour?"). Both
+    horizons are RANGE frames over the SAME per-user epoch-microsecond
+    ordering, so Spark plans ONE sort+exchange and evaluates both frames
+    in the same Window pass; frame state is a sliding pointer pair, not
+    the window contents.
+
+    Same-instant events: RANGE at CURRENT ROW includes ties on both
+    engines, and self-exclusion is the −1 — identical tie semantics by
+    construction."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    w1h = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    w24h = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            (F.count("*").over(w1h) - 1).alias("n_prior_1h"),
+            (F.count("*").over(w24h) - 1).alias("n_prior_24h"),
+        )
+        .filter(F.col("event_id") % 20 == 0)
+    )

@@ -148,6 +148,8 @@ HEADLINE = [
     "curation_tokenizer_fertility",
     "behavior_spend_pareto",
     "dedup_method_venn",
+    "layout_manifest_zonemap",
+    "events_velocity_features",
 ]
 
 
