@@ -560,3 +560,62 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn(
         "frac_of_true", F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — Zipf-law slope via regression aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+    ), ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+        FROM vocab
+    )
+    SELECT COUNT(*) AS vocab_size,
+           ROUND(REGR_SLOPE(LN(freq), LN(rank)), 4)     AS zipf_slope,
+           ROUND(REGR_INTERCEPT(LN(freq), LN(rank)), 4) AS zipf_intercept,
+           ROUND(REGR_R2(LN(freq), LN(rank)), 4)        AS r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope,
+    intercept, and R² of log-frequency vs log-rank, using the SQL
+    regression aggregates (``regr_slope``/``regr_intercept``/``regr_r2``).
+    Natural text sits near slope −1; a corpus whose slope drifts flat is
+    boilerplate-flooded and one that's too steep lost its long tail to
+    over-aggressive filtering — a one-row corpus-health gauge.
+
+    Plan: token hash-agg → rank window over the (Heaps-law-bounded)
+    vocabulary → one regression aggregate; the only full-data pass is
+    the token count."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")),
+    )
+    lf, lr = F.log("freq"), F.log("rank")
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(F.expr("regr_slope(ln(freq), ln(rank))"), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(F.expr("regr_intercept(ln(freq), ln(rank))"), 4).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.expr("regr_r2(ln(freq), ln(rank))"), 4).alias("r2"),
+    )

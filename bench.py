@@ -150,6 +150,7 @@ HEADLINE = [
     "dedup_method_venn",
     "layout_manifest_zonemap",
     "events_velocity_features",
+    "text_zipf_fit",
 ]
 
 
