@@ -778,3 +778,72 @@ def similarity_hard_negative_mining(
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_centroid_drift — embedding-distribution drift monitor
+# ---------------------------------------------------------------------------
+
+# cohort split: first half vs second half of the corpus by vec_id parity
+# (stand-in for "last week's embeddings vs this week's")
+_DRIFT_A = "vec_id % 2 = 0"
+_DRIFT_B = "vec_id % 2 = 1"
+_DRIFT_COS_FLOOR = 0.98
+
+
+@query(
+    "similarity_centroid_drift",
+    oracle=f"""
+    WITH cells AS (
+        SELECT label,
+               CAST(i - 1 AS BIGINT) AS dim,
+               AVG(CASE WHEN {_DRIFT_A}
+                        THEN CAST(embedding[i] AS DOUBLE) END) AS ca,
+               AVG(CASE WHEN {_DRIFT_B}
+                        THEN CAST(embedding[i] AS DOUBLE) END) AS cb
+        FROM embeddings
+        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        GROUP BY label, dim
+    )
+    SELECT label,
+           ROUND(SUM(ca * cb)
+                 / (SQRT(SUM(ca * ca)) * SQRT(SUM(cb * cb))), 6)
+               AS centroid_cosine,
+           (SUM(ca * cb) / (SQRT(SUM(ca * ca)) * SQRT(SUM(cb * cb)))
+               >= {_DRIFT_COS_FLOOR}) AS within_tolerance
+    FROM cells
+    GROUP BY label
+    """,
+)
+def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the cosine
+    between the cohort-A and cohort-B centroids (here the two vec_id
+    parities standing in for consecutive ingest windows). A drifting
+    encoder or a shifted upstream corpus pulls the cosine off 1.0; the
+    ≥{_DRIFT_COS_FLOOR} flag is the alarm an embedding pipeline pages
+    on before its ANN index quietly degrades.
+
+    Plan: BOTH cohort centroids come out of ONE posexplode pass
+    (conditional means per (label, dim) — map-side partials shrink the
+    shuffle to labels × dims regardless of corpus size), then the cosine
+    folds over the tiny cell table."""
+    e = fanout(table(spark, sf_dir, "embeddings"))
+    exploded = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "v")
+    )
+    cells = exploded.groupBy("label", "dim").agg(
+        F.avg(
+            F.when(F.expr(_DRIFT_A), F.col("v").cast("double"))
+        ).alias("ca"),
+        F.avg(
+            F.when(F.expr(_DRIFT_B), F.col("v").cast("double"))
+        ).alias("cb"),
+    )
+    cos = F.sum(F.col("ca") * F.col("cb")) / (
+        F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+        * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+    )
+    return cells.groupBy("label").agg(
+        F.round(cos, 6).alias("centroid_cosine"),
+        (cos >= _DRIFT_COS_FLOOR).alias("within_tolerance"),
+    )

@@ -375,3 +375,90 @@ def window_rows_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 4).alias("ma4"),
         F.count("*").over(w).alias("n_in_frame"),
     )
+
+
+@query(
+    "events_session_conversion_by_depth",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_type,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               COUNT(*) AS depth,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM sessions GROUP BY user_id, session_id
+    ), bucketed AS (
+        SELECT CASE WHEN depth <= 2 THEN '01-02'
+                    WHEN depth <= 5 THEN '03-05'
+                    WHEN depth <= 10 THEN '06-10'
+                    ELSE '11+' END AS depth_bucket,
+               converted
+        FROM per_session
+    )
+    SELECT depth_bucket,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(converted) * 1.0 / COUNT(*), 4) AS conversion_rate
+    FROM bucketed GROUP BY depth_bucket
+    """,
+)
+def events_session_conversion_by_depth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion rate by session depth: sessions (30-min inactivity gap,
+    same construction as events_sessionize) bucketed by event count, with
+    the share that contain a purchase — the engagement-vs-conversion
+    curve a funnel team reads before deciding where sessions die.
+
+    Plan: the sessionization windows share one (user_id) sort; the
+    per-session reduce and the 4-bucket rollup are plain hash aggregates
+    — everything after the first window is proportional to sessions,
+    then buckets."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_us > 1800 * 1000 * 1000, 1)
+        .otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(cum)
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("depth"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    bucket = (
+        F.when(F.col("depth") <= 2, "01-02")
+        .when(F.col("depth") <= 5, "03-05")
+        .when(F.col("depth") <= 10, "06-10")
+        .otherwise("11+")
+    )
+    return (
+        per_session.select(bucket.alias("depth_bucket"), "converted")
+        .groupBy("depth_bucket")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.round(
+                F.sum("converted") * 1.0 / F.count("*"), 4
+            ).alias("conversion_rate"),
+        )
+    )

@@ -151,6 +151,8 @@ HEADLINE = [
     "layout_manifest_zonemap",
     "events_velocity_features",
     "text_zipf_fit",
+    "similarity_centroid_drift",
+    "events_session_conversion_by_depth",
 ]
 
 
