@@ -353,3 +353,62 @@ def maintenance_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# maintenance_table_checksum — order-independent content digests
+# ---------------------------------------------------------------------------
+
+_CK_TABLES = ["orders", "lineitem", "customer", "events", "documents"]
+_CK_KEYS = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey * 16 + l_linenumber",
+    "customer": "c_custkey",
+    "events": "event_id",
+    "documents": "doc_id",
+}
+
+
+@query(
+    "maintenance_table_checksum",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS table_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || SUBSTR(MD5(CAST({key} AS VARCHAR)), 1, 12))
+                    AS BIGINT)) AS BIGINT) AS checksum
+    FROM {tbl}"""
+        for tbl, key in _CK_KEYS.items()
+    ),
+)
+def maintenance_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksums: per table, the SUM of a
+    48-bit md5 digest of each row's primary key — the replication /
+    migration verification primitive (two replicas agree iff their
+    key sets match, regardless of row order, file layout, or partition
+    count, because SUM is commutative). Sum-of-digests beats hash-of-
+    sorted-concat at scale: no global sort, plain partial+final agg,
+    and incremental (a batch's delta checksum just adds).
+
+    48-bit digests keep the int64 sum overflow-free to ~30 T rows."""
+    parts = []
+    for tbl in _CK_TABLES:
+        t = table(spark, sf_dir, tbl)
+        key = _CK_KEYS[tbl]
+        digest = F.conv(
+            F.substring(F.md5(F.expr(key).cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        parts.append(
+            t.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(digest).alias("checksum"),
+            ).select(
+                F.lit(tbl).alias("table_name"), "n_rows", "checksum"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -291,3 +291,94 @@ def dedup_incremental_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "h", "batch_copies")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_quality_threshold_sweep — tuning curve for the quality screen
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.48, 0.50, 0.52)
+
+
+@query(
+    "curation_quality_threshold_sweep",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tok,
+               AVG(({_BUCKET_DUCK} % {_CLF_MOD}) * 1.0 / {_CLF_MOD} - 0.5) AS mean_w
+        FROM toks GROUP BY doc_id
+    ), scored AS (
+        SELECT doc_id, n_tok,
+               1.0 / (1.0 + EXP(-({_CLF_BIAS} + mean_w))) AS score
+        FROM feats
+    )
+    SELECT CAST(t.thr AS DOUBLE) AS threshold,
+           CAST(SUM(CASE WHEN score >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_kept,
+           CAST(SUM(CASE WHEN score >= t.thr THEN n_tok ELSE 0 END) AS BIGINT)
+               AS n_tokens_kept,
+           ROUND(SUM(CASE WHEN score >= t.thr THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS keep_rate
+    FROM scored
+    CROSS JOIN (VALUES {", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)}) AS t(thr)
+    GROUP BY t.thr
+    """,
+)
+def curation_quality_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold tuning curve for the hashed linear quality screen: docs
+    and tokens surviving at each candidate cutoff, with keep rates — the
+    table a data team reads against its token budget before freezing the
+    classifier threshold (companion to text_langid_confusion on the
+    evaluation side).
+
+    Plan: the scoring pass runs ONCE (same zero-shuffle fold as the
+    classifier); the sweep is a broadcast 3-row threshold join over the
+    per-doc score table, so adding thresholds costs nothing but the
+    conditional sums."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    feats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.avg(
+            (F.expr(_BUCKET_SPARK) % _CLF_MOD) * 1.0 / _CLF_MOD - 0.5
+        ).alias("mean_w"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "n_tok",
+        (1.0 / (1.0 + F.exp(-(F.lit(_CLF_BIAS) + F.col("mean_w"))))).alias(
+            "score"
+        ),
+    )
+    thrs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thrs))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                (F.col("score") >= F.col("threshold")).cast("long")
+            ).alias("n_docs_kept"),
+            F.sum(
+                F.when(
+                    F.col("score") >= F.col("threshold"), F.col("n_tok")
+                ).otherwise(0)
+            ).alias("n_tokens_kept"),
+            F.round(
+                F.sum((F.col("score") >= F.col("threshold")).cast("long"))
+                * 1.0
+                / F.count("*"),
+                4,
+            ).alias("keep_rate"),
+        )
+    )

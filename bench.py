@@ -153,6 +153,8 @@ HEADLINE = [
     "text_zipf_fit",
     "similarity_centroid_drift",
     "events_session_conversion_by_depth",
+    "curation_quality_threshold_sweep",
+    "maintenance_table_checksum",
 ]
 
 
