@@ -311,7 +311,8 @@ _HIST_BUCKETS = 128
     WITH bounds AS (
         SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n FROM events
     ), hist AS (
-        SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 128)) AS INTEGER),
+        SELECT LEAST(CAST(FLOOR((value - lo)
+                           / (GREATEST(hi - lo, 1e-12) / 128)) AS INTEGER),
                      127) AS bucket,
                COUNT(*) AS cnt
         FROM events, bounds GROUP BY 1
@@ -333,10 +334,11 @@ _HIST_BUCKETS = 128
         SELECT 0.99, QUANTILE_CONT(value, 0.99) FROM events
     )
     SELECT CAST(est.p AS DOUBLE) AS p,
-           ROUND(lo + (qb + 0.5) * ((hi - lo) / 128), 4) AS est_value,
+           ROUND(lo + (qb + 0.5) * (GREATEST(hi - lo, 1e-12) / 128), 4)
+             AS est_value,
            ROUND(exact_v, 4) AS exact_value,
-           (ABS((lo + (qb + 0.5) * ((hi - lo) / 128)) - exact_v)
-             <= (hi - lo) / 128) AS within_bucket_width
+           (ABS((lo + (qb + 0.5) * (GREATEST(hi - lo, 1e-12) / 128)) - exact_v)
+             <= GREATEST(hi - lo, 1e-12) / 128) AS within_bucket_width
     FROM est JOIN exact ON exact.p = est.p CROSS JOIN bounds
     """,
 )
@@ -359,7 +361,10 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("hi"),
         F.count("*").alias("n"),
     )
-    width = (F.col("hi") - F.col("lo")) / _HIST_BUCKETS
+    # zero-width guard (degenerate single-value distribution): without it
+    # Spark yields NULL buckets (silent 127) while the DuckDB oracle's
+    # CAST(FLOOR(NaN)) errors — engines must agree, and cleanly
+    width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) / _HIST_BUCKETS
     hist = (
         e.crossJoin(F.broadcast(bounds))
         .select(

@@ -144,12 +144,11 @@ _BLOOM_N = 4           # shingle width (words)
 _BLOOM_M = 1 << 17     # bits (16 KiB)
 _BLOOM_K = 3           # hash functions
 
-# train/test split: first md5(doc_id) byte, mirrored from curation.py
-_SPLIT_CASE = (
-    "CASE WHEN SUBSTR(MD5(CAST(doc_id AS {st})), 1, 2) < 'cd' THEN 'train' "
-    "WHEN SUBSTR(MD5(CAST(doc_id AS {st})), 1, 2) < 'e6' THEN 'valid' "
-    "ELSE 'test' END"
-)
+# train/test split: imported from curation.py (single source of truth —
+# the decontamination screens must agree with split_train_valid_test and
+# pipeline_pretraining_prep about which docs are train/test; a retuned
+# copy here would silently desynchronize the contamination screen)
+from .curation import _SPLIT_CASE  # noqa: E402
 
 
 def _bloom_positions(s: str) -> list[int]:

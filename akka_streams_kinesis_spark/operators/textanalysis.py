@@ -217,15 +217,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests is engine-portable; the aggregate is a single hash-agg whose
     shuffle rows are (doc_id, 32-char digest) partials, not the grams."""
     d = fanout(table(spark, sf_dir, "documents"))
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN char_length(text) >= 8 "
-                "THEN transform(sequence(1, char_length(text) - 7), i -> substring(text, i, 8)) "
-                "ELSE array() END"
-            )
-        ).alias("g"),
+    # explode a PRIMITIVE position sequence and slice the gram after the
+    # generate, never a per-row array of n string grams: the transient
+    # per-document allocation is 8 bytes/position instead of a whole
+    # second copy of the text ×8 — the difference between a long document
+    # costing kilobytes and costing megabytes of task memory (an sf1
+    # canary run OOMed a 1 GiB session on the materialized-array form)
+    grams = (
+        d.filter(F.char_length("text") >= 8)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.char_length("text") - 7)
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 8)").alias("g"))
     )
     # two-level aggregate instead of countDistinct: the (doc_id, g) partial
     # aggregation dedups map-side BEFORE the shuffle, and avoids the Expand

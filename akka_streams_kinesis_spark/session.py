@@ -31,6 +31,11 @@ def get_session(app_name: str = "akka-streams-kinesis-spark") -> SparkSession:
         # Arrow transfer for pandas_udf / mapInPandas operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI mode ON, explicitly: Spark 4's default and the driver's
+        # verify/bench posture. Pinning it here means local runs can never
+        # silently diverge (e.g. overflow-wraps passing locally but
+        # throwing ARITHMETIC_OVERFLOW under the driver, as in round 3).
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.ui.enabled", "false")
         # local mode: driver heap IS executor heap for all 32 task threads;
         # undersizing it turns broadcast/codegen churn into GC tail latency

@@ -233,9 +233,15 @@ def _read_partition(
                     f"shard {part.shard_id}: iterator still expired after "
                     f"{_MAX_REISSUE_RETRIES} consecutive reissues on {f}"
                 ) from e
-            # reissue: re-list the shard dir, keep only undrained files
+            # reissue: re-list the shard dir but restrict to the PLANNED
+            # file set — a file written after planning must not leak into a
+            # bounded scan's fault-retry path (results would then differ
+            # between faulting and non-faulting runs of the same scan)
+            planned = set(part.files)
             pending = [
-                x for x in _shard_files(os.path.dirname(f)) if x not in drained
+                x
+                for x in _shard_files(os.path.dirname(f))
+                if x in planned and x not in drained
             ]
             continue
         except ThroughputExceededError as e:
@@ -291,10 +297,15 @@ class KinesisSimBatchReader(DataSourceReader):
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("shard_id",):
-                self.wanted_shards = {f.value}
-            elif isinstance(f, In) and f.attribute == ("shard_id",):
-                self.wanted_shards = set(f.value)
+            if isinstance(f, (EqualTo, In)) and f.attribute == ("shard_id",):
+                # conjunctive semantics: multiple pushed shard_id predicates
+                # (e.g. IN ('a','b') AND = 'a', which Catalyst does not
+                # always fold) must INTERSECT, not overwrite — consuming a
+                # filter promises Spark it has been fully applied
+                s = {f.value} if isinstance(f, EqualTo) else set(f.value)
+                self.wanted_shards = (
+                    s if self.wanted_shards is None else self.wanted_shards & s
+                )
             else:
                 yield f  # everything else stays in Spark's Filter node
 
@@ -537,7 +548,16 @@ def _task_put(
         datas = batch.column("data").to_pylist()
         for pk, data in zip(pks, datas):
             h = hash_key_for_partition_key(pk)
-            sid = next(s for s, lo, hi, _ in ranges if lo <= h <= hi)
+            sid = next((s for s, lo, hi, _ in ranges if lo <= h <= hi), None)
+            if sid is None:
+                # e.g. hand-edited shards.json or a reshard that left a
+                # hash-range gap: fail with a diagnosable message instead
+                # of an opaque executor StopIteration
+                raise RuntimeError(
+                    f"no open shard covers hash key {h} for partition key "
+                    f"{pk!r}; open ranges: "
+                    f"{[(s, lo, hi) for s, lo, hi, _ in ranges]}"
+                )
             per_shard.setdefault(sid, []).append((pk, bytes(data)))
 
     naive_ts = arrival_ts

@@ -161,8 +161,33 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # --only q1,q2: pre-commit smoke for newly added HEADLINE queries —
+    # runs just those at sf0.1 (no warmups, no stream drain, no summary
+    # file) so a query can never again ship unbenched. rc=1 on any error.
+    only: list[str] | None = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [q for q in only if q not in registry.QUERIES]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
     spark = get_session("aks-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if only is not None:
+        errs = 0
+        for name in only:
+            t0 = time.perf_counter()
+            try:
+                registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                print(f"# {name}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+            except Exception as e:
+                errs += 1
+                print(f"# {name}: ERROR {str(e)[:200]}", file=sys.stderr)
+        spark.stop()
+        sys.exit(1 if errs else 0)
 
     # Warm-up (not timed): JVM codegen, parquet readers, shuffle machinery,
     # and the Python/Arrow worker pool — so timings reflect steady state,
@@ -204,12 +229,22 @@ def main() -> None:
         .save()
     )
 
+    # Per-query fault isolation: one throwing query must never zero the
+    # whole round's timing artifact (round 3 lost all 132 timings to a
+    # single ANSI overflow). Failures are recorded under "errors" and the
+    # summary line is always emitted; rc is 1 iff any query failed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:
+            errors[name] = str(e)[:300]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
@@ -222,13 +257,18 @@ def main() -> None:
         stream_ingest_hourly,
     )
 
-    n_events = table(spark, sf_dir, "events").count()
-    stream_ingest_hourly(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    stream_ingest_hourly(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    drain_s = time.perf_counter() - t0
-    stream_rate = round(n_events / drain_s, 1)
-    print(f"# stream ingest drain: {drain_s:.2f}s ({stream_rate} rows/s)", file=sys.stderr)
+    try:
+        n_events = table(spark, sf_dir, "events").count()
+        stream_ingest_hourly(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        stream_ingest_hourly(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        drain_s = time.perf_counter() - t0
+        stream_rate = round(n_events / drain_s, 1)
+        print(f"# stream ingest drain: {drain_s:.2f}s ({stream_rate} rows/s)", file=sys.stderr)
+    except Exception as e:
+        errors["stream_ingest_hourly"] = str(e)[:300]
+        stream_rate = None
+        print(f"# stream ingest drain: ERROR {str(e)[:120]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -236,6 +276,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "stream_ingest_rows_per_sec": stream_rate,
         "sf": float(sf),
     }
@@ -256,6 +297,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "stream_ingest_rows_per_sec": stream_rate,
                 "sf": float(sf),
                 "queries_file": "BENCH_SUMMARY.json",
@@ -263,6 +305,7 @@ def main() -> None:
         )
     )
     spark.stop()
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,12 @@ JSON_OUT = None
 if "--json" in sys.argv:
     JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
     args = [a for a in args if a != JSON_OUT]
+# --names a,b,c: run only the named queries (scale-canary subsets)
+ONLY = None
+if "--names" in sys.argv:
+    raw = sys.argv[sys.argv.index("--names") + 1]
+    ONLY = set(raw.split(","))
+    args = [a for a in args if a != raw]
 SF_DIR = args[0] if args else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -48,8 +54,17 @@ def multiset(rows, cols):
 
 
 def main():
-    # deliberately vanilla: the driver builds its own session
-    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    if "--engine-session" in sys.argv:
+        # scale-canary mode (sf1): the engine's own session factory —
+        # 16g driver, UI off, AQE on. The default 1g vanilla JVM is not
+        # a credible stand-in for a cluster when result sets reach
+        # ~1M collected rows; the sf0.01 gate below stays vanilla.
+        from akka_streams_kinesis_spark import get_session
+
+        spark = get_session("driver-sim-canary")
+    else:
+        # deliberately vanilla: the driver builds its own session
+        spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
@@ -63,6 +78,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = se.queries(), se.oracle_sql()
+    if ONLY is not None:
+        missing = ONLY - set(qs)
+        assert not missing, f"--names not in queries(): {sorted(missing)}"
+        qs = {k: v for k, v in qs.items() if k in ONLY}
     n_pass = n_fail = 0
     report: dict[str, dict] = {}
     for name in sorted(qs):
@@ -77,6 +96,13 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(srows)
+            # job-scoped cache lifetime: some pipelines persist shared
+            # intermediates (band pipelines, edge lists) that are only
+            # meaningful within one query's DAG; left in place they pin
+            # the protected storage fraction and starve later queries'
+            # execution memory (observed as UNABLE_TO_ACQUIRE_MEMORY in
+            # the sf1 canary's 1g vanilla session)
+            spark.catalog.clearCache()
         except Exception as e:
             rec["err"] = f"spark error: {str(e)[:200]}"
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
