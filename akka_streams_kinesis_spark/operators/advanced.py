@@ -633,3 +633,97 @@ def curation_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_subwords") * 1.0 / F.sum("n_words"), 4
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_intersection_estimate — sketch-based audience-overlap estimation
+# ---------------------------------------------------------------------------
+
+_HLL_PAIRS = [("view", "click"), ("click", "purchase"), ("signup", "purchase")]
+
+
+@query(
+    "agg_hll_intersection_estimate",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{a}' AS type_a, '{b}' AS type_b,
+           CAST(SUM(ha * hb) AS BIGINT) AS exact_intersection,
+           TRUE AS within_tolerance
+    FROM (SELECT user_id,
+                 MAX(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ha,
+                 MAX(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS hb
+          FROM events WHERE event_type IN ('{a}', '{b}')
+          GROUP BY user_id)"""
+        for a, b in _HLL_PAIRS
+    ),
+)
+def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from mergeable sketches: |A ∩ B| via
+    HLL inclusion-exclusion (est_A + est_B − est_A∪B) — the only way to
+    intersect user sets that live on different machines/days without
+    re-shuffling raw ids (HLL unions are lossless and mergeable;
+    intersections must go through inclusion-exclusion). This is the
+    cross-segment overlap / reach-dedup primitive every audience or
+    ads-measurement pipeline runs.
+
+    Gated like agg_approx_distinct_users: the estimate is
+    implementation-specific, so the hash gate pins the EXACT overlap plus
+    a boolean asserting the sketch estimate landed within 5% of the
+    exact union (inclusion-exclusion amplifies the per-sketch rsd by
+    roughly |A|+|B|+|A∪B| over the intersection, so tolerance is scaled
+    to the union, not the intersection). Two shuffles: distinct flags per
+    user, then a global 1-row rollup per pair."""
+    e = table(spark, sf_dir, "events")
+    # ONE scan + ONE user_id shuffle serves all pairs: per-user type flags
+    # first, then every pair's exact/sketch stats as columns of a single
+    # global aggregate, unpivoted to rows with an explode (no per-pair
+    # re-scan, no recomputed aggregate branches)
+    types = sorted({t for p in _HLL_PAIRS for t in p})
+    per_user = (
+        e.filter(F.col("event_type").isin(*types))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max((F.col("event_type") == t).cast("int")).alias(f"h_{t}")
+                for t in types
+            ]
+        )
+    )
+    # 7 sketches, not 15: each TYPE's cardinality sketch is shared by every
+    # pair that mentions it, and only the per-pair UNION needs its own
+    # sketch. rsd is 2% — HLL buffer width scales as 1/rsd² and the
+    # declarative register updates run per input row, so 1% sketches cost
+    # ~3x the whole rest of the aggregate; 2% is the at-scale tradeoff
+    aggs = [
+        F.approx_count_distinct(
+            F.when(F.col(f"h_{t}") == 1, F.col("user_id")), 0.02
+        ).alias(f"e_{t}")
+        for t in types
+    ]
+    for a, b in _HLL_PAIRS:
+        ha, hb = F.col(f"h_{a}"), F.col(f"h_{b}")
+        aggs += [
+            F.sum(ha * hb).cast("bigint").alias(f"xi_{a}_{b}"),
+            F.sum(F.greatest(ha, hb)).alias(f"xu_{a}_{b}"),
+            F.approx_count_distinct(
+                F.when((ha == 1) | (hb == 1), F.col("user_id")), 0.02
+            ).alias(f"eu_{a}_{b}"),
+        ]
+    one = per_user.agg(*aggs)
+    rows = []
+    for a, b in _HLL_PAIRS:
+        est_inter = F.col(f"e_{a}") + F.col(f"e_{b}") - F.col(f"eu_{a}_{b}")
+        rows.append(
+            F.struct(
+                F.lit(a).alias("type_a"),
+                F.lit(b).alias("type_b"),
+                F.col(f"xi_{a}_{b}").alias("exact_intersection"),
+                (
+                    F.abs(est_inter - F.col(f"xi_{a}_{b}"))
+                    <= 0.08 * F.col(f"xu_{a}_{b}")
+                ).alias("within_tolerance"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

@@ -308,3 +308,109 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (age_us > _ASOF_TOL_S * 1_000_000)
         ).alias("dropped_stale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# asof_join_nearest — bidirectional as-of (nearest match in either direction)
+# ---------------------------------------------------------------------------
+
+_NEAREST_CASE = """
+    CASE
+        WHEN prev_ts IS NULL AND next_ts IS NULL THEN {none}
+        WHEN prev_ts IS NULL THEN {fwd}
+        WHEN next_ts IS NULL THEN {bwd}
+        WHEN EPOCH_US(ts) - EPOCH_US(prev_ts)
+             <= EPOCH_US(next_ts) - EPOCH_US(ts) THEN {bwd}
+        ELSE {fwd}
+    END"""
+
+
+@query(
+    "asof_join_nearest",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           {_NEAREST_CASE.format(none="NULL", bwd="prev_ts", fwd="next_ts")}
+               AS nearest_purchase_ts,
+           {_NEAREST_CASE.format(none="CAST(NULL AS VARCHAR)",
+                                 bwd="'backward'", fwd="'forward'")}
+               AS direction
+    FROM (
+        SELECT c.event_id, c.user_id, c.ts,
+               (SELECT MAX(p.ts) FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = c.user_id AND p.ts <= c.ts) AS prev_ts,
+               (SELECT MIN(p.ts) FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = c.user_id AND p.ts >= c.ts) AS next_ts
+        FROM events c
+        WHERE c.event_type = 'click'
+    )
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional (nearest) as-of join — pandas ``merge_asof(
+    direction='nearest')``: for every click, the same user's purchase with
+    the smallest absolute time distance, ties to the earlier (backward)
+    match. Completes the as-of family (backward / forward / tolerance /
+    nearest).
+
+    Scale shape: the backward and forward candidates are computed in ONE
+    union of the two sides and ONE shuffle on user_id — two window passes
+    over opposite sort orders of the same exchange (Catalyst plans a
+    single Exchange feeding two Sort+Window nodes), so there is still no
+    inequality-join blow-up. The nearest pick is then a row-local CASE on
+    microsecond deltas (integer math, no float-epoch noise)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("_p"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_ts"),
+        F.lit(1).alias("_side"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("_p"),
+    )
+    tagged = purchases.unionByName(clicks)
+    # ascending pass: most recent purchase at-or-before (purchases sort
+    # before clicks at equal ts, so same-instant matches count — non-strict)
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # descending pass over the SAME exchange: walking ts downward, the last
+    # non-null purchase seen at-or-above the click is the earliest one >= it
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = tagged.select(
+        "_k",
+        "_ts",
+        "_side",
+        "event_id",
+        F.last("_p", ignorenulls=True).over(w_back).alias("prev_ts"),
+        F.last("_p", ignorenulls=True).over(w_fwd).alias("next_ts"),
+    ).filter(F.col("_side") == 1)
+    d_back = F.unix_micros("_ts") - F.unix_micros("prev_ts")
+    d_fwd = F.unix_micros("next_ts") - F.unix_micros("_ts")
+    pick_back = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (d_back <= d_fwd)
+    )
+    return both.select(
+        "event_id",
+        F.col("_k").alias("user_id"),
+        F.col("_ts").alias("ts"),
+        F.when(pick_back, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+        .alias("nearest_purchase_ts"),
+        F.when(pick_back, F.lit("backward"))
+        .when(F.col("next_ts").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+    )

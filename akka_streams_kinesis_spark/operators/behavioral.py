@@ -288,3 +288,80 @@ def behavior_spend_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# behavior_rfm_segments — recency/frequency/monetary quartile segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "behavior_rfm_segments",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts,
+               COUNT(*) AS frequency,
+               ROUND(SUM(value), 2) AS monetary
+        FROM p GROUP BY user_id
+    ), anchored AS (
+        SELECT u.user_id, u.frequency, u.monetary,
+               CAST(FLOOR((EPOCH_US((SELECT MAX(ts) FROM p)) - EPOCH_US(u.last_ts))
+                          / 86400000000.0) AS BIGINT) AS recency_days
+        FROM per_user u
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           NTILE(4) OVER (ORDER BY recency_days, user_id)        AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, user_id)      AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, user_id)       AS m_quartile
+    FROM anchored
+    """,
+)
+def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, days since last purchase
+    (anchored to the dataset's latest purchase so the metric is
+    reproducible), purchase count, and 2dp-rounded spend, each cut into
+    quartiles — the classic lifecycle-marketing segmentation, and the
+    canonical "three rankings of one aggregate" workload.
+
+    Scale notes: the per-user aggregate is one user_id shuffle; the
+    anchor timestamp is a broadcast single row. The three NTILEs are
+    global rankings — fine at per-user-aggregate cardinality (they rank
+    users, not events), and each orders by (metric, user_id) with
+    monetary pre-rounded so the quartile boundaries are engine-exact.
+    Recency is integer microseconds floor-divided to days — no float
+    date math."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    per_user = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    anchor = p.agg(F.max("ts").alias("anchor_ts"))
+    anchored = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.floor(
+            (F.unix_micros("anchor_ts") - F.unix_micros("last_ts"))
+            / F.lit(86400000000.0)
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+    )
+    return anchored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_quartile"),
+    )

@@ -38,7 +38,10 @@ _NORM = NORM_TEXT_DUCK.format(col="text")
 # dedup_cluster_components — near-dup candidate pairs → connected components
 # ---------------------------------------------------------------------------
 
-_CC_ORACLE = f"""
+# shared CTE chain ending in `members(doc_id, cluster_rep)` — the
+# recursive-CTE fixpoint mirror of connected_components(); reused by the
+# cluster-audit oracle below and the leakage-safe split oracle
+_CC_MEMBER_CTES = f"""
     {_minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)}{_band_cap_ctes()}
     , pairs AS (
         SELECT doc_a, doc_b FROM cand_pairs
@@ -54,12 +57,18 @@ _CC_ORACLE = f"""
     ), members AS (
         SELECT doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY doc_id
     )
+"""
+
+_CC_ORACLE = (
+    _CC_MEMBER_CTES
+    + """
     SELECT m.doc_id, m.cluster_rep, s.cluster_size
     FROM members m
     JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
           FROM members GROUP BY cluster_rep) s
       ON s.cluster_rep = m.cluster_rep
 """
+)
 
 
 def connected_components(undirected_edges: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -164,6 +173,13 @@ _SPLIT_CASE = (
     "WHEN SUBSTR(MD5(CAST(doc_id AS {st})), 1, 2) < 'e6' THEN 'valid' "
     "ELSE 'test' END"
 )
+
+
+def _split_case(col: str, st: str) -> str:
+    """The split CASE over an arbitrary key column (``st`` is the engine's
+    string type name) — used to split by cluster representative instead of
+    doc_id in the leakage-safe split."""
+    return _SPLIT_CASE.format(st=st).replace("doc_id", col)
 
 
 @query(
@@ -1039,4 +1055,64 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _WRS_K)
         .select("doc_id", "lang", "n_tokens", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_safe_clusters — near-dup-aware train/valid/test assignment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_leakage_safe_clusters",
+    oracle=_CC_MEMBER_CTES
+    + f"""
+    , assigned AS (
+        SELECT d.doc_id, COALESCE(m.cluster_rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN members m ON m.doc_id = d.doc_id
+    )
+    SELECT {_split_case("rep", "VARCHAR")} AS split,
+           COUNT(DISTINCT rep) AS n_clusters,
+           COUNT(*)            AS n_docs
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def split_leakage_safe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: hash-split by near-dup CLUSTER
+    representative, not by document. A per-doc hash split puts two near-
+    duplicates of the same page in train and test ~2·p·(1−p) of the time —
+    eval contamination that decontamination screens then have to claw
+    back. Assigning whole MinHash-LSH components to one split makes
+    cross-split leakage structurally impossible (any two near-dups share
+    a component, hence a rep, hence a split).
+
+    Scale shape: the cluster labels come from the O(log diameter)
+    label-propagation components over band-capped LSH pairs; singleton
+    docs (the overwhelming majority) never enter the edge set and take
+    rep = doc_id via a left join + coalesce — one broadcast-sized join
+    against the label table, then the same stateless md5-threshold CASE
+    as split_train_valid_test, now keyed on the rep. The DuckDB oracle
+    replays the whole pipeline (recursive-CTE components → split CASE),
+    so the no-leakage property is hash-gated end to end."""
+    pairs = dedup_minhash(spark, sf_dir).persist()
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(edges)
+    pairs.unpersist()
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    assigned = (
+        docs.join(
+            labels.withColumnRenamed("rep", "cluster_rep"), "doc_id", "left"
+        )
+        .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
+    )
+    return assigned.groupBy(
+        F.expr(_split_case("rep", "STRING")).alias("split")
+    ).agg(
+        F.count_distinct("rep").alias("n_clusters"),
+        F.count("*").alias("n_docs"),
     )

@@ -418,3 +418,54 @@ def maintenance_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# maintenance_partition_skew_report — hot-partition diagnosis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_partition_skew_report",
+    oracle="""
+    WITH per_day AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY 1
+    )
+    SELECT day, n_rows,
+           ROUND(n_rows * 1.0 / SUM(n_rows) OVER (), 4) AS pct_of_total,
+           ROUND(n_rows * 1.0 / AVG(n_rows) OVER (), 4) AS skew_vs_mean,
+           ROUND(n_rows * 1.0 / AVG(n_rows) OVER (), 4) > 1.5 AS is_hot
+    FROM per_day
+    """,
+)
+def maintenance_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnosis over the events table's natural partition
+    key (event day): per-partition row counts, share of total, ratio to
+    the mean partition, and a hot flag (>1.5x mean) — the report a data
+    platform runs BEFORE choosing salting, AQE skew thresholds, or a
+    different partition scheme. Detecting the skew is the prerequisite to
+    every mitigation this repo ships (join_salted_skew_join,
+    agg_salted_two_phase, AQE skew-join in session.py).
+
+    Scale shape: one partial+final count per day (the same cost as any
+    ingest metric), then the totals join back as a broadcast single row —
+    the report is metadata-sized no matter how big the table is. The hot
+    flag compares the ROUNDED ratio in both engines so the gate has no
+    float-boundary ambiguity."""
+    e = table(spark, sf_dir, "events")
+    per_day = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_rows")
+    )
+    totals = per_day.agg(
+        F.sum("n_rows").alias("total"), F.avg("n_rows").alias("mean")
+    )
+    skew = F.round(F.col("n_rows") / F.col("mean"), 4)
+    return per_day.crossJoin(F.broadcast(totals)).select(
+        "day",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("total"), 4).alias("pct_of_total"),
+        skew.alias("skew_vs_mean"),
+        (skew > 1.5).alias("is_hot"),
+    )

@@ -382,3 +382,72 @@ def curation_quality_threshold_sweep(
             ).alias("keep_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_class_balance_downsample — deterministic majority-class downsampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_class_balance_downsample",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_original FROM documents GROUP BY lang
+    ), target AS (
+        SELECT MIN(n_original) AS target_n FROM counts
+    ), kept AS (
+        SELECT d.lang,
+               CASE WHEN CAST(('0x' || SUBSTR(MD5('cb:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967296.0
+                    < CAST(t.target_n AS DOUBLE) / c.n_original
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d
+        JOIN counts c ON c.lang = d.lang
+        CROSS JOIN target t
+    )
+    SELECT k.lang,
+           COUNT(*) AS n_original,
+           CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+           t.target_n
+    FROM kept k CROSS JOIN target t
+    GROUP BY k.lang, t.target_n
+    """,
+)
+def sample_class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing downsample: every language is thinned toward the
+    minority language's count by a STATELESS hash predicate — keep doc
+    iff md5-fraction(doc_id) < target/class_count. No shuffle touches
+    the corpus (the per-class rates are a broadcast |langs|-row table),
+    the kept set is identical on any cluster layout or re-run, and it
+    composes with incremental ingest (new docs face the same
+    predicate). Thinning is binomial around the target, which is what
+    every at-scale sampler accepts in exchange for statelessness; the
+    gate pins the EXACT kept-set per class since both engines evaluate
+    the identical digest predicate row-for-row."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_original"))
+    target = counts.agg(F.min("n_original").alias("target_n"))
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cb:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    keep = (
+        frac < F.col("target_n").cast("double") / F.col("n_original")
+    ).cast("int")
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(target))
+        .groupBy("lang", "target_n")
+        .agg(
+            F.count("*").alias("n_original"),
+            F.sum(keep).cast("bigint").alias("n_kept"),
+        )
+        .select("lang", "n_original", "n_kept", "target_n")
+    )

@@ -847,3 +847,54 @@ def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("centroid_cosine"),
         (cos >= _DRIFT_COS_FLOOR).alias("within_tolerance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dimension_variance_report — per-dimension embedding health audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_dimension_variance_report",
+    oracle="""
+    WITH vals AS (
+        SELECT i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN UNNEST(RANGE(1, 65)) AS i(i)
+    )
+    SELECT dim,
+           ROUND(AVG(v), 6)         AS mean_v,
+           ROUND(STDDEV_SAMP(v), 6) AS std_v,
+           ROUND(MIN(v), 6)         AS min_v,
+           ROUND(MAX(v), 6)         AS max_v,
+           ROUND(STDDEV_SAMP(v), 6) < 0.01 AS near_dead
+    FROM vals GROUP BY dim
+    """,
+)
+def embedding_dimension_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/std/min/max + a
+    collapsed-dimension flag): the embedding-space health audit run
+    before trusting any downstream similarity index — dimensions with
+    near-zero variance carry no information (a symptom of embedding
+    collapse or a truncated model) and systematically biased means break
+    cosine assumptions.
+
+    Scale shape: posexplode to (dim, value) pairs — 64 rows per vector,
+    all consumed by one partial+final hash-agg into exactly 64 output
+    rows; no shuffle ever carries more than |dims| x partials. The dead
+    flag compares the ROUNDED std in both engines, so the gate has no
+    float-boundary ambiguity."""
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("val").cast("double").alias("v"),
+    )
+    std6 = F.round(F.stddev_samp("v"), 6)
+    return vals.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        std6.alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        (std6 < 0.01).alias("near_dead"),
+    )

@@ -594,3 +594,84 @@ def events_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("event_id") % 20 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# events_change_point_cusum — CUSUM change-point detection per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_change_point_cusum",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, AVG(cnt) AS mean_cnt, COUNT(*) AS n_hours
+        FROM hourly GROUP BY 1
+    ), cus AS (
+        SELECT h.event_type, h.hour, s.n_hours,
+               SUM(h.cnt - s.mean_cnt)
+                   OVER (PARTITION BY h.event_type ORDER BY h.hour) AS cusum
+        FROM hourly h JOIN stats s USING (event_type)
+    ), ranked AS (
+        SELECT event_type, hour, cusum, n_hours,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(ABS(cusum), 6) DESC, hour) AS rn
+        FROM cus
+    )
+    SELECT event_type,
+           hour                  AS change_hour,
+           ROUND(ABS(cusum), 4)  AS max_abs_cusum,
+           n_hours
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_change_point_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over each event type's hourly rate:
+    the hour where the cumulative sum of deviations from the mean peaks
+    in magnitude is the single most likely level-shift point (the
+    classic offline CUSUM estimator). This is the "when did the metric
+    change" primitive behind incident timelines and drift alarms.
+
+    Scale shape: the raw stream collapses to |types|x|hours| rows in one
+    partial+final count, and everything after runs on that tiny series —
+    mean per type, one ordered cumulative-sum window, one top-1 rank.
+    Cross-engine float parity is structural: the mean divides an exact
+    integer sum by an exact count, and the running sum adds the same
+    doubles in the same hour order in both engines; ranking compares the
+    6dp-rounded magnitude with the hour as tiebreak."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("cnt").alias("mean_cnt"), F.count("*").alias("n_hours")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = hourly.join(stats, "event_type").select(
+        "event_type",
+        "hour",
+        "n_hours",
+        F.sum(F.col("cnt") - F.col("mean_cnt")).over(w_cum).alias("cusum"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs("cusum"), 6).desc(), "hour"
+    )
+    return (
+        cus.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("change_hour"),
+            F.round(F.abs("cusum"), 4).alias("max_abs_cusum"),
+            "n_hours",
+        )
+    )

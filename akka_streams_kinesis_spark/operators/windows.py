@@ -462,3 +462,129 @@ def events_session_conversion_by_depth(
             ).alias("conversion_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_session_concurrency — interval-occupancy rollup over session spans
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id,
+               ts
+        FROM flagged
+    ), spans AS (
+        SELECT user_id, session_id,
+               DATE_TRUNC('hour', MIN(ts)) AS h_start,
+               DATE_TRUNC('hour', MAX(ts)) AS h_end
+        FROM sess GROUP BY user_id, session_id
+    ), occupied AS (
+        SELECT user_id, session_id, h_start, h_end,
+               UNNEST(GENERATE_SERIES(h_start, h_end, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    )
+    SELECT hour,
+           COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN hour = h_start THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starting,
+           CAST(SUM(CASE WHEN hour = h_end THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ending
+    FROM occupied
+    GROUP BY hour
+    """,
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load profile: how many sessions are ACTIVE in
+    each hour (plus how many start and end there) — the interval-
+    occupancy rollup behind capacity planning and concurrency SLO
+    dashboards. An interval query answered WITHOUT an interval self-join:
+    each session span explodes to its covered hour cells (a primitive
+    timestamp sequence, bounded by span length) and a plain hash-agg
+    counts occupancy per cell — linear in sessions x span-hours, where
+    the naive pairwise-overlap formulation is quadratic in concurrency.
+
+    Scale shape: one user_id shuffle (sessionize), one hour-cell
+    shuffle (occupancy agg); both partial+final. Sessions are 30-min-gap
+    bounded so spans are short — the explode factor is small and even a
+    very long-lived session only emits one row per hour of life."""
+    sessions = events_sessionize(spark, sf_dir).select(
+        F.date_trunc("hour", "session_start").alias("h_start"),
+        F.date_trunc("hour", "session_end").alias("h_end"),
+    )
+    occupied = sessions.select(
+        "h_start",
+        "h_end",
+        F.explode(
+            F.sequence("h_start", "h_end", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return occupied.groupBy("hour").agg(
+        F.count("*").alias("n_active"),
+        F.sum((F.col("hour") == F.col("h_start")).cast("long")).alias("n_starting"),
+        F.sum((F.col("hour") == F.col("h_end")).cast("long")).alias("n_ending"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_cumulative_distinct_users — audience accumulation curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT event_type, user_id,
+               MIN(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS first_day
+        FROM events GROUP BY 1, 2
+    ), per_day AS (
+        SELECT event_type, first_day AS day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY 1, 2
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS cum_users
+    FROM per_day
+    """,
+)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users per event type by day — the audience
+    accumulation / growth-accounting curve. A running COUNT(DISTINCT) is
+    not a window frame any engine supports directly; the scalable
+    identity is: distinct-so-far(t) = Σ new-at(t'), t' ≤ t, where "new"
+    is each user's FIRST day. So: min-day per (type,user) (one hash-agg
+    that also dedups map-side), count firsts per day, cumulative-sum the
+    counts — the heavy distinct state never enters the window, which
+    runs over |types|×|days| rows only. Days with no first-time users
+    simply don't appear (the curve is defined at change points)."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

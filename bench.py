@@ -155,6 +155,16 @@ HEADLINE = [
     "events_session_conversion_by_depth",
     "curation_quality_threshold_sweep",
     "maintenance_table_checksum",
+    "asof_join_nearest",
+    "split_leakage_safe_clusters",
+    "agg_hll_intersection_estimate",
+    "events_session_concurrency",
+    "maintenance_partition_skew_report",
+    "window_cumulative_distinct_users",
+    "sample_class_balance_downsample",
+    "behavior_rfm_segments",
+    "events_change_point_cusum",
+    "embedding_dimension_variance_report",
 ]
 
 

@@ -112,6 +112,22 @@ SHOWCASE = [
      "window dedup, broadcast test-shingle decontamination join, and a "
      "per-language rollup — the three report joins all share the doc_id "
      "key."),
+    ("asof_join_nearest",
+     "Bidirectional as-of from ONE Exchange on user_id: two Sort+Window "
+     "passes (ascending and descending) over the same shuffle output — "
+     "no inequality join, no second exchange."),
+    ("events_session_concurrency",
+     "Interval occupancy with NO interval self-join: sessionize window, "
+     "primitive hour-sequence Generate, then a partial+final count per "
+     "hour cell — linear where pairwise overlap is quadratic."),
+    ("split_leakage_safe_clusters",
+     "Cluster labels (iterative CC over band-capped LSH pairs) join the "
+     "doc list once; the split itself is the same stateless md5 CASE, "
+     "now keyed on the cluster rep."),
+    ("window_cumulative_distinct_users",
+     "Running COUNT DISTINCT without distinct state in any window: "
+     "first-day hash-agg (map-side dedup), per-day count, then a "
+     "cumulative sum over |types|x|days| rows only."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
 ]

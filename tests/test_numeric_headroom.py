@@ -47,8 +47,16 @@ def _sum_windows(plan: str):
 def _digest_sum_findings(plan: str) -> list[str]:
     findings = []
     for w in _sum_windows(plan):
-        if any(fn in w for fn in _DIGEST_FNS) and "as decimal" not in w:
-            findings.append(f"sum({w[:120]}...")
+        if not any(fn in w for fn in _DIGEST_FNS):
+            continue
+        if "as decimal" in w:
+            continue  # decimal accumulator: the sanctioned wide-sum escape
+        if any(op in w for op in (" < ", " > ", " <= ", " >= ", " = ")):
+            # the digest feeds a COMPARISON inside the sum argument — the
+            # summed value is a 0/1 predicate result (e.g. a hash-threshold
+            # keep flag), bounded by row count, not by digest magnitude
+            continue
+        findings.append(f"sum({w[:120]}...")
     return findings
 
 
