@@ -361,40 +361,73 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality-join blow-up. The nearest pick is then a row-local CASE on
     microsecond deltas (integer math, no float-epoch noise)."""
     e = table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("_k"),
-        F.col("ts").alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("_p"),
-    )
     clicks = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("_k"),
-        F.col("ts").alias("_ts"),
-        F.lit(1).alias("_side"),
-        "event_id",
-        F.lit(None).cast("timestamp").alias("_p"),
+        "event_id", "user_id", "ts"
     )
-    tagged = purchases.unionByName(clicks)
-    # ascending pass: most recent purchase at-or-before (purchases sort
-    # before clicks at equal ts, so same-instant matches count — non-strict)
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join_nearest_frame(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("nearest_ts").alias("nearest_purchase_ts"),
+        "direction",
+    )
+
+
+def asof_join_nearest_frame(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Nearest-direction as-of core (property-tested vs brute force in
+    tests/test_asof_property.py): returns the left columns plus
+    ``nearest_ts`` (the right timestamp with the smallest absolute
+    distance, ties to the earlier/backward match, NULL if the key has no
+    right rows) and ``direction`` ('backward' | 'forward' | NULL).
+
+    Both direction candidates come from ONE union and ONE shuffle on the
+    key — an ascending and a descending Sort+Window pass over the same
+    exchange output (see the asof_join_nearest plan in PLANS.md)."""
+    lcols = left.columns
+    # right rows carry a NULL left payload with the left side's exact types
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+        F.col(right_ts).alias("_p"),
+    )
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("_p"),
+    )
+    tagged = tagged_r.unionByName(tagged_l)
+    # ascending pass: most recent right row at-or-before (right rows sort
+    # before left rows at equal ts, so same-instant matches count)
     w_back = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # descending pass over the SAME exchange: walking ts downward, the last
-    # non-null purchase seen at-or-above the click is the earliest one >= it
+    # non-null right row seen at-or-above the left ts is the earliest one >= it
     w_fwd = (
         Window.partitionBy("_k")
         .orderBy(F.col("_ts").desc(), "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     both = tagged.select(
-        "_k",
-        "_ts",
         "_side",
-        "event_id",
+        *[f"_l_{c}" for c in lcols],
+        F.col("_ts"),
         F.last("_p", ignorenulls=True).over(w_back).alias("prev_ts"),
         F.last("_p", ignorenulls=True).over(w_fwd).alias("next_ts"),
     ).filter(F.col("_side") == 1)
@@ -404,12 +437,10 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_ts").isNull() | (d_back <= d_fwd)
     )
     return both.select(
-        "event_id",
-        F.col("_k").alias("user_id"),
-        F.col("_ts").alias("ts"),
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
         F.when(pick_back, F.col("prev_ts"))
         .otherwise(F.col("next_ts"))
-        .alias("nearest_purchase_ts"),
+        .alias("nearest_ts"),
         F.when(pick_back, F.lit("backward"))
         .when(F.col("next_ts").isNotNull(), F.lit("forward"))
         .alias("direction"),

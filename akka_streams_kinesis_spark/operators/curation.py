@@ -1116,3 +1116,48 @@ def split_leakage_safe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("rep").alias("n_clusters"),
         F.count("*").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_dedup_rate_by_source — duplication health per ingestion source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_dedup_rate_by_source",
+    oracle=f"""
+    WITH digests AS (
+        SELECT source, MD5({_NORM}) AS d FROM documents
+    )
+    SELECT source,
+           COUNT(*)           AS n_docs,
+           COUNT(DISTINCT d)  AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT d) AS DOUBLE) / COUNT(*), 4)
+               AS dup_rate
+    FROM digests
+    GROUP BY source
+    """,
+)
+def curation_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per ingestion source: the per-feed health
+    metric that decides which crawls/feeds get demoted or re-scoped
+    (a source whose dup_rate spikes is re-serving old content). Dedup
+    happens on the md5 of NORMALIZED text, so trivial whitespace/case
+    variants count as duplicates — same normalization as dedup_normalized.
+
+    Scale shape: documents collapse to (source, 16-byte digest) before
+    any shuffle; the two-level aggregate (digest pre-group, then source
+    rollup) avoids the Expand node a COUNT(DISTINCT) beside COUNT(*)
+    would otherwise plan, exactly like curation_dataset_card."""
+    d = table(spark, sf_dir, "documents")
+    digests = d.select("source", F.md5(normalize_text(F.col("text"))).alias("dg"))
+    # (source, digest) pre-aggregate: carries a per-digest doc count so the
+    # rollup gets both totals without a second scan or an Expand
+    pre = digests.groupBy("source", "dg").agg(F.count("*").alias("c"))
+    return pre.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.round(
+            1.0 - F.count("*").cast("double") / F.sum("c"), 4
+        ).alias("dup_rate"),
+    )

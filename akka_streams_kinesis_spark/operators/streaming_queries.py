@@ -883,3 +883,37 @@ def stream_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(totals, "event_type")
         .select("event_type", "n_events", "mg_bound_holds")
     )
+
+
+@query(
+    "stream_static_dim_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment        AS segment,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched against a STATIC
+    dimension table (customer market segment) and rolled up per segment —
+    the canonical streaming-enrichment topology (clickstream x user dim,
+    txn x account dim). Structured Streaming re-snapshots the static side
+    per micro-batch with no state store involvement, and the dim is
+    broadcast so the stream never shuffles for the join; only the final
+    segment rollup keeps (tiny) aggregate state. Hash-matches the batch
+    join+agg oracle because ingest is lossless and the join is
+    stream-side-preserving (every user_id resolves)."""
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey
+    )
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return _run_available_now(agg, spark, mode="complete")

@@ -626,3 +626,181 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.expr("regr_r2(ln(freq), ln(rank))"), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_entropy_filter — per-document bigram entropy (gibberish screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_entropy_filter",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), bigrams AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN LEN(w) >= 2
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w)),
+                                               i -> w[i] || ' ' || w[i+1])
+                           ELSE [] END) AS bg
+        FROM toks
+    ), cnt AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 4) AS entropy_bits
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, entropy_bits,
+           ROUND(entropy_bits / LOG2(GREATEST(n_bigrams, 2)), 4) AS entropy_ratio,
+           ROUND(entropy_bits / LOG2(GREATEST(n_bigrams, 2)), 4) < 0.7
+               AS low_entropy
+    FROM per_doc
+    """,
+)
+def text_ngram_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-bigram Shannon entropy with a relative-entropy
+    flag: repetitive/templated/gibberish text concentrates probability
+    mass on few bigrams and scores well below the log2(n) ceiling of an
+    all-distinct document — the information-theoretic quality screen that
+    catches machine-generated loops the stopword/length heuristics miss.
+
+    The entropy identity used is shuffle-friendly: H = log2(n) −
+    Σ c·log2(c) / n over per-(doc,bigram) counts, so one (doc,bigram)
+    hash-agg (map-side combined) and one per-doc rollup compute it —
+    no per-document probability vector ever materializes. The flag
+    compares the ROUNDED ratio in both engines."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    bigrams = toks.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("bg"),
+    )
+    cnt = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    log2 = lambda col: F.log(2.0, col)  # noqa: E731
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(
+            log2(F.sum("c")) - F.sum(F.col("c") * log2(F.col("c"))) / F.sum("c"), 4
+        ).alias("entropy_bits"),
+    )
+    ratio = F.round(
+        F.col("entropy_bits") / log2(F.greatest(F.col("n_bigrams"), F.lit(2))), 4
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "entropy_bits",
+        ratio.alias("entropy_ratio"),
+        (ratio < 0.7).alias("low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_growth_heaps — Heaps'-law vocabulary growth audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_vocab_growth_heaps",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), mx AS (
+        SELECT MAX(doc_id) AS max_id FROM documents
+    ), bucketed AS (
+        SELECT LEAST(9, CAST(FLOOR(doc_id * 10.0 / (max_id + 1)) AS BIGINT))
+                   AS bucket,
+               tok
+        FROM toks CROSS JOIN mx
+    ), tok_first AS (
+        SELECT tok, MIN(bucket) AS first_bucket FROM bucketed GROUP BY tok
+    ), new_per_bucket AS (
+        SELECT first_bucket AS bucket, COUNT(*) AS new_types
+        FROM tok_first GROUP BY 1
+    ), tokens_per_bucket AS (
+        SELECT bucket, COUNT(*) AS n_tokens FROM bucketed GROUP BY bucket
+    ), curve AS (
+        SELECT t.bucket,
+               CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+                   AS cum_tokens,
+               CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY t.bucket)
+                    AS BIGINT) AS cum_vocab
+        FROM tokens_per_bucket t
+        LEFT JOIN new_per_bucket n ON n.bucket = t.bucket
+    )
+    SELECT bucket, cum_tokens, cum_vocab,
+           ROUND(REGR_SLOPE(LN(cum_vocab), LN(cum_tokens)) OVER (), 4)
+               AS heaps_beta
+    FROM curve
+    """,
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct token types vs
+    cumulative token instances over 10 corpus prefixes, plus the fitted
+    log-log slope (Heaps' β, healthy natural text ~0.4–0.6). A corpus
+    whose β collapses is saturating (duplication, templating); one whose
+    β stays near 1 is noise — the corpus-health dual of the Zipf fit.
+
+    Running COUNT DISTINCT across prefixes uses the same first-occurrence
+    identity as window_cumulative_distinct_users: each type counts once
+    at its FIRST bucket (one token-level hash-agg), so the cumulative
+    window only ever sees 10 rows. β comes from the SQL regression
+    aggregate over the 10 log-log points — no driver-side fitting."""
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    toks = (
+        fanout(d)
+        .select(
+            "doc_id",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(F.col("doc_id") * 10.0 / (F.col("max_id") + 1)),
+            )
+            .cast("bigint")
+            .alias("bucket"),
+            "tok",
+        )
+    )
+    tok_first = toks.groupBy("tok").agg(F.min("bucket").alias("first_bucket"))
+    new_per_bucket = tok_first.groupBy(
+        F.col("first_bucket").alias("bucket")
+    ).agg(F.count("*").alias("new_types"))
+    tokens_per_bucket = toks.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = (
+        tokens_per_bucket.join(new_per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return curve.select(
+        "bucket",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(
+            F.expr("regr_slope(ln(cum_vocab), ln(cum_tokens))").over(w_all), 4
+        ).alias("heaps_beta"),
+    )

@@ -165,6 +165,10 @@ HEADLINE = [
     "behavior_rfm_segments",
     "events_change_point_cusum",
     "embedding_dimension_variance_report",
+    "stream_static_dim_enrichment",
+    "text_ngram_entropy_filter",
+    "text_vocab_growth_heaps",
+    "curation_dedup_rate_by_source",
 ]
 
 

@@ -65,3 +65,56 @@ def test_asof_matches_brute_force(spark, direction, strict, lefts, rights):
         direction, strict,
     ) if left_rows else []
     assert got_norm == want
+
+
+# ---------------------------------------------------------------------------
+# nearest direction (asof_join_nearest_frame)
+# ---------------------------------------------------------------------------
+
+from akka_streams_kinesis_spark.operators.asof import asof_join_nearest_frame
+
+
+def _brute_force_nearest(lefts, rights):
+    out = []
+    for i, (k, lt) in enumerate(lefts):
+        prevs = [rt for (rk, rt) in rights if rk == k and rt <= lt]
+        nexts = [rt for (rk, rt) in rights if rk == k and rt >= lt]
+        prev_ts = max(prevs) if prevs else None
+        next_ts = min(nexts) if nexts else None
+        if prev_ts is None and next_ts is None:
+            match, direction = None, None
+        elif prev_ts is None:
+            match, direction = next_ts, "forward"
+        elif next_ts is None:
+            match, direction = prev_ts, "backward"
+        elif (lt - prev_ts) <= (next_ts - lt):   # tie -> backward
+            match, direction = prev_ts, "backward"
+        else:
+            match, direction = next_ts, "forward"
+        out.append((i, k, lt, match, direction))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lefts=_side, rights=_side)
+def test_asof_nearest_matches_brute_force(spark, lefts, rights):
+    left_rows = [(i, k, T0 + timedelta(minutes=m)) for i, (k, m) in enumerate(lefts)]
+    right_rows = [(k, T0 + timedelta(minutes=m)) for (k, m) in rights]
+    left = spark.createDataFrame(left_rows or [(0, 0, T0)], "lid long, k long, lts timestamp")
+    right = spark.createDataFrame(right_rows or [(99, T0)], "k long, rts timestamp")
+    if not left_rows:
+        left = left.limit(0)
+    if not right_rows:
+        right = right.limit(0)
+
+    got = asof_join_nearest_frame(
+        left, right, on="k", left_ts="lts", right_ts="rts"
+    ).collect()
+    got_norm = sorted(
+        (r["lid"], r["k"], r["lts"], r["nearest_ts"], r["direction"]) for r in got
+    )
+    want = _brute_force_nearest(
+        [(k, t) for (_, k, t) in left_rows],
+        [(k, t) for (k, t) in right_rows],
+    ) if left_rows else []
+    assert got_norm == want
