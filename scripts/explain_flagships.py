@@ -128,6 +128,14 @@ SHOWCASE = [
      "Running COUNT DISTINCT without distinct state in any window: "
      "first-day hash-agg (map-side dedup), per-day count, then a "
      "cumulative sum over |types|x|days| rows only."),
+    ("text_vocab_growth_heaps",
+     "Running distinct token types WITHOUT distinct window state: "
+     "token-level first-bucket hash-agg, then cumulative sums and the "
+     "regr_slope fit over 10 rows only."),
+    ("text_ngram_entropy_filter",
+     "Entropy from the log identity over per-(doc,bigram) counts: one "
+     "map-side-combined hash-agg plus a per-doc rollup — no per-document "
+     "probability vector, no UDF."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
 ]
