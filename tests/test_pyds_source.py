@@ -97,6 +97,29 @@ def test_shard_filter_prunes_partitions(spark, stream):
     assert [p.shard_id for p in parts] == ["shardId-000000000000"]
 
 
+def test_multiple_shard_filters_intersect_not_overwrite(spark, stream):
+    # conjunctive pushdown: shard_id IN (a, b) AND shard_id = a — Catalyst
+    # does not always fold these, and CONSUMING a filter promises Spark it
+    # was fully applied, so the reader must intersect the sets (keeping
+    # only the last filter would silently return rows the query excluded)
+    from pyspark.sql.datasource import EqualTo, In
+
+    a, b = "shardId-000000000000", "shardId-000000000001"
+    reader = pyds.KinesisSimBatchReader({"path": stream.path})
+    rest = list(
+        reader.pushFilters([In(("shard_id",), (a, b)), EqualTo(("shard_id",), a)])
+    )
+    assert rest == []
+    assert reader.wanted_shards == {a}
+    assert [p.shard_id for p in reader.partitions()] == [a]
+
+    # disjoint predicates intersect to the empty set -> zero partitions
+    reader2 = pyds.KinesisSimBatchReader({"path": stream.path})
+    list(reader2.pushFilters([EqualTo(("shard_id",), a), EqualTo(("shard_id",), b)]))
+    assert reader2.wanted_shards == set()
+    assert reader2.partitions() == []
+
+
 def _drain(spark, sdf, out_dir, ckpt):
     q = (
         sdf.writeStream.format("parquet")
