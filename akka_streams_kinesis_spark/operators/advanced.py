@@ -727,3 +727,65 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# agg_mode_per_group — per-group MODE with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+        SELECT user_id, event_type, c,
+               SUM(c) OVER (PARTITION BY user_id) AS n_events,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS rn
+        FROM cnt
+    )
+    SELECT user_id,
+           event_type                         AS mode_event_type,
+           CAST(n_events AS BIGINT)           AS n_events,
+           ROUND(CAST(c AS DOUBLE) / n_events, 4) AS mode_share
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic tiebreak
+    (lexicographically first among ties) plus its share of the group —
+    the statistical mode aggregate SQL engines bolt on late (DuckDB grew
+    MODE(); ANSI has none), stated as the portable two-step: count per
+    (group, value), then top-1 per group.
+
+    Scale shape: the (user, event_type) count is one partial+final
+    hash-agg whose output is |users|x|types| rows — the raw stream never
+    reaches the window; the top-1 is a WindowGroupLimit (rn = 1 pushes
+    the limit into the sort) over that tiny table, and the group total
+    rides the same window partitioning, so the window pass adds no
+    second exchange."""
+    e = table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id")
+    w_rank = w.orderBy(F.col("c").desc(), "event_type")
+    return (
+        cnt.select(
+            "user_id",
+            "event_type",
+            "c",
+            F.sum("c").over(w).alias("n_events"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("c").cast("double") / F.col("n_events"), 4).alias(
+                "mode_share"
+            ),
+        )
+    )

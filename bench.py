@@ -169,6 +169,7 @@ HEADLINE = [
     "text_ngram_entropy_filter",
     "text_vocab_growth_heaps",
     "curation_dedup_rate_by_source",
+    "agg_mode_per_group",
 ]
 
 
