@@ -640,6 +640,10 @@ def curation_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HLL_PAIRS = [("view", "click"), ("click", "purchase"), ("signup", "purchase")]
+# tolerance for the inclusion-exclusion estimate, as a fraction of the
+# EXACT union size (inclusion-exclusion sums three ±rsd sketches, so the
+# gate scales to the union, not the intersection): 8% ≈ 4× the 2% rsd
+_HLL_INTERSECT_TOL = 0.08
 
 
 @query(
@@ -670,8 +674,9 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Gated like agg_approx_distinct_users: the estimate is
     implementation-specific, so the hash gate pins the EXACT overlap plus
-    a boolean asserting the sketch estimate landed within 5% of the
-    exact union (inclusion-exclusion amplifies the per-sketch rsd by
+    a boolean asserting the sketch estimate landed within
+    ``_HLL_INTERSECT_TOL`` (8%) of the exact union (inclusion-exclusion
+    amplifies the per-sketch rsd by
     roughly |A|+|B|+|A∪B| over the intersection, so tolerance is scaled
     to the union, not the intersection). Two shuffles: distinct flags per
     user, then a global 1-row rollup per pair."""
@@ -722,7 +727,7 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.col(f"xi_{a}_{b}").alias("exact_intersection"),
                 (
                     F.abs(est_inter - F.col(f"xi_{a}_{b}"))
-                    <= 0.08 * F.col(f"xu_{a}_{b}")
+                    <= _HLL_INTERSECT_TOL * F.col(f"xu_{a}_{b}")
                 ).alias("within_tolerance"),
             )
         )

@@ -394,6 +394,11 @@ def asof_join_nearest_frame(
     key — an ascending and a descending Sort+Window pass over the same
     exchange output (see the asof_join_nearest plan in PLANS.md)."""
     lcols = left.columns
+    # SQL/pandas as-of semantics: NULL never matches NULL. Drop NULL-key
+    # right rows so a NULL-key left row (grouped into the NULL window
+    # partition) can only see an empty right side and yields NULL
+    # nearest_ts, exactly like merge_asof / an equi-join.
+    right = right.filter(F.col(on).isNotNull())
     # right rows carry a NULL left payload with the left side's exact types
     tagged_r = right.select(
         F.col(on).alias("_k"),

@@ -24,6 +24,9 @@ from ..registry import query
 
 _TOPK = 5
 _N_QUERIES = 10   # query set = vec_id < 10
+_DIM = 64          # embeddings table vector dimension — shared by every
+                   # oracle f-string (RANGE bound) so a dataset dimension
+                   # change cannot silently desync Spark vs oracle row sets
 _IVF_BITS = 8     # sign bits of the first 8 dims → 256 buckets
 
 
@@ -58,7 +61,7 @@ _DUCK_SIM = """
                ROUND({_DUCK_SIM}, 6) AS sim
         FROM q
         JOIN embeddings v ON q.vec_id <> v.vec_id
-        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
         GROUP BY q.vec_id, v.vec_id
     ), ranked AS (
         SELECT query_id, vec_id, sim,
@@ -121,7 +124,7 @@ _BUCKET_DUCK = " || ".join(
                ROUND({_DUCK_SIM}, 6) AS sim
         FROM q
         JOIN coded v ON q.bucket = v.bucket AND q.vec_id <> v.vec_id
-        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
         GROUP BY q.vec_id, v.vec_id, q.bucket
     ), ranked AS (
         SELECT query_id, vec_id, bucket, sim,
@@ -170,11 +173,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_label_centroids",
-    oracle="""
+    oracle=f"""
     SELECT label, CAST(i - 1 AS BIGINT) AS dim,
            ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
     FROM embeddings
-    CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+    CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
     GROUP BY label, i
     """,
 )
@@ -415,7 +418,7 @@ _KNN_K = 3
                  6) AS sim
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
-        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
         GROUP BY a.vec_id, b.vec_id, a.label
     ), ranked AS (
         SELECT src, dst, label, sim,
@@ -492,7 +495,7 @@ def _fold_prefix(a: str, b: str, d: int) -> Column:
         SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
                ROUND({_DUCK_SIM}, 6) AS sim
         FROM q JOIN embeddings v ON q.vec_id <> v.vec_id
-        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
         GROUP BY q.vec_id, v.vec_id
     ), full_top AS (
         SELECT query_id, vec_id FROM (
@@ -599,7 +602,7 @@ _PAIRED_N_QUERIES = 50
         SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
                ROUND({_DUCK_SIM}, 6) AS sim
         FROM q JOIN embeddings v ON q.vec_id <> v.vec_id
-        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
         GROUP BY q.vec_id, v.vec_id
     ), ranked AS (
         SELECT query_id, vec_id, sim,
@@ -715,7 +718,7 @@ _HN_K = 5
                ROUND({_DUCK_SIM}, 6) AS sim
         FROM q JOIN embeddings v
           ON q.vec_id <> v.vec_id AND v.label <> q.label
-        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
         GROUP BY q.vec_id, v.vec_id, v.label
     ), ranked AS (
         SELECT query_id, vec_id, neg_label, sim,
@@ -802,7 +805,7 @@ _DRIFT_COS_FLOOR = 0.98
                AVG(CASE WHEN {_DRIFT_B}
                         THEN CAST(embedding[i] AS DOUBLE) END) AS cb
         FROM embeddings
-        CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
         GROUP BY label, dim
     )
     SELECT label,
@@ -856,10 +859,10 @@ def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_dimension_variance_report",
-    oracle="""
+    oracle=f"""
     WITH vals AS (
         SELECT i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS v
-        FROM embeddings CROSS JOIN UNNEST(RANGE(1, 65)) AS i(i)
+        FROM embeddings CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS i(i)
     )
     SELECT dim,
            ROUND(AVG(v), 6)         AS mean_v,

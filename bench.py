@@ -181,6 +181,9 @@ def main() -> None:
     # file) so a query can never again ship unbenched. rc=1 on any error.
     only: list[str] | None = None
     if "--only" in sys.argv:
+        if sys.argv.index("--only") + 1 >= len(sys.argv):
+            print("usage: bench.py [--only q1,q2,...]", file=sys.stderr)
+            sys.exit(2)
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
         unknown = [q for q in only if q not in registry.QUERIES]
         if unknown:

@@ -20,15 +20,23 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as se  # noqa: E402
 
+def _flag_value(flag: str) -> str:
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv):
+        print(f"usage: driver_sim.py [SF_DIR] [{flag} VALUE]", file=sys.stderr)
+        sys.exit(2)
+    return sys.argv[i + 1]
+
+
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 JSON_OUT = None
 if "--json" in sys.argv:
-    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
+    JSON_OUT = _flag_value("--json")
     args = [a for a in args if a != JSON_OUT]
 # --names a,b,c: run only the named queries (scale-canary subsets)
 ONLY = None
 if "--names" in sys.argv:
-    raw = sys.argv[sys.argv.index("--names") + 1]
+    raw = _flag_value("--names")
     ONLY = set(raw.split(","))
     args = [a for a in args if a != raw]
 SF_DIR = args[0] if args else "/root/testdata/sf0.01"

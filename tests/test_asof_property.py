@@ -118,3 +118,23 @@ def test_asof_nearest_matches_brute_force(spark, lefts, rights):
         [(k, t) for (k, t) in right_rows],
     ) if left_rows else []
     assert got_norm == want
+
+
+def test_asof_nearest_null_key_never_matches(spark):
+    """SQL/pandas semantics: a NULL join key never matches — including
+    NULL-vs-NULL. A NULL-key left row must come back with NULL nearest_ts
+    even when NULL-key right rows exist at the exact same timestamp."""
+    left = spark.createDataFrame(
+        [(0, None, T0), (1, 7, T0)], "lid long, k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, T0), (7, T0 + timedelta(minutes=3))], "k long, rts timestamp"
+    )
+    got = {
+        r["lid"]: (r["nearest_ts"], r["direction"])
+        for r in asof_join_nearest_frame(
+            left, right, on="k", left_ts="lts", right_ts="rts"
+        ).collect()
+    }
+    assert got[0] == (None, None)  # NULL key: no match despite same-ts NULL right
+    assert got[1] == (T0 + timedelta(minutes=3), "forward")
