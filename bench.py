@@ -105,7 +105,6 @@ HEADLINE = [
     "dedup_incremental_digest",
     "maintenance_merge_upsert",
     "quality_expectations_report",
-    "stream_merge_upsert_table",
     "join_fuzzy_entity_resolution",
     "maintenance_snapshot_diff",
     "behavior_attribution_last_touch",
@@ -116,10 +115,8 @@ HEADLINE = [
     "curation_dedup_keep_best",
     "text_duplicate_spans",
     "multimodal_clip_pair_filter",
-    "stream_distinct_users_hll",
     "curation_decontaminate_fuzzy",
     "egress_pyds_batch_write",
-    "stream_egress_pyds_relay",
     "similarity_knn_graph_blocked",
     "text_bigram_lm_kneser_ney",
     "scan_formats_roundtrip",
@@ -127,7 +124,6 @@ HEADLINE = [
     "maintenance_retention_vacuum",
     "agg_histogram_quantiles",
     "embedding_matryoshka_truncation_qa",
-    "stream_heavy_hitters_mg",
     "pipeline_pretraining_prep",
     "asof_feature_snapshot",
     "asof_join_tolerance",
@@ -165,11 +161,97 @@ HEADLINE = [
     "behavior_rfm_segments",
     "events_change_point_cusum",
     "embedding_dimension_variance_report",
-    "stream_static_dim_enrichment",
     "text_ngram_entropy_filter",
     "text_vocab_growth_heaps",
     "curation_dedup_rate_by_source",
     "agg_mode_per_group",
+    # Round 5: HEADLINE covers EVERY batch query in the registry — the
+    # former "cheap singles" exclusions (scalar/join/window/tpch/text
+    # families) are timed too, so coverage needs no judgment calls. The
+    # only non-HEADLINE queries are STREAM_SECTION below.
+    "agg_approx_distinct_users",
+    "agg_approx_percentiles_sketch",
+    "agg_collect_sorted_lists",
+    "agg_corr_covar_price_qty",
+    "agg_cube_status_priority",
+    "agg_exact_percentiles",
+    "agg_grouping_sets",
+    "agg_median_countif_bool",
+    "agg_stats_variance",
+    "curation_quality_prune",
+    "dedup_normalized",
+    "dedup_shingle_containment",
+    "dedup_simhash_buckets",
+    "embedding_quantize_int8",
+    "events_gap_fill_resample",
+    "events_zscore_outliers",
+    "join_anti_inactive_customers",
+    "join_band_lookup_nested_loop",
+    "join_full_outer_nation_wealth",
+    "join_left_outer_order_counts",
+    "join_right_outer_sampled_customers",
+    "join_semi_big_spenders",
+    "multimodal_audio_features",
+    "multimodal_resize_thumbnails",
+    "sample_reproducible",
+    "sample_stratified_by_language",
+    "scalar_array_functions",
+    "scalar_date_functions",
+    "scalar_json_extraction",
+    "scalar_map_json_keys",
+    "scalar_math_case_tiers",
+    "scalar_null_handling",
+    "scalar_string_functions",
+    "setops_segment_overlap",
+    "similarity_label_centroids",
+    "sort_limit_top_orders",
+    "split_train_valid_test",
+    "subquery_in_recent_buyers",
+    "subquery_scalar_above_avg",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_scores",
+    "text_stopword_ratio",
+    "text_token_counts_bpe",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "udaf_pandas_weighted_mean",
+    "udtf_sentence_split",
+    "unpivot_nation_balances",
+    "window_first_last_nth",
+    "window_percent_rank_cume",
+    "window_rank_dense_ntile",
+]
+
+# Streaming-runtime queries: every registry name with the stream_ prefix.
+# Each drains a micro-batch stream through a fresh checkpoint
+# (availableNow trigger), so a wall-clock latency next to batch queries
+# would measure trigger + checkpoint overhead, not plan quality. They are
+# benched in the stream section below as THROUGHPUT (rows/s over the
+# drained events input), one entry per query in "stream_rates".
+# HEADLINE ∪ STREAM_SECTION must equal the registry exactly, with the
+# prefix as the membership predicate — pinned by
+# tests/test_bench_coverage.py.
+STREAM_SECTION = [
+    "stream_ingest_hourly_rollup",
+    "stream_dedup_counts",
+    "stream_dedup_within_watermark",
+    "stream_incremental_dedup_store",
+    "stream_rollup_table_maintenance",
+    "stream_session_windows",
+    "stream_stateful_running_totals",
+    "stream_stream_interval_join",
+    "stream_merge_upsert_table",
+    "stream_distinct_users_hll",
+    "stream_egress_pyds_relay",
+    "stream_heavy_hitters_mg",
+    "stream_static_dim_enrichment",
 ]
 
 
@@ -266,27 +348,52 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
-    # Streaming throughput: drain the full ingest pipeline (sharded stream
-    # files → JSON decode → watermarked hourly windows) end-to-end. First
-    # call pays the one-time stream materialization + warms the pipeline
-    # (untimed); the timed call re-reads every file through a fresh
-    # checkpoint. Reported separately — it's a rate, not a query latency.
+    # Streaming throughput: every STREAM_SECTION query drains its stream
+    # end-to-end (availableNow trigger, fresh checkpoint per call) and is
+    # reported as rows/s over the drained events input — a rate, not a
+    # query latency, because drain time is trigger- and
+    # checkpoint-bound, not plan-bound. The ingest pipeline keeps its
+    # historical warm+timed double-drain so stream_ingest_rows_per_sec
+    # stays comparable round-over-round; the others pay their own stream
+    # materialization on the first call of the run (one-time cost,
+    # amortized in production) and are timed on that same call — each
+    # call re-reads every file through a fresh checkpoint anyway.
     from akka_streams_kinesis_spark.operators.streaming_queries import (
         stream_ingest_hourly,
     )
 
+    n_events = table(spark, sf_dir, "events").count()
+    stream_rates: dict[str, float] = {}
     try:
-        n_events = table(spark, sf_dir, "events").count()
         stream_ingest_hourly(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         stream_ingest_hourly(spark, sf_dir).write.format("noop").mode("overwrite").save()
         drain_s = time.perf_counter() - t0
         stream_rate = round(n_events / drain_s, 1)
+        stream_rates["stream_ingest_hourly_rollup"] = stream_rate
         print(f"# stream ingest drain: {drain_s:.2f}s ({stream_rate} rows/s)", file=sys.stderr)
     except Exception as e:
         errors["stream_ingest_hourly"] = str(e)[:300]
         stream_rate = None
         print(f"# stream ingest drain: ERROR {str(e)[:120]}", file=sys.stderr)
+    for name in STREAM_SECTION:
+        if name == "stream_ingest_hourly_rollup":
+            continue  # timed above with the warm+timed double drain
+        t0 = time.perf_counter()
+        try:
+            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:
+            errors[name] = str(e)[:300]
+            print(f"# {name}: ERROR {str(e)[:120]}", file=sys.stderr)
+            continue
+        drain_s = time.perf_counter() - t0
+        stream_rates[name] = round(n_events / drain_s, 1)
+        print(
+            f"# {name}: {drain_s:.2f}s ({stream_rates[name]} rows/s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -296,6 +403,7 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "stream_ingest_rows_per_sec": stream_rate,
+        "stream_rates": stream_rates,
         "sf": float(sf),
     }
     # Full detail: one JSON line on stdout AND a file — the driver's

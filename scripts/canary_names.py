@@ -1,0 +1,99 @@
+"""Single source of truth for the sf1 scale-canary query set.
+
+Selection rule: every query whose memory/state/explode factor is
+DATA-DEPENDENT — candidate-pair generation (MinHash/SimHash/n-gram
+bands), per-group collected structures, interval explodes, suffix-style
+span joins, sketch buffers, skew-sensitive shuffles, Arrow-batched
+pandas-UDF stages — plus one representative per cheap family as a
+control. These are the queries where sf0.01 correctness can hide an
+sf1 OOM or a super-linear plan (precedent: round 4's text_fingerprint
+per-doc gram-array OOM, caught only at sf1).
+
+Consumed by:
+- correctness: ``python scripts/driver_sim.py /root/repo/.scale/sf1
+  --engine-session --names "$(python scripts/canary_names.py)"
+  --json CORRECTNESS_SF1_canary.json``
+- timing:      ``python scripts/scaling_canary.py`` (sf0.1 vs sf1 wall
+  time per query → BENCH_SCALING.json, flags ratio > 15×)
+"""
+
+from __future__ import annotations
+
+SF1_CANARY = [
+    # --- round-4 core 30 (kept verbatim for round-over-round trend) ---
+    "agg_approx_percentiles_sketch",
+    "agg_heavy_hitters_topk",
+    "agg_histogram_quantiles",
+    "agg_hll_intersection_estimate",
+    "agg_hll_sketch_union",
+    "agg_salted_two_phase",
+    "asof_join_nearest",
+    "behavior_rfm_segments",
+    "curation_dedup_rate_by_source",
+    "curation_quality_threshold_sweep",
+    "dedup_cluster_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_dimension_variance_report",
+    "events_change_point_cusum",
+    "events_session_concurrency",
+    "events_sessionize",
+    "maintenance_partition_skew_report",
+    "maintenance_table_checksum",
+    "sample_class_balance_downsample",
+    "similarity_cosine_topk",
+    "split_leakage_safe_clusters",
+    "stream_static_dim_enrichment",
+    "text_fingerprint",
+    "text_ngram_entropy_filter",
+    "text_vocab_growth_heaps",
+    "tpch_q18_large_volume_customers",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_region_revenue",
+    "window_cumulative_distinct_users",
+    # --- round-5 widening: remaining data-dependent state/explode ---
+    # verdict-named additions
+    "asof_feature_snapshot",
+    "pipeline_pretraining_prep",
+    "pack_sequences_bins",
+    "text_duplicate_spans",
+    # candidate-pair dedup family (band fan-out grows with cluster size)
+    "dedup_minhash_similarity",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_shingle_containment",
+    "curation_dedup_keep_best",
+    "embedding_near_dup_pairs",
+    # ANN / embedding pipelines (pandas-UDF GEMM stages, cell joins)
+    "similarity_ann_ivf",
+    "similarity_ann_pq",
+    "similarity_ann_ivf_pq",
+    "similarity_knn_graph_blocked",
+    "similarity_hard_negative_mining",
+    "dedup_semantic_kmeans",
+    "embedding_pca_project",
+    # text pipelines with per-doc token/shingle explodes
+    "text_tfidf_top_terms",
+    "text_bpe_pair_counts",
+    "text_bigram_lm_kneser_ney",
+    "text_repeated_shingles",
+    "text_unigram_surprisal",
+    "curation_ngram_novelty",
+    "curation_token_budget_sample",
+    # decontamination screens (Bloom bits, fuzzy MinHash verify)
+    "curation_decontaminate_bloom",
+    "curation_decontaminate_fuzzy",
+    # skew/state-heavy event analytics
+    "join_salted_skew_join",
+    "behavior_dau_wau_stickiness",
+    "events_sliding_windows",
+    "events_scd2_user_state",
+    "behavior_attribution_last_touch",
+    "pivot_user_event_matrix",
+    "window_range_frame_trailing_spend",
+    "agg_count_min_sketch",
+    "multimodal_phash_buckets",
+]
+
+if __name__ == "__main__":
+    print(",".join(SF1_CANARY))

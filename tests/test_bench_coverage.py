@@ -33,6 +33,32 @@ def test_headline_has_no_duplicates():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
 
 
+def test_every_registry_query_is_benched_somewhere():
+    """The bench-selection rule is an exact partition, not a judgment
+    call: HEADLINE ∪ STREAM_SECTION == registry, disjoint, and the
+    membership predicate is the stream_ name prefix (streaming-runtime
+    drains are throughput-benched; everything else is latency-benched).
+    A new registry query lands red here until it is placed."""
+    hl, ss = set(bench.HEADLINE), set(bench.STREAM_SECTION)
+    assert not hl & ss, f"queries in both sections: {sorted(hl & ss)}"
+    missing = set(registry.QUERIES) - hl - ss
+    assert not missing, f"registry queries in neither bench section: {sorted(missing)}"
+    extra = (hl | ss) - set(registry.QUERIES)
+    assert not extra, f"benched names not in registry: {sorted(extra)}"
+    assert ss == {q for q in registry.QUERIES if q.startswith("stream_")}
+    assert not [q for q in hl if q.startswith("stream_")]
+
+
+def test_bench_summary_covers_every_stream_query():
+    with open(_SUMMARY) as f:
+        summary = json.load(f)
+    ran = set(summary.get("stream_rates", {})) | set(summary.get("errors", {}))
+    missing = [q for q in bench.STREAM_SECTION if q not in ran]
+    assert not missing, (
+        f"STREAM_SECTION queries never benched (run a full `python bench.py`): {missing}"
+    )
+
+
 def test_bench_summary_covers_every_headline_query():
     with open(_SUMMARY) as f:
         summary = json.load(f)
