@@ -63,3 +63,17 @@ def simhash_bit_weight_sql(md5_expr: str, bit: int) -> str:
     lo = 2 ** bit_in_char
     hi = 2 ** (bit_in_char + 1)
     return f"(CASE WHEN ({hv} % {hi}) >= {lo} THEN 1 ELSE -1 END)"
+
+
+def div_round4(num: Column, den: Column) -> Column:
+    """``ROUND(num/den, 4)`` via ``FLOOR(x*1e4 + .5)/1e4`` — pure IEEE
+    double ops, so both engines produce the same bits even when num/den
+    lands exactly on a .00005 tie (where Spark's HALF_UP-on-decimal and
+    DuckDB's double ROUND disagree; small per-group counts make such
+    ties real — this bit the hourly rollups at sf0.1). Pair with
+    DIV_ROUND4_DUCK on the oracle side."""
+    return F.floor(num * 10000.0 / den + 0.5) / 10000.0
+
+
+# DuckDB twin of div_round4 (format with num=..., den=...)
+DIV_ROUND4_DUCK = "FLOOR(({num}) * 10000.0 / ({den}) + 0.5) / 10000.0"

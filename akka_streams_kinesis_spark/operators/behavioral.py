@@ -365,3 +365,299 @@ def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
         .alias("m_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# behavior_cohort_ltv_triangle — acquisition-cohort cumulative LTV curves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "behavior_cohort_ltv_triangle",
+    oracle="""
+    WITH cohorts AS (
+        SELECT o_custkey,
+               CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS TIMESTAMP) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ), sized AS (
+        SELECT cohort_month, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+    ), aged AS (
+        SELECT c.cohort_month,
+               (year(o.o_orderdate) - year(c.cohort_month)) * 12
+                 + (month(o.o_orderdate) - month(c.cohort_month)) AS age_months,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue,
+               COUNT(DISTINCT o.o_custkey)   AS active_customers
+        FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT a.cohort_month,
+           CAST(a.age_months AS BIGINT) AS age_months,
+           s.cohort_size,
+           a.active_customers,
+           a.revenue,
+           ROUND(CAST(SUM(a.revenue) OVER (
+                    PARTITION BY a.cohort_month ORDER BY a.age_months
+                ) AS DOUBLE) / s.cohort_size, 4) AS cum_ltv_per_customer
+    FROM aged a JOIN sized s USING (cohort_month)
+    """,
+)
+def behavior_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by acquisition month, and
+    for each cohort × age-in-months cell the period revenue, active
+    customers, and the cumulative lifetime value per acquired customer —
+    the table every growth team reads diagonally (same calendar month)
+    and horizontally (cohort quality over time).
+
+    Scale shape: the cohort assignment is a co-partitioned self-join on
+    o_custkey (one shuffle each side, AQE picks the strategy); the
+    triangle itself is |months|² cells, so the cumulative window runs
+    over a dimension-sized frame, never the fact table. Age is computed
+    with exact integer year/month arithmetic (identical in both engines,
+    no months_between float edge cases); cumulative LTV divides the
+    running sum of 2dp-rounded revenues — identical accumulation order
+    per cohort — by the cohort size."""
+    o = table(spark, sf_dir, "orders")
+    cohorts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    sized = cohorts.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_size")
+    )
+    aged = (
+        o.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("o_orderdate") - F.year("cohort_month")) * 12
+                + (F.month("o_orderdate") - F.month("cohort_month"))
+            ).cast("bigint").alias("age_months"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aged.join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            "cohort_size",
+            "active_customers",
+            "revenue",
+            F.round(
+                F.sum("revenue").over(w_cum).cast("double") / F.col("cohort_size"), 4
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# behavior_growth_accounting — weekly new / retained / resurrected / churned
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "behavior_growth_accounting",
+    oracle="""
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS week
+        FROM events
+    ), classified AS (
+        SELECT user_id, week,
+               LAG(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+               LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+        FROM weekly
+    ), flows AS (
+        SELECT week,
+               CAST(SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN prev_week = week - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(SUM(CASE WHEN prev_week IS NOT NULL
+                         AND prev_week < week - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM classified GROUP BY week
+    ), churn AS (
+        SELECT week + INTERVAL 7 DAY AS week, COUNT(*) AS churned
+        FROM classified
+        WHERE next_week IS NULL OR next_week > week + INTERVAL 7 DAY
+        GROUP BY 1
+    )
+    SELECT f.week, f.new_users, f.retained, f.resurrected,
+           COALESCE(c.churned, 0) AS churned
+    FROM flows f LEFT JOIN churn c USING (week)
+    """,
+)
+def behavior_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first week ever), RETAINED (also active the week before), or
+    RESURRECTED (returning after a gap), plus CHURNED (active last week,
+    absent this week, attributed to the week they went missing). The
+    four flows reconcile to the active-user delta — the standard
+    startup growth-accounting identity.
+
+    Scale shape: the fact table collapses to DISTINCT (user, week) in
+    one shuffle; LAG and LEAD share one user-partitioned sort; the
+    per-week rollup is a second shuffle on |weeks| groups. Churn is
+    derived from the SAME windowed pass (a user churns after their last
+    week, or across any gap) — no week-vs-week self-join of activity
+    sets. Week arithmetic is exact timestamp + 7-day intervals on
+    Monday-truncated weeks, identical in both engines."""
+    e = table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    w_u = Window.partitionBy("user_id").orderBy("week")
+    classified = weekly.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w_u).alias("prev_week"),
+        F.lead("week").over(w_u).alias("next_week"),
+    )
+    week_len = F.expr("INTERVAL 7 DAY")
+    flows = classified.groupBy("week").agg(
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0)).alias("new_users"),
+        F.sum(
+            F.when(F.col("prev_week") == F.col("week") - week_len, 1).otherwise(0)
+        ).alias("retained"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") < F.col("week") - week_len),
+                1,
+            ).otherwise(0)
+        ).alias("resurrected"),
+    )
+    churn = (
+        classified.filter(
+            F.col("next_week").isNull()
+            | (F.col("next_week") > F.col("week") + week_len)
+        )
+        .groupBy((F.col("week") + week_len).alias("week"))
+        .agg(F.count("*").alias("churned"))
+    )
+    return flows.join(churn, "week", "left").select(
+        "week",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce(F.col("churned"), F.lit(0)).alias("churned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_time_bounded — funnel with per-step time windows
+# ---------------------------------------------------------------------------
+
+# step deadlines: click within 1h of a view; purchase within 24h of a
+# QUALIFYING click — exact integer microseconds on both engines
+_FTB_CLICK_US = 3_600_000_000
+_FTB_PURCHASE_US = 86_400_000_000
+
+
+@query(
+    "events_funnel_time_bounded",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, EPOCH_US(ts) AS t
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'view' THEN t END) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_view_t
+        FROM ordered
+    ), s2 AS (
+        SELECT *,
+               CASE WHEN event_type = 'click'
+                     AND last_view_t IS NOT NULL
+                     AND t - last_view_t <= {_FTB_CLICK_US}
+                    THEN TRUE ELSE FALSE END AS q_click
+        FROM s1
+    ), s3 AS (
+        SELECT *,
+               MAX(CASE WHEN q_click THEN t END) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_qclick_t
+        FROM s2
+    )
+    SELECT CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_views,
+           CAST(SUM(CASE WHEN q_click THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_qualified_clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                          AND last_qclick_t IS NOT NULL
+                          AND t - last_qclick_t <= {_FTB_PURCHASE_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_qualified_purchases
+    FROM s3
+    """,
+)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: a click only counts if it follows a
+    view by ≤1 h, and a purchase only if it follows a QUALIFYING click by
+    ≤24 h. The unbounded funnel (behavior_funnel_view_click_purchase)
+    overstates conversion by crediting week-later purchases; bounded
+    steps are how marketing attribution actually defines conversion.
+
+    Scale shape: the classic formulation is two time-band self-joins
+    (events×events within Δt) — quadratic in per-user activity. Here both
+    step gates are conditional running MAXes over ONE user-partitioned
+    sort (Catalyst plans a single Exchange+Sort feeding both Window
+    nodes — the strictly-prior frame also makes same-instant events
+    non-self-matching), then a single global rollup. Linear, one
+    shuffle, exact integer-microsecond deadlines."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    t = F.unix_micros("ts")
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy(t, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        t.alias("t"),
+        F.max(F.when(F.col("event_type") == "view", t)).over(w_prior).alias(
+            "last_view_t"
+        ),
+    )
+    s2 = s1.withColumn(
+        "q_click",
+        (F.col("event_type") == "click")
+        & F.col("last_view_t").isNotNull()
+        & (F.col("t") - F.col("last_view_t") <= _FTB_CLICK_US),
+    )
+    w_prior2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s3 = s2.withColumn(
+        "last_qclick_t",
+        F.max(F.when(F.col("q_click"), F.col("t"))).over(w_prior2),
+    )
+    return s3.agg(
+        F.sum((F.col("event_type") == "view").cast("int"))
+        .cast("bigint")
+        .alias("n_views"),
+        F.sum(F.col("q_click").cast("int")).cast("bigint").alias("n_qualified_clicks"),
+        F.sum(
+            (
+                (F.col("event_type") == "purchase")
+                & F.col("last_qclick_t").isNotNull()
+                & (F.col("t") - F.col("last_qclick_t") <= _FTB_PURCHASE_US)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_qualified_purchases"),
+    )

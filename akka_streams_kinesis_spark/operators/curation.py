@@ -1161,3 +1161,176 @@ def curation_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             1.0 - F.count("*").cast("double") / F.sum("c"), 4
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_quantile_normalize_scores — cross-source score calibration
+# ---------------------------------------------------------------------------
+
+# percentile grid: 101 bins (p rounded to the nearest 0.01); each doc's
+# within-source rank maps onto the GLOBAL score at the same quantile
+_QN_GRID = [i / 100.0 for i in range(101)]
+
+
+@query(
+    "curation_quantile_normalize_scores",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars AS raw_chars,
+               CAST(FLOOR(PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) * 100 + 0.5) AS BIGINT) AS p_bin
+        FROM documents
+    ), grid AS (
+        SELECT QUANTILE_CONT(n_chars, [{", ".join(repr(p) for p in _QN_GRID)}]) AS q
+        FROM documents
+    ), bins AS (
+        SELECT CAST(t.i - 1 AS BIGINT) AS p_bin,
+               ROUND(CAST(q[t.i] AS DOUBLE), 4) AS norm_score
+        FROM grid CROSS JOIN UNNEST(RANGE(1, {len(_QN_GRID) + 1})) AS t(i)
+    )
+    SELECT r.doc_id, r.source, r.raw_chars, r.p_bin, b.norm_score
+    FROM ranked r JOIN bins b USING (p_bin)
+    """,
+)
+def curation_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document score across sources:
+    each doc's raw score (length here, standing in for any quality
+    signal) is replaced by the GLOBAL score at the same within-source
+    quantile. This is the calibration step before mixing corpora — a
+    '0.8 quality' web crawl and a '0.8 quality' books source mean
+    different things, but 'top-20%-within-source' is comparable, and
+    mapping it back through the pooled distribution keeps the score in
+    interpretable units.
+
+    Scale shape: one shuffle partitions docs by source for the
+    PERCENT_RANK window (at 100 TB a hot source would be range-
+    partitioned by score instead — the rank is order-statistics, not
+    arbitrary state); the pooled quantile grid is ONE exact-percentile
+    aggregate collapsed to 101 rows and broadcast back (swap in
+    approx_percentile's mergeable sketch at full scale — same single
+    registry line). Ranks are tie-broken by doc_id so the percent is a
+    pure function of the data, and the bin index is FLOOR(p*100 + .5)
+    computed on bit-identical doubles in both engines."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("raw_chars"),
+        F.floor(F.percent_rank().over(w) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("p_bin"),
+    )
+    grid = d.agg(F.percentile("n_chars", _QN_GRID).alias("q"))
+    bins = grid.select(
+        F.posexplode("q").alias("pos", "qv")
+    ).select(
+        F.col("pos").cast("bigint").alias("p_bin"),
+        F.round(F.col("qv").cast("double"), 4).alias("norm_score"),
+    )
+    return ranked.join(F.broadcast(bins), "p_bin").select(
+        "doc_id", "source", "raw_chars", "p_bin", "norm_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_by_source — per-source boilerplate passage report
+# ---------------------------------------------------------------------------
+
+# a 3-gram is boilerplate WITHIN a source when it appears in >= 2% of
+# that source's docs AND at least _BPS_MIN_DF of them (50*df >= m in
+# exact integer math — no float compare; the absolute floor keeps tiny
+# sources from flagging df=1 noise)
+_BPS_N = 3
+_BPS_MIN_DF = 3
+
+
+@query(
+    "text_boilerplate_by_source",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, source, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, source, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), sh AS (
+        SELECT DISTINCT doc_id, source,
+               UNNEST(CASE WHEN LEN(w) >= {_BPS_N}
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_BPS_N - 2}),
+                                               i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_BPS_N))})
+                           ELSE [] END) AS g
+        FROM toks
+    ), m AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), bp AS (
+        SELECT sh.source, sh.g
+        FROM (SELECT source, g, COUNT(*) AS df FROM sh GROUP BY source, g) sh
+        JOIN m USING (source)
+        WHERE sh.df >= {_BPS_MIN_DF} AND 50 * sh.df >= m.n_docs
+    ), affected AS (
+        SELECT s.source, COUNT(DISTINCT s.doc_id) AS n_docs_affected
+        FROM sh s SEMI JOIN bp b ON s.source = b.source AND s.g = b.g
+        GROUP BY s.source
+    )
+    SELECT m.source, m.n_docs,
+           COALESCE(x.n_bp, 0) AS n_boilerplate_ngrams,
+           COALESCE(a.n_docs_affected, 0) AS n_docs_affected,
+           ROUND(COALESCE(a.n_docs_affected, 0) * 1.0 / m.n_docs, 4) AS pct_docs_affected
+    FROM m
+    LEFT JOIN (SELECT source, COUNT(*) AS n_bp FROM bp GROUP BY source) x USING (source)
+    LEFT JOIN affected a USING (source)
+    """,
+)
+def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate report (the RefinedWeb/C4 line-dedup idea on
+    a line-less corpus): a {_BPS_N}-gram is boilerplate WITHIN its source
+    when it appears in ≥2% of that source's documents (min {_BPS_MIN_DF}); report, per
+    source, how many such passages exist and what fraction of documents
+    carry at least one. A source with a high affected ratio needs
+    passage-level cleaning BEFORE dedup — boilerplate inflates every
+    near-dup signature downstream.
+
+    Scale shape: distinct-(doc, source, gram) before any counting (plain
+    hash-aggs, no count-distinct Expand anywhere — affected-doc counts
+    come from a semi-join of the already-distinct pairs against the
+    per-source boilerplate set, then a two-level rollup). Everything
+    shuffles on (source, gram) or source; the threshold is exact integer
+    math (df ≥ 3 AND 50·df ≥ m), so no float-boundary gate risk. The relative
+    threshold is what scales: a fixed absolute df would saturate at
+    100 TB while 20%-of-source tracks each source's size."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id", "source",
+        F.explode(word_shingles("toks", _BPS_N)).alias("g"),
+    ).distinct()
+    m = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    df = sh.groupBy("source", "g").agg(F.count("*").alias("df"))
+    bp = df.join(F.broadcast(m), "source").filter(
+        (F.col("df") >= _BPS_MIN_DF) & (50 * F.col("df") >= F.col("n_docs"))
+    ).select("source", "g")
+    affected = (
+        sh.join(bp, ["source", "g"], "left_semi")
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs_affected"))
+    )
+    n_bp = bp.groupBy("source").agg(F.count("*").alias("n_boilerplate_ngrams"))
+    return (
+        m.join(n_bp, "source", "left")
+        .join(affected, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_boilerplate_ngrams", F.lit(0)).alias("n_boilerplate_ngrams"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+            F.round(
+                F.coalesce("n_docs_affected", F.lit(0)) * F.lit(1.0) / F.col("n_docs"),
+                4,
+            ).alias("pct_docs_affected"),
+        )
+    )

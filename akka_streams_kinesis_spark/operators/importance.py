@@ -65,17 +65,22 @@ _TARGET_LANG = "en"
     ), src AS (
         SELECT bucket, COUNT(*) AS cnt FROM grams GROUP BY bucket
     ), model AS (
+        -- logratio quantized to integer micro-nats: per-doc averages are
+        -- then EXACT int64 sums (order-independent), where averaging raw
+        -- doubles diverged between engines at sf0.1 (partial-agg order)
         SELECT s.bucket,
-               LN(((COALESCE(t.cnt, 0) + 1) * 1.0 /
+               CAST(FLOOR(LN(((COALESCE(t.cnt, 0) + 1) * 1.0 /
                    ((SELECT SUM(cnt) FROM tgt) + {_IW_BUCKETS}))
                   / ((s.cnt + 1) * 1.0 /
-                     ((SELECT SUM(cnt) FROM src) + {_IW_BUCKETS}))) AS logratio
+                     ((SELECT SUM(cnt) FROM src) + {_IW_BUCKETS})))
+                   * 1000000 + 0.5) AS BIGINT) AS lr_u
         FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket
     )
     SELECT g.doc_id,
            ANY_VALUE(g.lang) AS lang,
            COUNT(*) AS n_grams,
-           ROUND(AVG(m.logratio), 4) AS avg_logratio
+           FLOOR(CAST(SUM(m.lr_u) AS DOUBLE) * 10000.0
+                 / (COUNT(*) * 1000000.0) + 0.5) / 10000.0 AS avg_logratio
     FROM grams g JOIN model m ON m.bucket = g.bucket
     GROUP BY g.doc_id
     """,
@@ -119,10 +124,18 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_src))
         .select(
             "bucket",
-            F.log(
-                ((F.coalesce("t_cnt", F.lit(0)) + 1) * 1.0 / (F.col("n_t") + _IW_BUCKETS))
-                / ((F.col("s_cnt") + 1) * 1.0 / (F.col("n_s") + _IW_BUCKETS))
-            ).alias("logratio"),
+            # micro-nat quantization — see the oracle comment: int64 sums
+            # are order-independent where double AVG is not
+            F.floor(
+                F.log(
+                    ((F.coalesce("t_cnt", F.lit(0)) + 1) * 1.0 / (F.col("n_t") + _IW_BUCKETS))
+                    / ((F.col("s_cnt") + 1) * 1.0 / (F.col("n_s") + _IW_BUCKETS))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lr_u"),
         )
     )
     return (
@@ -131,7 +144,15 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("lang").alias("lang"),
             F.count("*").alias("n_grams"),
-            F.round(F.avg("logratio"), 4).alias("avg_logratio"),
+            (
+                F.floor(
+                    F.sum("lr_u").cast("double")
+                    * 10000.0
+                    / (F.count("*") * 1000000.0)
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("avg_logratio"),
         )
     )
 

@@ -26,6 +26,7 @@ from datetime import datetime, timezone
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import div_round4
 from ..io import table
 from ..registry import query
 from ..sources.kinesis_sim import AtTimestamp, SimStream, TrimHorizon
@@ -137,7 +138,7 @@ def _run_available_now(sdf: DataFrame, spark: SparkSession, mode: str) -> DataFr
            event_type,
            COUNT(*)                AS n,
            ROUND(SUM(value), 2)    AS total_value,
-           ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
+           FLOOR(ROUND(SUM(value), 2) * 10000.0 / COUNT(*) + 0.5) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -369,7 +370,7 @@ def stream_rollup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*)                AS n,
            ROUND(SUM(value), 2)    AS total_value,
-           ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
+           FLOOR(ROUND(SUM(value), 2) * 10000.0 / COUNT(*) + 0.5) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -397,7 +398,7 @@ def source_pyds_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
+            div_round4(F.round(F.sum("value"), 2), F.count("*")).alias("avg_value"),
         )
     )
 

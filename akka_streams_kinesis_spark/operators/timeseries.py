@@ -675,3 +675,145 @@ def events_change_point_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_time_weighted_avg — TWAP per user (step-function integral)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+        SELECT user_id, value,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(dt_us) AS BIGINT) AS observed_us,
+           ROUND(CAST(SUM(ROUND(value, 2) * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 4) AS twap
+    FROM stepped
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): treat each user's
+    ``value`` as a step function that holds until the next event, and
+    integrate — Σ value·Δt / Σ Δt. The difference from a plain AVG is the
+    whole point: a value held for 6 hours weighs 360× one held for a
+    minute. This is the standard metric for position/price/queue-depth
+    series where sampling is event-driven, not uniform.
+
+    Scale shape: ONE shuffle on user_id serves both the LEAD window and
+    the per-user aggregate (same partitioning, Catalyst reuses the
+    exchange). Δt is integer microseconds (exact in both engines) and
+    value is 2-decimal money, so each product value·Δt is exact in
+    double far below 2⁵³; the final ratio is rounded at 4dp. The last
+    event per user has no successor and is excluded (open interval)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    stepped = e.select("user_id", "value", dt.alias("dt_us")).filter(
+        F.col("dt_us").isNotNull()
+    )
+    return stepped.groupBy("user_id").agg(
+        F.sum("dt_us").cast("bigint").alias("observed_us"),
+        F.round(
+            F.sum(F.round("value", 2) * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            4,
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_seasonality_profile — hour-of-day × day-of-week baseline + deviation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               isodow(ts) - 1                 AS dow,
+               CAST(hour(ts) AS BIGINT)       AS hod,
+               COUNT(*)                       AS n,
+               ROUND(SUM(value), 2)           AS sum_v
+        FROM events
+        GROUP BY 1, 2, 3
+    ), typed AS (
+        -- 4dp averages via FLOOR(x*1e4 + .5)/1e4: pure IEEE double ops,
+        -- bit-identical in both engines even at exact .00005 ties (where
+        -- Spark's HALF_UP-on-decimal and DuckDB's double ROUND disagree;
+        -- tiny per-cell counts make such ties actually occur)
+        SELECT *,
+               FLOOR(sum_v * 10000.0 / n + 0.5) / 10000.0 AS cell_avg,
+               FLOOR(CAST(SUM(sum_v) OVER (PARTITION BY event_type) AS DOUBLE)
+                     * 10000.0 / SUM(n) OVER (PARTITION BY event_type) + 0.5)
+                 / 10000.0 AS type_avg
+        FROM cells
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, hod, n, cell_avg,
+           ROUND(cell_avg - type_avg, 4) AS deviation
+    FROM typed
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality baseline: mean value per (event_type, day-of-week,
+    hour-of-day) cell plus each cell's deviation from its type's overall
+    mean — the profile a forecaster subtracts before looking for real
+    anomalies, and the load curve a capacity planner reads directly.
+
+    Scale shape: one hash-aggregate shuffle to at most
+    |types| × 7 × 24 cells regardless of input size; the type-level
+    baseline is a window over those few hundred cell rows, not a second
+    pass over the facts. Determinism: cell sums are rounded to the
+    2-decimal money grid first, and both cell and type averages are
+    derived from those exact sums with FLOOR-based 4dp rounding (pure
+    IEEE ops — immune to the round-half-tie divergence that per-cell
+    counts this small actually hit), so the 4dp deviations are
+    bit-identical in both engines. dow is 0=Monday (Spark ``weekday`` ≡
+    DuckDB ``isodow - 1``)."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.weekday("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+    )
+    w_type = Window.partitionBy("event_type")
+    # 4dp averages via FLOOR(x*1e4 + .5)/1e4 — see the oracle comment:
+    # identical IEEE ops on identical doubles, so no round-half ties
+    typed = cells.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        (F.floor(F.col("sum_v") * 10000.0 / F.col("n") + 0.5) / 10000.0).alias(
+            "cell_avg"
+        ),
+        (
+            F.floor(
+                F.sum("sum_v").over(w_type).cast("double")
+                * 10000.0
+                / F.sum("n").over(w_type)
+                + 0.5
+            )
+            / 10000.0
+        ).alias("type_avg"),
+    )
+    return typed.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        "cell_avg",
+        F.round(F.col("cell_avg") - F.col("type_avg"), 4).alias("deviation"),
+    )

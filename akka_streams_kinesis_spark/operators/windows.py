@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import div_round4
 from ..io import table
 from ..registry import query
 
@@ -23,7 +24,7 @@ from ..registry import query
            event_type,
            COUNT(*)                AS n,
            ROUND(SUM(value), 2)    AS total_value,
-           ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
+           FLOOR(ROUND(SUM(value), 2) * 10000.0 / COUNT(*) + 0.5) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -49,7 +50,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
             # round(sum,2)/count: boundary-safe avg (see relational.tpch_q1)
-            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
+            div_round4(F.round(F.sum("value"), 2), F.count("*")).alias("avg_value"),
         )
     )
 
@@ -588,3 +589,102 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_session_funnel_paths — top session-opening paths (path analysis)
+# ---------------------------------------------------------------------------
+
+_SFP_DEPTH = 3     # path prefix length
+_SFP_TOPK = 20
+
+
+@query(
+    "window_session_funnel_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, session_id,
+               ARRAY_TO_STRING(LIST(event_type ORDER BY ts, event_id)[1:{_SFP_DEPTH}], '>')
+                   AS path,
+               COUNT(*) AS depth
+        FROM sessions
+        GROUP BY user_id, session_id
+    ), ranked AS (
+        SELECT path,
+               COUNT(*) AS n_sessions,
+               ROUND(AVG(CASE WHEN depth >= {_SFP_DEPTH} THEN {_SFP_DEPTH}
+                              ELSE depth END * 1.0), 4) AS avg_prefix_len,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rnk
+        FROM paths
+        GROUP BY path
+    )
+    SELECT path, n_sessions, avg_prefix_len, rnk
+    FROM ranked WHERE rnk <= {_SFP_TOPK}
+    """,
+)
+def window_session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path exploration: the most common session-opening event sequences
+    (first {_SFP_DEPTH} event types per 30-min session) with session
+    counts — the 'what do users actually do first' table behind every
+    product-analytics path/Sankey view.
+
+    Scale shape: sessionization reuses the events_sessionize construction
+    (both windows share ONE user-partitioned sort). The per-session path
+    is built with collect_list over the SAME partitioning (sessions never
+    span users) + array_sort on a (µs, event_id, type) struct — a
+    deterministic per-group ordering without a second exchange — then
+    truncated to {_SFP_DEPTH}, so collected state per session is bounded.
+    The final rollup is |distinct paths| ≤ |types|^{_SFP_DEPTH} rows, and
+    the top-k is a TakeOrdered, not a global sort."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_us > 1800 * 1000 * 1000, 1)
+        .otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "array_join(slice(transform(array_sort(collect_list("
+                "struct(unix_micros(ts) AS t, event_id, event_type AS et))), "
+                f"x -> x.et), 1, {_SFP_DEPTH}), '>')"
+            ).alias("path"),
+            F.count("*").alias("depth"),
+        )
+    )
+    ranked = (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(
+                F.avg(F.least(F.col("depth"), F.lit(_SFP_DEPTH)) * 1.0), 4
+            ).alias("avg_prefix_len"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_sessions").desc(), "path")
+            ),
+        )
+        .filter(F.col("rnk") <= _SFP_TOPK)
+    )
+    return ranked.select("path", "n_sessions", "avg_prefix_len", "rnk")

@@ -10,6 +10,8 @@ hand-build downstream.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ..functions import div_round4
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.types import StructType
 
@@ -36,7 +38,7 @@ def hourly_rollup(events: DataFrame, ts_col: str = "ts", watermark: str = "2 hou
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
             # round(sum,2)/count: boundary-safe avg (see operators.relational)
-            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
+            div_round4(F.round(F.sum("value"), 2), F.count("*")).alias("avg_value"),
         )
         .select(
             F.col("window.start").alias("hour"),

@@ -226,7 +226,17 @@ HEADLINE = [
     "unpivot_nation_balances",
     "window_first_last_nth",
     "window_percent_rank_cume",
+    # round-5 additions
+    "events_time_weighted_avg",
+    "events_seasonality_profile",
+    "behavior_cohort_ltv_triangle",
+    "behavior_growth_accounting",
+    "curation_quantile_normalize_scores",
+    "text_boilerplate_by_source",
     "window_rank_dense_ntile",
+    "join_bloom_prefilter_reduction",
+    "events_funnel_time_bounded",
+    "window_session_funnel_paths",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -93,6 +93,13 @@ SF1_CANARY = [
     "window_range_frame_trailing_spend",
     "agg_count_min_sketch",
     "multimodal_phash_buckets",
+    # round-5 additions with data-dependent state/fan-out
+    "events_time_weighted_avg",
+    "curation_quantile_normalize_scores",
+    "text_boilerplate_by_source",
+    "join_bloom_prefilter_reduction",
+    "events_funnel_time_bounded",
+    "window_session_funnel_paths",
 ]
 
 if __name__ == "__main__":

@@ -136,6 +136,34 @@ SHOWCASE = [
      "Entropy from the log identity over per-(doc,bigram) counts: one "
      "map-side-combined hash-agg plus a per-doc rollup — no per-document "
      "probability vector, no UDF."),
+    ("events_time_weighted_avg",
+     "TWAP: the LEAD window and the final per-user aggregate share ONE "
+     "user_id Exchange (one shuffle total); products are exact-int "
+     "microseconds x 2dp money inside whole-stage codegen."),
+    ("behavior_growth_accounting",
+     "All four growth flows from ONE windowed pass: DISTINCT user-weeks, "
+     "a single user-partitioned sort feeding LAG and LEAD together, then "
+     "two small per-week rollups — no week-vs-week self-join of activity "
+     "sets."),
+    ("behavior_cohort_ltv_triangle",
+     "Cohort join is co-partitioned on o_custkey (AQE-planned); the "
+     "cumulative-LTV window runs over |months|^2 triangle cells, never "
+     "facts; cohort sizes arrive via BroadcastHashJoin."),
+    ("curation_quantile_normalize_scores",
+     "Percent-rank needs one source-partitioned sort; the pooled quantile "
+     "grid is ONE percentile aggregate collapsed to 101 rows and "
+     "broadcast back — the fact table is never re-shuffled for the "
+     "calibration join."),
+    ("text_boilerplate_by_source",
+     "distinct-(doc,source,gram) before any counting: plain hash-aggs "
+     "on (source,gram), a broadcast of per-source doc counts, and a "
+     "left-semi join against the small boilerplate set — no "
+     "count-distinct Expand, no doc-pair joins."),
+    ("join_bloom_prefilter_reduction",
+     "Runtime-filter join reduction: the fact side carries the Bloom "
+     "bit-test (ArrowEvalPython over JVM-computed md5 positions) BELOW "
+     "its Exchange, so only surviving candidates shuffle; the exact "
+     "join above removes false positives."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
 ]
