@@ -102,5 +102,21 @@ SF1_CANARY = [
     "window_session_funnel_paths",
 ]
 
+# Oracle-infeasible at sf1: these queries' DuckDB oracles are
+# DELIBERATELY brute-force (the independence of the check comes from the
+# naive formulation), which is quadratic where the engine's plan is the
+# scale path — at sf1 the knn oracle's all-pairs join (20k² vectors ×
+# 64-dim UNNEST ≈ 26B rows) spills DuckDB past the disk. They stay in
+# the TIMED scaling canary (no oracle there) and remain oracle-checked
+# at sf0.01/sf0.1 in the full-registry runs.
+SF1_ORACLE_INFEASIBLE = {
+    "similarity_knn_graph_blocked",
+}
+
 if __name__ == "__main__":
-    print(",".join(SF1_CANARY))
+    import sys
+
+    names = SF1_CANARY
+    if "--correctness" in sys.argv:
+        names = [n for n in SF1_CANARY if n not in SF1_ORACLE_INFEASIBLE]
+    print(",".join(names))
