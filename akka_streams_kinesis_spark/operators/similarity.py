@@ -404,20 +404,33 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 3
+# bounded block size: a label cell larger than this is split into
+# deterministic sub-buckets (vec_id % ceil(n/256)), so the per-cell
+# pairwise stage is O(block²) with a CONSTANT block bound — total cost
+# linear in N. Without the cap the fixed label count makes the stage
+# quadratic (measured 38x wall at 10x data in BENCH_SCALING before the
+# cap). At every SF ≤ 0.1 each label fits one bucket, so results there
+# are identical to the uncapped form.
+_KNN_BLOCK = 256
 
 
 @query(
     "similarity_knn_graph_blocked",
     oracle=f"""
-    WITH pairs AS (
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               vec_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY label)
+                                  / {_KNN_BLOCK}.0) AS BIGINT) AS bkt
+        FROM embeddings
+    ), pairs AS (
         SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
                ROUND(
                  SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
                  / (SQRT(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
                   * SQRT(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
                  6) AS sim
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+        FROM bucketed a
+        JOIN bucketed b ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
         CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
         GROUP BY a.vec_id, b.vec_id, a.label
     ), ranked AS (
@@ -433,27 +446,45 @@ def similarity_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest-neighbor GRAPH construction (every vector's top-{_KNN_K}
     neighbors), the substrate for graph-based dedup/diversity/cluster
     steps — blocked by the label cell so the pairwise stage is an
-    EQUI-join per cell, never a corpus × corpus product. This is the
-    kNN-graph analog of the IVF search path: at 100 TB the cells come
-    from a learned quantizer (see dedup_semantic_kmeans) and each cell's
-    block is GEMM-sized; with the toy label blocking here the same plan
-    shape is exact and oracle-checkable.
+    EQUI-join per cell, never a corpus × corpus product — and every cell
+    is SIZE-BOUNDED: labels larger than _KNN_BLOCK split into
+    deterministic vec_id-hash sub-buckets, so the pairwise stage is
+    O(N·block), linear in corpus size (the uncapped label blocking
+    measured 38x wall at 10x data). This is the kNN-graph analog of the
+    IVF search path: at 100 TB the cells come from a learned quantizer
+    (see dedup_semantic_kmeans) with the same size cap, and each cell's
+    block is GEMM-sized; the toy label+bucket blocking keeps the plan
+    shape exact and oracle-checkable.
 
     Per-source top-k uses the 6-dp-rounded similarity with dst tie-break
     (deterministic on both engines); WindowGroupLimit pushes the k-cut
     into the per-cell sort."""
     e = table(spark, sf_dir, "embeddings")
-    a = fanout(e).select(
-        F.col("vec_id").alias("src"), "label", F.col("embedding").alias("a_emb")
+    # per-label counts via a tiny aggregate + broadcast join — a window
+    # would shuffle the full embedding vectors just to count labels
+    counts = e.groupBy("label").agg(
+        F.ceil(F.count("*") / float(_KNN_BLOCK)).cast("bigint").alias("_nb")
     )
-    b = e.select(
+    eb = e.join(F.broadcast(counts), "label").withColumn(
+        "bkt", F.col("vec_id") % F.col("_nb")
+    )
+    a = fanout(eb).select(
+        F.col("vec_id").alias("src"),
+        "label",
+        F.col("bkt"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = eb.select(
         F.col("vec_id").alias("dst"),
         F.col("label").alias("b_label"),
+        F.col("bkt").alias("b_bkt"),
         F.col("embedding").alias("b_emb"),
     )
     pairs = a.join(
         b,
-        (F.col("label") == F.col("b_label")) & (F.col("src") != F.col("dst")),
+        (F.col("label") == F.col("b_label"))
+        & (F.col("bkt") == F.col("b_bkt"))
+        & (F.col("src") != F.col("dst")),
     ).select(
         "src",
         "dst",

@@ -102,16 +102,12 @@ SF1_CANARY = [
     "window_session_funnel_paths",
 ]
 
-# Oracle-infeasible at sf1: these queries' DuckDB oracles are
-# DELIBERATELY brute-force (the independence of the check comes from the
-# naive formulation), which is quadratic where the engine's plan is the
-# scale path — at sf1 the knn oracle's all-pairs join (20k² vectors ×
-# 64-dim UNNEST ≈ 26B rows) spills DuckDB past the disk. They stay in
-# the TIMED scaling canary (no oracle there) and remain oracle-checked
-# at sf0.01/sf0.1 in the full-registry runs.
-SF1_ORACLE_INFEASIBLE = {
-    "similarity_knn_graph_blocked",
-}
+# Oracle-infeasible at sf1 (currently none): a query lands here when its
+# deliberately-naive DuckDB oracle cannot run at sf1 even though the
+# engine can. similarity_knn_graph_blocked lived here briefly — its
+# uncapped label cells made the oracle's pairwise join ~26B unnested
+# rows — until the _KNN_BLOCK size cap made BOTH sides linear.
+SF1_ORACLE_INFEASIBLE: set[str] = set()
 
 if __name__ == "__main__":
     import sys

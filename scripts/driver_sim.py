@@ -148,6 +148,16 @@ def main():
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, total {time.time()-t0:.1f}s")
     if JSON_OUT:
+        # --merge-json: fold this run's rows into an existing artifact
+        # (targeted re-verify after a fix, without re-running the rest)
+        if "--merge-json" in sys.argv:
+            try:
+                with open(JSON_OUT) as f:
+                    prior = json.load(f)
+            except FileNotFoundError:
+                prior = {}
+            prior.update(report)
+            report = dict(sorted(prior.items()))
         with open(JSON_OUT, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {JSON_OUT}")

@@ -83,8 +83,20 @@ def main() -> None:
         unknown = [n for n in names if n not in registry.QUERIES]
         assert not unknown, f"not in registry: {unknown}"
     out_path = _flag_value("--json") if "--json" in sys.argv else OUT
+    # --merge: re-time only the named subset and fold the fresh numbers
+    # into the existing artifact (for a targeted fix re-measure without
+    # a full 2-scale sweep); the summary is recomputed over the union.
+    merge = "--merge" in sys.argv
     t_small = time_all(SF01_DIR, names)
     t_big = time_all(SF1_DIR, names)
+    if merge:
+        with open(out_path) as f:
+            prior = json.load(f)["queries"]
+        for n, rec in prior.items():
+            if n not in names:
+                t_small[n] = rec["sf01_sec"]
+                t_big[n] = rec["sf1_sec"]
+        names = sorted(set(names) | set(prior))
     queries: dict[str, dict] = {}
     flagged: list[str] = []
     for name in names:
