@@ -661,3 +661,82 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_qualified_purchases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# behavior_segment_migration_matrix — period-over-period segment transitions
+# ---------------------------------------------------------------------------
+
+_SMM_SPLIT = "2024-01-16"   # events span 2024-01-01 .. 2024-01-30
+_SMM_TILES = 3              # spend tertiles: high / mid / low
+
+
+@query(
+    "behavior_segment_migration_matrix",
+    oracle=f"""
+    WITH spend AS (
+        SELECT user_id,
+               CASE WHEN ts < TIMESTAMP '{_SMM_SPLIT}' THEN 'p1' ELSE 'p2' END AS period,
+               ROUND(SUM(value), 2) AS spend
+        FROM events
+        GROUP BY 1, 2
+    ), seg AS (
+        SELECT user_id, period,
+               'T' || NTILE({_SMM_TILES}) OVER (
+                   PARTITION BY period ORDER BY spend DESC, user_id
+               ) AS segment
+        FROM spend
+    ), p1 AS (SELECT user_id, segment FROM seg WHERE period = 'p1'),
+       p2 AS (SELECT user_id, segment FROM seg WHERE period = 'p2')
+    SELECT COALESCE(p1.segment, 'absent') AS seg_from,
+           COALESCE(p2.segment, 'absent') AS seg_to,
+           COUNT(*) AS n_users
+    FROM p1 FULL OUTER JOIN p2 USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def behavior_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment migration matrix: users bucketed into spend tertiles
+    (T1=top) independently in each half of the observation window, plus
+    'absent' for users active in only one half; the (from, to) transition
+    counts are the churn/upsell dashboard every CRM review starts from —
+    the off-diagonal cells ARE the story.
+
+    Scale shape: ONE pass collapses events to (user, period, spend); the
+    NTILE windows sort that per-user aggregate (never events) with
+    engine-exact boundaries (2dp-rounded spend, user_id tiebreak — the
+    behavior_rfm_segments discipline); the period self-alignment is a
+    full-outer join of two projections of the SAME aggregate, and the
+    matrix output is ≤ (tiles+1)² rows."""
+    e = table(spark, sf_dir, "events")
+    spend = (
+        e.groupBy(
+            "user_id",
+            F.when(
+                F.col("ts") < F.lit(_SMM_SPLIT).cast("timestamp"), "p1"
+            ).otherwise("p2").alias("period"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("period").orderBy(F.col("spend").desc(), "user_id")
+    seg = spend.select(
+        "user_id",
+        "period",
+        F.concat(F.lit("T"), F.ntile(_SMM_TILES).over(w).cast("string")).alias(
+            "segment"
+        ),
+    )
+    p1 = seg.filter(F.col("period") == "p1").select(
+        "user_id", F.col("segment").alias("_s1")
+    )
+    p2 = seg.filter(F.col("period") == "p2").select(
+        "user_id", F.col("segment").alias("_s2")
+    )
+    return (
+        p1.join(p2, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce("_s1", F.lit("absent")).alias("seg_from"),
+            F.coalesce("_s2", F.lit("absent")).alias("seg_to"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

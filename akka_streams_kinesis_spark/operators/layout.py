@@ -450,3 +450,91 @@ def layout_manifest_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("f_min_user").alias("min_user"),
         F.max("f_max_user").alias("max_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_sorted_write_clustering — ORDER-BY-on-write + zone disjointness audit
+# ---------------------------------------------------------------------------
+
+_SW_FILES = 8
+
+
+@query(
+    "layout_sorted_write_clustering",
+    oracle=f"""
+    SELECT {_SW_FILES}     AS n_files,
+           COUNT(*)        AS n_rows,
+           CAST(0 AS BIGINT) AS n_overlapping_pairs,
+           TRUE            AS zones_disjoint,
+           TRUE            AS rows_preserved
+    FROM events
+    """,
+)
+def layout_sorted_write_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY on write — the single-column clustering everyone ships
+    before reaching for Z-order: events range-partitioned and sorted by
+    user_id into {_SW_FILES} files, then AUDITED from the physical table:
+    per-file user_id zones (min/max from input_file_name() grouping) must
+    be pairwise DISJOINT, and no row may be lost. Disjoint zones are what
+    make a planner's min/max pruning perfect for user_id predicates —
+    each point lookup opens exactly one file.
+
+    The audit booleans are engine-computed from the written parquet (the
+    oracle pins the expected invariants — same discipline as the sketch
+    tolerance gates): n_overlapping_pairs counts zone-range intersections
+    across the |files|² grid (tiny), rows_preserved compares against the
+    source count. repartitionByRange samples range boundaries — the
+    boundaries themselves are an implementation detail, so the audit pins
+    the INVARIANT (disjointness + completeness), not the cut points.
+
+    Scale: the write is one range exchange + per-partition sort (exactly
+    how a nightly re-cluster job lays out a 100 TB table); the audit is
+    one pass over the written table collapsing to |files| zone rows."""
+    e = table(spark, sf_dir, "events")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    out = os.path.join(wh, f"aks_events_sorted_{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            e.repartitionByRange(_SW_FILES, "user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    written = spark.read.parquet(out)
+    zones = (
+        written.select(F.input_file_name().alias("_file"), "user_id")
+        .groupBy("_file")
+        .agg(
+            F.count("*").alias("f_rows"),
+            F.min("user_id").alias("lo"),
+            F.max("user_id").alias("hi"),
+        )
+    )
+    z = zones.select("_file", "f_rows", "lo", "hi")
+    pairs = z.alias("a").join(
+        F.broadcast(z.alias("b")),
+        (F.col("a._file") < F.col("b._file"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")),
+    )
+    n_overlap = pairs.agg(
+        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("n")
+    )
+    totals = z.agg(
+        F.count("*").cast("int").alias("n_files"),
+        F.sum("f_rows").cast("bigint").alias("n_rows"),
+    )
+    src_count = e.agg(F.count("*").alias("src_rows"))
+    return (
+        totals.crossJoin(F.broadcast(n_overlap))
+        .crossJoin(F.broadcast(src_count))
+        .select(
+            "n_files",
+            "n_rows",
+            F.col("n").alias("n_overlapping_pairs"),
+            (F.col("n") == 0).alias("zones_disjoint"),
+            (F.col("n_rows") == F.col("src_rows")).alias("rows_preserved"),
+        )
+    )

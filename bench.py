@@ -237,6 +237,8 @@ HEADLINE = [
     "join_bloom_prefilter_reduction",
     "events_funnel_time_bounded",
     "window_session_funnel_paths",
+    "behavior_segment_migration_matrix",
+    "layout_sorted_write_clustering",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

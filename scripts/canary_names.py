@@ -100,6 +100,7 @@ SF1_CANARY = [
     "join_bloom_prefilter_reduction",
     "events_funnel_time_bounded",
     "window_session_funnel_paths",
+    "layout_sorted_write_clustering",
 ]
 
 # Oracle-infeasible at sf1 (currently none): a query lands here when its
