@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
+from ..functions import NORM_TEXT_DUCK, div_round4, normalize_text, word_shingles
 from ..io import fanout, table
 from ..registry import query
 from .dedup import _band_cap_ctes, _minhash_ctes, dedup_minhash
@@ -1333,4 +1333,46 @@ def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("pct_docs_affected"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_soft_dedup_weighting — downweight duplicates instead of dropping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_soft_dedup_weighting",
+    oracle=f"""
+    WITH classes AS (
+        SELECT doc_id, MD5({_NORM}) AS dg FROM documents
+    ), sized AS (
+        SELECT dg, COUNT(*) AS class_size FROM classes GROUP BY dg
+    )
+    SELECT c.doc_id, s.class_size,
+           FLOOR(1.0 * 10000.0 / s.class_size + 0.5) / 10000.0 AS weight
+    FROM classes c JOIN sized s USING (dg)
+    """,
+)
+def curation_soft_dedup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicate documents, give
+    every member of an exact-duplicate class weight 1/class_size, so the
+    class contributes one document's worth of gradient regardless of copy
+    count. This is the sampling-weight formulation pretraining mixes use
+    when hard dedup would distort source proportions — the corpus keeps
+    its size, the loss keeps its balance.
+
+    Scale shape: one digest hash-aggregate for class sizes, then a
+    self-join on the digest — both shuffles are on the md5 key and the
+    second reuses the first's partitioning. Weight = div_round4(1, n)
+    (FLOOR idiom — engine-exact at every class size)."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    classes = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("dg")
+    )
+    sized = classes.groupBy("dg").agg(F.count("*").alias("class_size"))
+    return classes.join(sized, "dg").select(
+        "doc_id",
+        "class_size",
+        div_round4(F.lit(1.0), F.col("class_size")).alias("weight"),
     )

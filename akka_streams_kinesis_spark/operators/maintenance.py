@@ -469,3 +469,97 @@ def maintenance_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataF
         skew.alias("skew_vs_mean"),
         (skew > 1.5).alias("is_hot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_psi_drift_report — population-stability-index distribution drift
+# ---------------------------------------------------------------------------
+
+# PSI over 10 fixed value bands between the two halves of the window;
+# the conventional alert threshold is PSI > 0.1 ("noticeable shift").
+# All float math is quantized to integer micro-nats before any
+# aggregation (the curation_importance_weights discipline), so the
+# cross-engine gate has no summation-order or LN-last-ulp exposure and
+# the drift flag is an exact integer compare.
+_PSI_SPLIT = "2024-01-16"
+_PSI_BANDS = 10
+_PSI_FLAG_U = 100_000     # 0.1 in micro-nats
+
+
+@query(
+    "quality_psi_drift_report",
+    oracle=f"""
+    WITH banded AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 'p1' ELSE 'p2' END AS period,
+               LEAST(GREATEST(CAST(FLOOR(value / 10) AS BIGINT), 0), {_PSI_BANDS - 1}) AS band,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ), wide AS (
+        SELECT event_type, band,
+               SUM(CASE WHEN period = 'p1' THEN n ELSE 0 END) AS n1,
+               SUM(CASE WHEN period = 'p2' THEN n ELSE 0 END) AS n2
+        FROM banded GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, SUM(n1) AS t1, SUM(n2) AS t2 FROM wide GROUP BY 1
+    ), terms AS (
+        SELECT w.event_type,
+               CAST(FLOOR(
+                 (CAST(w.n2 + 1 AS DOUBLE) / (t.t2 + {_PSI_BANDS})
+                  - CAST(w.n1 + 1 AS DOUBLE) / (t.t1 + {_PSI_BANDS}))
+                 * LN((CAST(w.n2 + 1 AS DOUBLE) / (t.t2 + {_PSI_BANDS}))
+                      / (CAST(w.n1 + 1 AS DOUBLE) / (t.t1 + {_PSI_BANDS})))
+                 * 1000000 + 0.5) AS BIGINT) AS term_u
+        FROM wide w JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS psi,
+           SUM(term_u) > {_PSI_FLAG_U} AS drifted
+    FROM terms GROUP BY event_type
+    """,
+)
+def quality_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the two halves
+    of the observation window — the standard ML-monitoring drift gauge
+    for a feature's distribution (PSI > 0.1 = noticeable shift, > 0.25 =
+    act). Computed over 10 fixed value bands with add-one smoothing so
+    empty bands stay defined.
+
+    Scale shape: the fact table collapses to |types| × |bands| × 2
+    counts in ONE hash-aggregate pass; every later step runs on that
+    bounded table. Parity: each PSI term is quantized to integer
+    micro-nats BEFORE the per-type sum (exact int64 arithmetic,
+    order-independent), and the drift flag compares quantized sums as
+    integers — no float boundary can flip the gate."""
+    e = table(spark, sf_dir, "events")
+    banded = e.groupBy(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "p1")
+        .otherwise("p2")
+        .alias("period"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10).cast("bigint"), F.lit(0)),
+            F.lit(_PSI_BANDS - 1),
+        ).alias("band"),
+    ).agg(F.count("*").alias("n"))
+    wide = banded.groupBy("event_type", "band").agg(
+        F.sum(F.when(F.col("period") == "p1", F.col("n")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("period") == "p2", F.col("n")).otherwise(0)).alias("n2"),
+    )
+    tot = wide.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    p1 = (F.col("n1") + 1).cast("double") / (F.col("t1") + _PSI_BANDS)
+    p2 = (F.col("n2") + 1).cast("double") / (F.col("t2") + _PSI_BANDS)
+    terms = wide.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.floor((p2 - p1) * F.log(p2 / p1) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("term_u"),
+    )
+    return terms.groupBy("event_type").agg(
+        (F.floor(F.sum("term_u").cast("double") / 100.0 + 0.5) / 10000.0).alias(
+            "psi"
+        ),
+        (F.sum("term_u") > _PSI_FLAG_U).alias("drifted"),
+    )

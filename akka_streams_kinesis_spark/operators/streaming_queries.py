@@ -918,3 +918,56 @@ def stream_static_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return _run_available_now(agg, spark, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# stream_windowed_topk — hourly top-k event types from the live stream
+# ---------------------------------------------------------------------------
+
+_SWT_K = 3
+
+
+@query(
+    "stream_windowed_topk",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT hour, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rnk
+        FROM hourly
+    )
+    SELECT hour, event_type, n, rnk FROM ranked WHERE rnk <= {_SWT_K}
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly top-{_SWT_K} event types computed FROM THE LIVE STREAM —
+    the trending-now panel: watermarked tumbling-window counts maintained
+    by the streaming engine, with the rank cut applied at read time over
+    the drained aggregate. Ranking is not append-mode-expressible inside
+    a stream (a late row can reorder a window's top-k), so the canonical
+    topology is exactly this split: additive state in the stream, the
+    non-additive rank in the serving query — same state size as the
+    plain rollup, and the rank runs over |windows|×|types| rows only.
+
+    Hash-gated against plain SQL over the original table because the
+    ingest pipe is lossless (same statement as stream_ingest_hourly)."""
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    counts = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("hour"), "event_type", "n")
+    )
+    drained = _run_available_now(counts, spark, mode="complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("hour").orderBy(F.col("n").desc(), "event_type")
+    return (
+        drained.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SWT_K)
+        .select("hour", "event_type", "n", "rnk")
+    )

@@ -239,6 +239,8 @@ HEADLINE = [
     "window_session_funnel_paths",
     "behavior_segment_migration_matrix",
     "layout_sorted_write_clustering",
+    "quality_psi_drift_report",
+    "curation_soft_dedup_weighting",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.
@@ -264,6 +266,7 @@ STREAM_SECTION = [
     "stream_egress_pyds_relay",
     "stream_heavy_hitters_mg",
     "stream_static_dim_enrichment",
+    "stream_windowed_topk",
 ]
 
 

@@ -101,6 +101,7 @@ SF1_CANARY = [
     "events_funnel_time_bounded",
     "window_session_funnel_paths",
     "layout_sorted_write_clustering",
+    "curation_soft_dedup_weighting",
 ]
 
 # Oracle-infeasible at sf1 (currently none): a query lands here when its
