@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import div_round4
 from ..io import table
 from ..registry import query
 
@@ -395,9 +396,10 @@ def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.cohort_size,
            a.active_customers,
            a.revenue,
-           ROUND(CAST(SUM(a.revenue) OVER (
+           FLOOR(CAST(SUM(a.revenue) OVER (
                     PARTITION BY a.cohort_month ORDER BY a.age_months
-                ) AS DOUBLE) / s.cohort_size, 4) AS cum_ltv_per_customer
+                ) AS DOUBLE) * 10000.0 / s.cohort_size + 0.5) / 10000.0
+             AS cum_ltv_per_customer
     FROM aged a JOIN sized s USING (cohort_month)
     """,
 )
@@ -450,8 +452,8 @@ def behavior_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_size",
             "active_customers",
             "revenue",
-            F.round(
-                F.sum("revenue").over(w_cum).cast("double") / F.col("cohort_size"), 4
+            div_round4(
+                F.sum("revenue").over(w_cum).cast("double"), F.col("cohort_size")
             ).alias("cum_ltv_per_customer"),
         )
     )

@@ -1275,7 +1275,8 @@ _BPS_MIN_DF = 3
     SELECT m.source, m.n_docs,
            COALESCE(x.n_bp, 0) AS n_boilerplate_ngrams,
            COALESCE(a.n_docs_affected, 0) AS n_docs_affected,
-           ROUND(COALESCE(a.n_docs_affected, 0) * 1.0 / m.n_docs, 4) AS pct_docs_affected
+           FLOOR(COALESCE(a.n_docs_affected, 0) * 10000.0 / m.n_docs + 0.5) / 10000.0
+             AS pct_docs_affected
     FROM m
     LEFT JOIN (SELECT source, COUNT(*) AS n_bp FROM bp GROUP BY source) x USING (source)
     LEFT JOIN affected a USING (source)
@@ -1297,7 +1298,7 @@ def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on (source, gram) or source; the threshold is exact integer
     math (df ≥ 3 AND 50·df ≥ m), so no float-boundary gate risk. The relative
     threshold is what scales: a fixed absolute df would saturate at
-    100 TB while 20%-of-source tracks each source's size."""
+    100 TB while 2%-of-source tracks each source's size."""
     d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "source",
@@ -1328,9 +1329,9 @@ def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.coalesce("n_boilerplate_ngrams", F.lit(0)).alias("n_boilerplate_ngrams"),
             F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
-            F.round(
-                F.coalesce("n_docs_affected", F.lit(0)) * F.lit(1.0) / F.col("n_docs"),
-                4,
+            div_round4(
+                F.coalesce("n_docs_affected", F.lit(0)).cast("double"),
+                F.col("n_docs"),
             ).alias("pct_docs_affected"),
         )
     )

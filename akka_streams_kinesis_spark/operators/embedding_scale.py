@@ -16,9 +16,12 @@ Both operators are *model fit + apply* shapes:
 - Apply is an Arrow-batched projection (`mapInPandas` / `pandas_udf`) or
   a broadcast equi-join — per-row, shuffle-free, scan-pipelined.
 
-No DuckDB oracle (iterative/eigen model fits are not SQL-expressible);
-the driver records the weaker rows-only check and the invariants are
-pinned by property tests in tests/test_embedding_scale.py.
+Oracle: the iterative/eigen model fits themselves are not
+SQL-expressible, but every registered query in this module carries a
+DuckDB gate oracle (outputs are pinned to fit-invariant columns under
+seeded deterministic fits; ``registry.ORACLES`` covers 100% of queries).
+Recall/variance invariants are additionally pinned by property tests in
+tests/test_embedding_scale.py.
 """
 
 from __future__ import annotations

@@ -24,9 +24,12 @@ Scale anatomy:
 Reference parity: none — the reference is a Kinesis connector with no
 vector surface (SURVEY.md §0, §2.D); driver-mandated north-star extension.
 
-No DuckDB oracle (iterative Lloyd fit is not SQL-expressible); the driver
-records the rows-only check and the drop-rule contract is pinned exactly
-by tests/test_semdedup.py.
+Oracle: the iterative Lloyd fit itself is not SQL-expressible, but the
+registered ``dedup_semantic_kmeans`` query IS hash-gated — its output is
+pinned to cluster-invariant columns (drop decisions under the seeded,
+deterministic fit), and the registry carries a DuckDB oracle for it
+(``registry.ORACLES`` covers 100% of queries). The drop-rule contract is
+additionally pinned by tests/test_semdedup.py.
 """
 
 from __future__ import annotations

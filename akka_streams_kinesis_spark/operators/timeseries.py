@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import div_round4
 from ..io import table
 from ..registry import query
 
@@ -686,15 +687,16 @@ def events_change_point_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_time_weighted_avg",
     oracle="""
     WITH stepped AS (
-        SELECT user_id, value,
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
                epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                  - epoch_us(ts) AS dt_us
         FROM events
     )
     SELECT user_id,
            CAST(SUM(dt_us) AS BIGINT) AS observed_us,
-           ROUND(CAST(SUM(ROUND(value, 2) * dt_us) AS DOUBLE)
-                 / CAST(SUM(dt_us) AS DOUBLE), 4) AS twap
+           FLOOR(CAST(SUM(cents * dt_us) AS DOUBLE) * 10000.0
+                 / (100.0 * CAST(SUM(dt_us) AS DOUBLE)) + 0.5) / 10000.0 AS twap
     FROM stepped
     WHERE dt_us IS NOT NULL
     GROUP BY user_id
@@ -710,22 +712,27 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shuffle on user_id serves both the LEAD window and
     the per-user aggregate (same partitioning, Catalyst reuses the
-    exchange). Δt is integer microseconds (exact in both engines) and
-    value is 2-decimal money, so each product value·Δt is exact in
-    double far below 2⁵³; the final ratio is rounded at 4dp. The last
-    event per user has no successor and is excluded (open interval)."""
+    exchange). Determinism: 2-decimal money is quantized to integer
+    cents (FLOOR(v·100 + .5) — exact for the nonnegative 2dp grid), and
+    Σ cents·Δtµs accumulates in int64 (per-user magnitude ≲ 2e16, well
+    under 2⁶³), so the sum is order-independent — double products of
+    non-dyadic 2dp values would carry partial-aggregation-order ulp
+    error. The final ratio uses the FLOOR-based 4dp idiom
+    (:func:`div_round4` shape) so both engines round identical bits.
+    The last event per user has no successor and is excluded."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
-    stepped = e.select("user_id", "value", dt.alias("dt_us")).filter(
-        F.col("dt_us").isNotNull()
-    )
+    stepped = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        dt.alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
     return stepped.groupBy("user_id").agg(
         F.sum("dt_us").cast("bigint").alias("observed_us"),
-        F.round(
-            F.sum(F.round("value", 2) * F.col("dt_us")).cast("double")
-            / F.sum("dt_us").cast("double"),
-            4,
+        div_round4(
+            F.sum(F.col("cents") * F.col("dt_us")).cast("double"),
+            F.lit(100.0) * F.sum("dt_us").cast("double"),
         ).alias("twap"),
     )
 

@@ -625,8 +625,9 @@ _SFP_TOPK = 20
     ), ranked AS (
         SELECT path,
                COUNT(*) AS n_sessions,
-               ROUND(AVG(CASE WHEN depth >= {_SFP_DEPTH} THEN {_SFP_DEPTH}
-                              ELSE depth END * 1.0), 4) AS avg_prefix_len,
+               FLOOR(CAST(SUM(CASE WHEN depth >= {_SFP_DEPTH} THEN {_SFP_DEPTH}
+                                   ELSE depth END) AS DOUBLE) * 10000.0
+                     / COUNT(*) + 0.5) / 10000.0 AS avg_prefix_len,
                ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rnk
         FROM paths
         GROUP BY path
@@ -675,8 +676,9 @@ def window_session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.groupBy("path")
         .agg(
             F.count("*").alias("n_sessions"),
-            F.round(
-                F.avg(F.least(F.col("depth"), F.lit(_SFP_DEPTH)) * 1.0), 4
+            div_round4(
+                F.sum(F.least(F.col("depth"), F.lit(_SFP_DEPTH))).cast("double"),
+                F.count("*"),
             ).alias("avg_prefix_len"),
         )
         .withColumn(
