@@ -6,11 +6,14 @@ ToPutRecordsRequest.scala:9-11). This module carries that model into a
 multimodal table: ``binary`` payload columns with a metadata struct, and
 Arrow-batched ``mapInPandas`` decode/feature stages.
 
-Real image/audio decoding libraries are not in this container, so
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` behind a
-clearly-marked seam; ``fake_decode_features`` is the deterministic stand-in
-the tests and the oracle verify. The Spark-side plumbing — schema, batch
-iteration, partitioning — is the real production shape either way.
+Decoding is optional-import: ``decode_image``/``decode_audio`` use
+PIL/soundfile when installed and raise ``NotImplementedError`` when not
+(this container ships neither); ``decode_features`` dispatches — real
+dimensions for decodable images under an installed backend, the
+deterministic ``fake_decode_features`` stand-in otherwise — so the oracle
+gate (text payloads, never decodable images) passes identically with either
+backend. The Spark-side plumbing — schema, batch iteration, partitioning —
+is the real production shape either way.
 """
 
 from __future__ import annotations
@@ -34,19 +37,46 @@ from ..registry import query
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real image decode seam (PIL/OpenCV not available in this container)."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_decode_features for the deterministic stub"
-    )
+    """Real image decode seam — optional-import PIL. Returns a PIL.Image
+    when Pillow is installed; raises NotImplementedError when it isn't
+    (this container ships no imaging library). Invalid image bytes raise
+    ValueError so callers can distinguish "no backend" from "not an
+    image" and fall back per-payload."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not installed; "
+            "decode_features falls back to the deterministic stub"
+        ) from e
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        return img
+    except Exception as e:  # noqa: BLE001 - any decode failure → typed error
+        raise ValueError(f"payload is not a decodable image: {e}") from e
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Real audio decode seam (soundfile/ffmpeg not available here)."""
-    raise NotImplementedError(
-        "audio decoding requires an audio library not present in this "
-        "environment; use fake_decode_features for the deterministic stub"
-    )
+    """Real audio decode seam — optional-import soundfile. Returns
+    (samples, sample_rate) when soundfile is installed; raises
+    NotImplementedError when it isn't. Invalid audio bytes raise
+    ValueError (same backend-vs-payload distinction as decode_image)."""
+    try:
+        import soundfile as sf  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decoding requires soundfile, which is not installed; "
+            "decode_features falls back to the deterministic stub"
+        ) from e
+    import io
+
+    try:
+        return sf.read(io.BytesIO(payload))
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"payload is not decodable audio: {e}") from e
 
 
 def fake_decode_features(payload: bytes) -> tuple[int, int, int, str]:
@@ -54,6 +84,22 @@ def fake_decode_features(payload: bytes) -> tuple[int, int, int, str]:
     width, height, content digest) purely from the bytes."""
     n = len(payload)
     return n, n % 640 + 1, (n * 7) % 480 + 1, hashlib.sha256(payload).hexdigest()
+
+
+def decode_features(payload: bytes) -> tuple[int, int, int, str]:
+    """Backend-dispatching feature decode: real PIL dimensions when Pillow
+    is installed AND the payload is a decodable image; the deterministic
+    stub otherwise (no backend, or non-image bytes such as this corpus's
+    text payloads). Either backend yields the same (byte_size, width,
+    height, content_sha) shape, so the oracle gate — which runs over text
+    payloads that always take the stub path — passes identically with or
+    without Pillow installed."""
+    try:
+        img = decode_image(payload)
+    except (NotImplementedError, ValueError):
+        return fake_decode_features(payload)
+    w, h = img.size
+    return len(payload), int(w), int(h), hashlib.sha256(payload).hexdigest()
 
 
 _FEATURE_SCHEMA = StructType(
@@ -77,7 +123,7 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode_features(bytes(p)) for p in pdf["payload"]]
+            feats = [decode_features(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
