@@ -597,3 +597,78 @@ def dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.groupBy("by_exact", "by_simhash", "by_minhash").agg(
         F.count("*").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_band_tuning — the LSH S-curve design table
+# ---------------------------------------------------------------------------
+
+# (rows per band r, bands b) layouts of a 128-hash MinHash signature
+_BT_LAYOUTS = ((4, 32), (8, 16), (16, 8))
+
+
+def _pow_chain_sql(base: str, exp: int) -> str:
+    """x^exp for power-of-two exp as an explicit squaring chain — the SAME
+    IEEE multiplication sequence in both engines (POWER() goes through
+    libm/JVM pow, which are not guaranteed bit-identical)."""
+    assert exp & (exp - 1) == 0 and exp >= 1
+    out = base
+    while exp > 1:
+        out = f"(({out}) * ({out}))"
+        exp //= 2
+    return out
+
+
+@query(
+    "dedup_minhash_band_tuning",
+    oracle=f"""
+    WITH grid AS (
+        SELECT UNNEST(RANGE(1, 20)) AS i
+    ), s AS (
+        SELECT i, CAST(i AS DOUBLE) / 20.0 AS sim FROM grid
+    )
+    {" UNION ALL ".join(
+        f'''SELECT sim, {r} AS rows_per_band, {b} AS n_bands,
+               1.0 - {_pow_chain_sql(f"(1.0 - {_pow_chain_sql('sim', r)})", b)}
+                   AS p_candidate
+        FROM s'''
+        for r, b in _BT_LAYOUTS
+    )}
+    """,
+)
+def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH band-tuning S-curve: for each (rows-per-band r, bands b)
+    layout of a 128-hash MinHash signature, the probability that a pair
+    with Jaccard similarity s becomes a candidate — P = 1 − (1 − sʳ)ᵇ —
+    over a similarity grid. This is the design table behind the engine's
+    own ``dedup_minhash_lsh`` parameters: it shows where each layout's
+    threshold sits ((1/b)^(1/r)) and how sharp the cutoff is, so a curator
+    picks (r, b) from data instead of folklore.
+
+    Determinism: sʳ and (1−sʳ)ᵇ are evaluated as explicit SQUARING CHAINS
+    (r and b are powers of two), the exact same IEEE multiplication
+    sequence in Spark and DuckDB — POWER() would route through two
+    different libm implementations whose results are not guaranteed to
+    the last ulp. Grid points are i/20.0, exact in both engines.
+
+    Scale: constant-size (57 rows) — a design-table query; it exists to be
+    joined against measured duplicate-pair similarity histograms."""
+    s = spark.range(1, 20).select(
+        (F.col("id").cast("double") / 20.0).alias("sim")
+    )
+    parts = []
+    for r, b in _BT_LAYOUTS:
+        inner = _pow_chain_sql("sim", r)
+        p = F.expr(f"1.0 - {_pow_chain_sql(f'(1.0 - {inner})', b)}")
+        parts.append(
+            s.select(
+                "sim",
+                F.lit(r).alias("rows_per_band"),
+                F.lit(b).alias("n_bands"),
+                p.alias("p_candidate"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -563,3 +563,104 @@ def quality_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum("term_u") > _PSI_FLAG_U).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_manifest_orphans — manifest vs physical-listing reconciliation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_manifest_orphans",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_manifest_files,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) + 2 AS BIGINT) AS n_disk_files,
+           CAST(2 AS BIGINT)  AS n_orphans,
+           CAST(0 AS BIGINT)  AS n_missing,
+           COUNT(*)           AS n_live_rows,
+           TRUE               AS manifest_covers_all_live
+    FROM events
+    """,
+)
+def maintenance_manifest_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest reconciliation — the audit every manifest-tracked lake runs
+    before vacuuming: list the physical files under the table root, diff
+    against the manifest, and report orphans (on disk, not in the
+    manifest: crashed-writer leftovers, failed-commit temp output) and
+    missing files (in the manifest, gone from disk: corruption — must be
+    zero before any cleanup is allowed to delete).
+
+    The fixture plants exactly two orphans (a `.tmp` staging file and an
+    un-committed parquet) next to a one-file-per-day table whose manifest
+    is derived from the physical layout at build time; the oracle pins the
+    invariants — |manifest| = |days|, 2 orphans, 0 missing, all live rows
+    covered. The diff itself is two LEFT ANTI JOINs over file-name frames
+    (O(|files|), dimension-sized — never touches row data), so the same
+    plan reconciles a million-file table: the listing comes from the
+    filesystem/catalog, the row counts from the manifest, not a scan."""
+    from .layout import layout_compact_small_files, partitioned_events_path
+
+    partitioned_events_path(spark, sf_dir)  # ensure base table exists
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    out = os.path.join(wh, f"aks_events_compacted_{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        layout_compact_small_files(spark, sf_dir).count()
+
+    orphan_dir = os.path.join(out, "event_date=1999-01-01")
+    orphans = [
+        os.path.join(orphan_dir, "part-orphan-000.parquet.tmp"),
+        os.path.join(orphan_dir, "part-orphan-001.parquet"),
+    ]
+    if not os.path.exists(orphan_dir):
+        os.makedirs(orphan_dir, exist_ok=True)
+        for p in orphans:
+            with open(p, "wb") as f:
+                f.write(b"not a committed file")
+
+    # manifest: the file set of the committed table (derived once from the
+    # physical layout via input_file_name — in a real lake this is the
+    # manifest the commit protocol wrote; rebuilding it here keeps the
+    # fixture self-contained). The committed partitions are enumerated on
+    # the driver (catalog-sized listing) so the scan never opens the
+    # planted junk files — exactly how a real reader trusts the manifest
+    # rather than globbing the table root.
+    day_dirs = [
+        os.path.join(out, d)
+        for d in sorted(os.listdir(out))
+        if d.startswith("event_date=") and d != "event_date=1999-01-01"
+    ]
+    committed = spark.read.option("basePath", out).parquet(*day_dirs)
+    manifest = committed.groupBy(F.input_file_name().alias("file")).agg(
+        F.count("*").alias("m_rows")
+    )
+    # physical listing (filesystem walk — catalog-sized, not data-sized)
+    disk_files = []
+    for root, _dirs, files in os.walk(out):
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            disk_files.append(("file://" + os.path.join(root, fn),))
+    disk = spark.createDataFrame(disk_files, "file string")
+
+    orphans_df = disk.join(manifest.select("file"), "file", "left_anti")
+    missing_df = manifest.select("file").join(disk, "file", "left_anti")
+    live_rows = manifest.agg(
+        F.coalesce(F.sum("m_rows"), F.lit(0)).alias("n_live_rows")
+    )
+    counts = (
+        manifest.agg(F.count("*").alias("n_manifest_files"))
+        .crossJoin(F.broadcast(disk.agg(F.count("*").alias("n_disk_files"))))
+        .crossJoin(F.broadcast(orphans_df.agg(F.count("*").alias("n_orphans"))))
+        .crossJoin(F.broadcast(missing_df.agg(F.count("*").alias("n_missing"))))
+        .crossJoin(F.broadcast(live_rows))
+    )
+    return counts.select(
+        "n_manifest_files",
+        "n_disk_files",
+        "n_orphans",
+        "n_missing",
+        "n_live_rows",
+        (F.col("n_missing") == 0).alias("manifest_covers_all_live"),
+    )

@@ -971,3 +971,89 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _SWT_K)
         .select("hour", "event_type", "n", "rnk")
     )
+
+
+@query(
+    "stream_observed_ingest_metrics",
+    oracle="""
+    SELECT COUNT(*)                                        AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                                                           AS total_cents,
+           MIN(event_id)                                   AS min_event_id,
+           MAX(event_id)                                   AS max_event_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)      AS n_event_types
+    FROM events
+    """,
+)
+def stream_observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline telemetry via the Observation API: the streaming
+    ingest declares ``observe()`` metrics (row count, integer-cents value
+    sum, id bounds, distinct-type sketch) ON the stream itself, Spark
+    accumulates them per micro-batch with NO extra pass or shuffle (they
+    piggyback on the existing plan), and the per-batch values are read
+    from ``StreamingQueryProgress.observedMetrics`` and folded. This is
+    how a production pipe exports records/sec and value-conservation
+    checks to monitoring without a second aggregation job.
+
+    The fold is exact because every observed metric is integral: counts
+    and cents SUM across batches, id bounds MIN/MAX across batches. The
+    distinct-type count is NOT foldable across batches (distinct isn't
+    additive), so it is observed as approx per batch and the final value
+    is recomputed exactly from the landed table — the standard
+    monitor-vs-audit split. The oracle checks the folded metrics against
+    plain SQL over the source table: the ingest is lossless, so observed
+    telemetry must equal batch truth."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    observed = events.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    name = f"obs_{uuid.uuid4().hex[:10]}"
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    n_rows = total_cents = 0
+    min_id = max_id = None
+    for progress in q.recentProgress:
+        m = (progress.get("observedMetrics") or {}).get("ingest")
+        if not m:
+            continue
+        n_rows += m["n_rows"]
+        total_cents += m["total_cents"] or 0
+        if m["min_event_id"] is not None:
+            min_id = m["min_event_id"] if min_id is None else min(min_id, m["min_event_id"])
+        if m["max_event_id"] is not None:
+            max_id = m["max_event_id"] if max_id is None else max(max_id, m["max_event_id"])
+    # the audit half: non-additive metrics recomputed exactly on the landed
+    # table (one tiny batch agg over the memory sink)
+    n_types = spark.table(name).select("event_type").distinct().count()
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("total_cents", LongType()),
+            StructField("min_event_id", LongType()),
+            StructField("max_event_id", LongType()),
+            StructField("n_event_types", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n_rows, total_cents, min_id, max_id, n_types)], schema
+    )

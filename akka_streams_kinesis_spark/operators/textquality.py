@@ -415,3 +415,140 @@ def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log2("p_kn")), 4).alias("avg_surprisal_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_gopher_quality_rules — the Gopher rule battery as a source report
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "that")
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+
+
+@query(
+    "curation_gopher_quality_rules",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, source, {_NORM} AS t FROM documents
+    ), base AS (
+        SELECT doc_id, source,
+               LEN(STRING_SPLIT(t, ' '))              AS n_words,
+               LENGTH(REPLACE(t, ' ', ''))            AS n_alpha
+        FROM norm
+    ), words AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS w FROM norm
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id,
+               COUNT(*)  AS n_distinct,
+               MAX(c)    AS top_cnt,
+               SUM(CASE WHEN w IN {_GOPHER_STOPWORDS} THEN 1 ELSE 0 END) AS n_stop_kinds
+        FROM wc GROUP BY doc_id
+    ), flags AS (
+        SELECT b.source,
+               (b.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+                                                            AS r_word_count,
+               (3 * b.n_words <= b.n_alpha
+                AND b.n_alpha <= 10 * b.n_words)             AS r_mean_word_len,
+               (p.n_stop_kinds >= 2)                         AS r_stopwords,
+               (5 * p.top_cnt <= b.n_words)                  AS r_repetition,
+               (5 * p.n_distinct >= b.n_words)               AS r_distinct_ratio
+        FROM base b JOIN per_doc p USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*)                                            AS n_docs,
+           SUM(CASE WHEN NOT r_word_count    THEN 1 ELSE 0 END) AS n_fail_word_count,
+           SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS n_fail_mean_word_len,
+           SUM(CASE WHEN NOT r_stopwords     THEN 1 ELSE 0 END) AS n_fail_stopwords,
+           SUM(CASE WHEN NOT r_repetition    THEN 1 ELSE 0 END) AS n_fail_repetition,
+           SUM(CASE WHEN NOT r_distinct_ratio THEN 1 ELSE 0 END) AS n_fail_distinct_ratio,
+           SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_stopwords
+                     AND r_repetition AND r_distinct_ratio THEN 1 ELSE 0 END)
+                                                               AS n_pass_all,
+           FLOOR(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_stopwords
+                           AND r_repetition AND r_distinct_ratio THEN 1 ELSE 0 END)
+                 * 10000.0 / COUNT(*) + 0.5) / 10000.0         AS pass_rate
+    FROM flags
+    GROUP BY source
+    """,
+)
+def curation_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, §A1.1) as a
+    per-source report: word-count bounds [{_GOPHER_MIN_WORDS},
+    {_GOPHER_MAX_WORDS}], mean word length in [3, 10], ≥2 distinct common
+    stopwords present, no single word above 20% of the document, and ≥20%
+    distinct words — the filter bank every pretraining corpus passes
+    through before dedup, rolled up to per-rule fail counts so a curator
+    sees WHICH rule is killing WHICH source.
+
+    Determinism: every rule is exact integer arithmetic (the mean-length
+    band is 3·n ≤ chars ≤ 10·n, never a float division), so the booleans
+    cannot ride a float boundary; only the final pass_rate crosses a
+    ratio, FLOOR-rounded at 4dp.
+
+    Scale shape: one explode → (doc, word) hash-agg → per-doc agg — the
+    same two-level shape as the TF-IDF family; per-source rollup is a
+    dimension-sized aggregate. Nothing is quadratic, nothing collects."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    norm = d.select("doc_id", "source", normalize_text(F.col("text")).alias("t"))
+    base = norm.select(
+        "doc_id",
+        "source",
+        F.size(F.split("t", " ")).alias("n_words"),
+        F.length(F.replace(F.col("t"), F.lit(" "), F.lit(""))).alias("n_alpha"),
+    )
+    wc = (
+        norm.select("doc_id", F.explode(F.split("t", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.col("w").isin(*[s for s in _GOPHER_STOPWORDS]).cast("int")).alias(
+            "n_stop_kinds"
+        ),
+    )
+    flags = base.join(per_doc, "doc_id").select(
+        "source",
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS).alias(
+            "r_word_count"
+        ),
+        (
+            (F.lit(3) * F.col("n_words") <= F.col("n_alpha"))
+            & (F.col("n_alpha") <= F.lit(10) * F.col("n_words"))
+        ).alias("r_mean_word_len"),
+        (F.col("n_stop_kinds") >= 2).alias("r_stopwords"),
+        (F.lit(5) * F.col("top_cnt") <= F.col("n_words")).alias("r_repetition"),
+        (F.lit(5) * F.col("n_distinct") >= F.col("n_words")).alias(
+            "r_distinct_ratio"
+        ),
+    )
+    pass_all = (
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_stopwords")
+        & F.col("r_repetition")
+        & F.col("r_distinct_ratio")
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~F.col("r_word_count")).cast("int")).alias("n_fail_word_count"),
+        F.sum((~F.col("r_mean_word_len")).cast("int")).alias(
+            "n_fail_mean_word_len"
+        ),
+        F.sum((~F.col("r_stopwords")).cast("int")).alias("n_fail_stopwords"),
+        F.sum((~F.col("r_repetition")).cast("int")).alias("n_fail_repetition"),
+        F.sum((~F.col("r_distinct_ratio")).cast("int")).alias(
+            "n_fail_distinct_ratio"
+        ),
+        F.sum(pass_all.cast("int")).alias("n_pass_all"),
+        (
+            F.floor(
+                F.sum(pass_all.cast("int")) * 10000.0 / F.count("*") + 0.5
+            )
+            / 10000.0
+        ).alias("pass_rate"),
+    )

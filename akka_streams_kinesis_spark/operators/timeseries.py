@@ -824,3 +824,195 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_avg",
         F.round(F.col("cell_avg") - F.col("type_avg"), 4).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_regression_value_trend — closed-form OLS per event_type, exact sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_regression_value_trend",
+    oracle="""
+    WITH anchor AS (
+        SELECT MIN(epoch_us(ts)) AS min_us FROM events
+    ), pts AS (
+        SELECT event_type,
+               (epoch_us(ts) - (SELECT min_us FROM anchor)) // 3600000000 AS x,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)                AS y
+        FROM events
+    ), sums AS (
+        SELECT event_type,
+               COUNT(*)     AS n,
+               SUM(x)       AS sx,
+               SUM(y)       AS sy,
+               SUM(x * y)   AS sxy,
+               SUM(x * x)   AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000.0
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0)
+                 + 0.5) / 1000000.0 AS slope_per_hour,
+           FLOOR((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) * 1000000.0
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0)
+                 + 0.5) / 1000000.0 AS intercept
+    FROM sums
+    """,
+)
+def agg_regression_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend line of event value over time, per event_type:
+    slope (dollars/hour) and intercept — 'is spend drifting up or down' as
+    one aggregate pass, the distributed equivalent of REGR_SLOPE/
+    REGR_INTERCEPT.
+
+    Determinism (the reason NOT to use the built-in regr_* functions):
+    those accumulate doubles whose partial-aggregation order varies run to
+    run. Here x is integer hours since the global min timestamp and y is
+    integer cents, so ALL five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    are exact int64 sums — order-independent — and the closed-form slope/
+    intercept are a fixed IEEE expression over those exact integers,
+    bit-identical in both engines, FLOOR-rounded at 6dp. Magnitudes: each
+    sum stays < 2⁵³ through sf1, so the int→double casts are exact; at a
+    true 100 TB you'd rebase x per group and widen the sums to
+    DECIMAL(38,0), same shape.
+
+    Scale: one scalar MIN (broadcast), one hash-agg by event_type — the
+    minimum possible plan for any regression."""
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(F.min(F.unix_micros("ts")).alias("min_us"))
+    pts = e.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.expr("(unix_micros(ts) - min_us) DIV 3600000000").alias("x"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * 100.0
+    slope_num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    icept_num = (
+        F.col("sy").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sxy").cast("double")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (F.floor(slope_num * 1000000.0 / den + 0.5) / 1000000.0).alias(
+            "slope_per_hour"
+        ),
+        (F.floor(icept_num * 1000000.0 / den + 0.5) / 1000000.0).alias(
+            "intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_mann_kendall_trend — nonparametric trend test per user (bounded)
+# ---------------------------------------------------------------------------
+
+_MK_CAP = 32  # most-recent events per user entering the pairwise statistic
+
+
+@query(
+    "events_mann_kendall_trend",
+    oracle=f"""
+    WITH capped AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= {_MK_CAP}
+    )
+    SELECT a.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                         WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                AS BIGINT)          AS s_stat,
+           CASE WHEN SUM(CASE WHEN b.cents > a.cents THEN 1
+                              WHEN b.cents < a.cents THEN -1 ELSE 0 END) > 0
+                THEN 'up'
+                WHEN SUM(CASE WHEN b.cents > a.cents THEN 1
+                              WHEN b.cents < a.cents THEN -1 ELSE 0 END) < 0
+                THEN 'down' ELSE 'flat' END AS trend
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    GROUP BY a.user_id
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic per user: S = Σ_(i<j) sign(vⱼ − vᵢ)
+    over each user's recent events — the standard nonparametric 'is this
+    series trending' test (robust to outliers, no distribution assumed).
+
+    Scale shape: the pairwise statistic is quadratic per user, so the
+    series is CAPPED to the {_MK_CAP} most recent events per user first
+    (one user-partitioned window pass) — per-user work is then ≤
+    {_MK_CAP}·({_MK_CAP}−1)/2 pairs regardless of history length, and the
+    self-join shuffles both sides on user_id once. The sign comparisons
+    are on integer cents, so S is exact integer arithmetic end-to-end."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    capped = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MK_CAP)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (
+            (F.col("a.ts") < F.col("b.ts"))
+            | (
+                (F.col("a.ts") == F.col("b.ts"))
+                & (F.col("a.event_id") < F.col("b.event_id"))
+            )
+        ),
+    )
+    sign = (
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+    )
+    return (
+        pairs.groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(sign).cast("bigint").alias("s_stat"),
+        )
+        .select(
+            "user_id",
+            "n_pairs",
+            "s_stat",
+            F.when(F.col("s_stat") > 0, "up")
+            .when(F.col("s_stat") < 0, "down")
+            .otherwise("flat")
+            .alias("trend"),
+        )
+    )

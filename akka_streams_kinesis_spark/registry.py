@@ -64,4 +64,5 @@ def load_all() -> None:
         maintenance,
         linkage,
         importance,
+        graph,
     )

@@ -241,6 +241,14 @@ HEADLINE = [
     "layout_sorted_write_clustering",
     "quality_psi_drift_report",
     "curation_soft_dedup_weighting",
+    # round-6 additions
+    "graph_pagerank_purchases",
+    "graph_triangle_count_cosupply",
+    "agg_regression_value_trend",
+    "events_mann_kendall_trend",
+    "curation_gopher_quality_rules",
+    "dedup_minhash_band_tuning",
+    "maintenance_manifest_orphans",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.
@@ -267,6 +275,7 @@ STREAM_SECTION = [
     "stream_heavy_hitters_mg",
     "stream_static_dim_enrichment",
     "stream_windowed_topk",
+    "stream_observed_ingest_metrics",
 ]
 
 

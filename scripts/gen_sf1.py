@@ -24,7 +24,7 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10  # sf3 spot: pass 30
 STRIDE = 10_000_000  # far above any sf0.1 key; 10 copies stay well in int64
 
 # per-table: columns to shift by c*STRIDE (key domains shared across FKs)

@@ -1,0 +1,62 @@
+"""Committed correctness artifacts must cover the WHOLE registry at HEAD.
+
+Round-5 verdict: the full-registry artifacts lagged the registry (224/227)
+because three Wave-4 queries were added after the last refresh. This test
+pins artifact-name-set == registry-name-set so the drift can't be committed
+again — adding a query without re-running
+``scripts/driver_sim.py --json CORRECTNESS_LOCAL_full.json`` (sf0.01) and
+the sf0.1 twin turns the suite red.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_FULL_ARTIFACTS = [
+    "CORRECTNESS_LOCAL_full.json",   # sf0.01, driver-schema, full registry
+    "CORRECTNESS_LOCAL_sf01.json",   # sf0.1, engine session, full registry
+]
+
+
+def _registry_names() -> set[str]:
+    import __spark_entry__ as entry
+
+    return set(entry.queries())
+
+
+@pytest.mark.parametrize("artifact", _FULL_ARTIFACTS)
+def test_full_artifact_names_match_registry(artifact):
+    path = os.path.join(_REPO, artifact)
+    assert os.path.exists(path), (
+        f"{artifact} missing — run scripts/driver_sim.py --json {artifact}"
+    )
+    with open(path) as f:
+        rows = json.load(f)
+    names = set(rows)
+    registry = _registry_names()
+    missing = sorted(registry - names)
+    extra = sorted(names - registry)
+    assert not missing and not extra, (
+        f"{artifact} is stale: missing={missing[:5]} extra={extra[:5]} — "
+        f"re-run scripts/driver_sim.py --json {artifact} at HEAD"
+    )
+
+
+@pytest.mark.parametrize("artifact", _FULL_ARTIFACTS)
+def test_full_artifact_is_green(artifact):
+    path = os.path.join(_REPO, artifact)
+    if not os.path.exists(path):
+        pytest.skip(f"{artifact} missing (covered by the names test)")
+    with open(path) as f:
+        rows = json.load(f)
+    red = sorted(
+        n
+        for n, v in rows.items()
+        if v.get("err") or not (v.get("hash_match") or v.get("rows_match"))
+    )
+    assert not red, f"{artifact} has red rows: {red[:10]}"
