@@ -1377,3 +1377,208 @@ def curation_soft_dedup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame
         "class_size",
         div_round4(F.lit(1.0), F.col("class_size")).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_incremental_corpus_refresh — the crawl-refresh admission funnel
+# ---------------------------------------------------------------------------
+
+# incoming batch = doc_id % 5 == 4 (a deterministic 20% "new crawl");
+# containment screen drops an incoming doc when ≥50% of its shingles
+# already appear in ONE standing doc; df cap mirrors the dedup family
+_ICR_DF_CAP = 1000
+
+
+@query(
+    "pipeline_incremental_corpus_refresh",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, lang, source, {_NORM} AS t,
+               (doc_id % 5 = 4) AS incoming
+        FROM documents
+    ), digests AS (
+        SELECT doc_id, lang, source, incoming, t, MD5(t) AS dg,
+               STRING_SPLIT(t, ' ') AS w
+        FROM tagged
+    ), standing_dg AS (
+        SELECT DISTINCT dg FROM digests WHERE NOT incoming
+    ), s1 AS (  -- exact screen: incoming minus standing digests
+        SELECT d.* FROM digests d
+        WHERE d.incoming AND d.dg NOT IN (SELECT dg FROM standing_dg)
+    ), inc_sh AS (
+        SELECT DISTINCT doc_id, MD5(lang || CHR(1) || sh) AS h
+        FROM (
+            SELECT doc_id, lang,
+                   UNNEST(CASE WHEN LEN(w) >= 3
+                               THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                               ELSE [] END) AS sh
+            FROM s1
+        )
+    ), stand_sh AS (
+        SELECT DISTINCT doc_id, MD5(lang || CHR(1) || sh) AS h
+        FROM (
+            SELECT doc_id, lang,
+                   UNNEST(CASE WHEN LEN(w) >= 3
+                               THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                               ELSE [] END) AS sh
+            FROM digests WHERE NOT incoming
+        )
+    ), df AS (
+        SELECT h, COUNT(*) AS df FROM (
+            SELECT doc_id, h FROM inc_sh UNION ALL SELECT doc_id, h FROM stand_sh
+        ) GROUP BY h
+    ), inc_join AS (
+        SELECT s.doc_id, s.h FROM inc_sh s JOIN df USING (h)
+        WHERE df.df <= {_ICR_DF_CAP}
+    ), stand_join AS (
+        SELECT s.doc_id, s.h FROM stand_sh s JOIN df USING (h)
+        WHERE df.df <= {_ICR_DF_CAP}
+    ), inc_sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM inc_sh GROUP BY doc_id
+    ), best AS (
+        SELECT i.doc_id, MAX(cnt) AS best_common FROM (
+            SELECT a.doc_id, b.doc_id AS other, COUNT(*) AS cnt
+            FROM inc_join a JOIN stand_join b ON a.h = b.h
+            GROUP BY 1, 2
+        ) i GROUP BY i.doc_id
+    ), s2 AS (  -- near-dup containment screen
+        SELECT s1.* FROM s1
+        JOIN inc_sizes z ON z.doc_id = s1.doc_id
+        LEFT JOIN best ON best.doc_id = s1.doc_id
+        WHERE 2 * COALESCE(best.best_common, 0) < z.n_sh
+    ), s3 AS (  -- quality screen: ≥50 words AND top word ≤ 20%
+        SELECT s2.doc_id, s2.lang, s2.source FROM s2
+        JOIN (
+            SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_cnt FROM (
+                SELECT doc_id, wd, COUNT(*) AS c FROM (
+                    SELECT doc_id, UNNEST(w) AS wd FROM s2
+                ) GROUP BY 1, 2
+            ) GROUP BY doc_id
+        ) q ON q.doc_id = s2.doc_id
+        WHERE q.n_words >= 50 AND 5 * q.top_cnt <= q.n_words
+    )
+    SELECT t.lang, t.source,
+           SUM(CASE WHEN t.incoming THEN 1 ELSE 0 END)          AS n_incoming,
+           COUNT(*) FILTER (t.doc_id IN (SELECT doc_id FROM s1)) AS n_after_exact,
+           COUNT(*) FILTER (t.doc_id IN (SELECT doc_id FROM s2)) AS n_after_neardup,
+           COUNT(*) FILTER (t.doc_id IN (SELECT doc_id FROM s3)) AS n_admitted
+    FROM tagged t
+    GROUP BY t.lang, t.source
+    HAVING SUM(CASE WHEN t.incoming THEN 1 ELSE 0 END) > 0
+    """,
+)
+def pipeline_incremental_corpus_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The crawl-refresh admission funnel as ONE Catalyst DAG: an incoming
+    batch (deterministic 20% of doc_ids) is screened against the STANDING
+    corpus — exact digest anti-join, then ≥50%-shingle-containment
+    near-dup screen (incoming vs standing only, never incoming²), then a
+    quality gate — and the per-(lang, source) funnel counts are reported.
+    This is the shape of every production corpus refresh: the standing
+    side is only ever hashed and joined, never rewritten.
+
+    Determinism: every screen is integer arithmetic on exact set sizes
+    (2·common < n_sh, 5·top ≤ n_words); digests collapse the join keys so
+    engine string-compare semantics never matter.
+
+    Scale shape: the exact screen is an anti-join on digests (standing
+    side is the big one — it stays put, the small incoming side shuffles
+    to it). The containment screen joins df-capped posting lists
+    incoming↔standing, so candidate pairs are Σ df_inc·df_stand per
+    shingle with df ≤ {_ICR_DF_CAP} — linear in the incoming batch, NOT
+    in the standing corpus. The funnel rollup is dimension-sized."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        normalize_text(F.col("text")).alias("t"),
+        (F.col("doc_id") % 5 == 4).alias("incoming"),
+    ).withColumn("dg", F.md5("t")).persist()
+    standing = tagged.filter(~F.col("incoming"))
+    incoming = tagged.filter(F.col("incoming"))
+
+    s1 = incoming.join(
+        standing.select("dg").distinct(), "dg", "left_anti"
+    ).persist()
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", "lang", F.split("t", " ").alias("toks"))
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(word_shingles("toks", 3)).alias("sh"),
+            )
+            .select(
+                "doc_id",
+                F.md5(F.concat_ws("\x01", F.col("lang"), F.col("sh"))).alias("h"),
+            )
+            .distinct()
+        )
+
+    inc_sh = _sh(s1).persist()
+    stand_sh = _sh(standing)
+    df_counts = (
+        inc_sh.unionByName(stand_sh)
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _ICR_DF_CAP)
+        .select("h")
+    )
+    inc_join = inc_sh.join(df_counts, "h")
+    stand_join = stand_sh.join(df_counts, "h")
+    inc_sizes = inc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    best = (
+        inc_join.alias("a")
+        .join(stand_join.alias("b"), F.col("a.h") == F.col("b.h"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("other")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("best_common"))
+    )
+    s2 = (
+        s1.join(inc_sizes, "doc_id")
+        .join(best, "doc_id", "left")
+        .filter(
+            2 * F.coalesce(F.col("best_common"), F.lit(0)) < F.col("n_sh")
+        )
+        .select(*s1.columns)
+        .persist()
+    )
+    quality = (
+        s2.select("doc_id", F.explode(F.split("t", " ")).alias("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_words"), F.max("c").alias("top_cnt"))
+        .filter(
+            (F.col("n_words") >= 50)
+            & (5 * F.col("top_cnt") <= F.col("n_words"))
+        )
+        .select("doc_id")
+    )
+    s3 = s2.join(quality, "doc_id")
+
+    def _stage_counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang", "source").agg(F.count("*").alias(name))
+
+    funnel = (
+        _stage_counts(incoming, "n_incoming")
+        .join(_stage_counts(s1, "n_after_exact"), ["lang", "source"], "left")
+        .join(_stage_counts(s2, "n_after_neardup"), ["lang", "source"], "left")
+        .join(_stage_counts(s3, "n_admitted"), ["lang", "source"], "left")
+    )
+    return funnel.select(
+        "lang",
+        "source",
+        "n_incoming",
+        F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+        F.coalesce("n_after_neardup", F.lit(0)).alias("n_after_neardup"),
+        F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+    )

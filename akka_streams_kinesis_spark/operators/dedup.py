@@ -672,3 +672,110 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dedup_pair_similarity_histogram — measured Jaccard distribution of pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_pair_similarity_histogram",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, lang, source, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, lang, source, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), raw_shingles AS (
+        SELECT doc_id, lang, source,
+               UNNEST(CASE WHEN LEN(w) >= 3
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                           ELSE [] END) AS sh
+        FROM toks
+    ), shingles AS (
+        SELECT DISTINCT doc_id,
+               MD5(lang || CHR(1) || source || CHR(1) || sh) AS h
+        FROM raw_shingles
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), {_DF_CAP_CTES}, common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM joinable a
+        JOIN joinable b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), binned AS (
+        SELECT (20 * c.n_common) // (sa.n_sh + sb.n_sh - c.n_common) AS bin
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT CAST(bin AS BIGINT)            AS bin,
+           FLOOR(bin * 1000.0 / 20.0) / 1000.0 AS bin_lo,
+           COUNT(*)                        AS n_pairs
+    FROM binned
+    GROUP BY bin
+    """,
+)
+def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured complement of ``dedup_minhash_band_tuning``: the Jaccard
+    distribution of actual co-shingle candidate pairs, in 0.05-wide bins.
+    Joining this histogram against the band-tuning S-curve tells a curator
+    how many pairs each (r, b) layout would actually catch or miss at each
+    similarity level — threshold selection from data, not folklore.
+
+    Determinism: the bin index is the INTEGER division
+    (20·|A∩B|) // |A∪B| — set sizes are exact integers, so binning never
+    rides a float boundary (a double Jaccard rounded near a bin edge
+    could land differently per engine).
+
+    Scale shape: identical to ``dedup_ngram_jaccard`` (digest-collapsed
+    shingles, df-capped posting lists, sparse co-occurrence self-join) but
+    the output collapses to ≤21 histogram rows, so this is strictly
+    cheaper than the pair listing it summarizes."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "lang", "source",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+    )
+    shingles = (
+        toks.select(
+            "doc_id", "lang", "source",
+            F.explode(word_shingles("toks", 3)).alias("sh"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))
+            ).alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    joinable = _cap_shingle_df(shingles)
+    a, b = joinable.alias("a"), joinable.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    union_sz = F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    binned = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(F.expr("20 * n_common").alias("num"), union_sz.alias("den"))
+        .select(F.expr("num DIV den").alias("bin"))
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_pairs")
+    ).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        (F.floor(F.col("bin") * 1000.0 / 20.0) / 1000.0).alias("bin_lo"),
+        "n_pairs",
+    )

@@ -598,15 +598,23 @@ def maintenance_manifest_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(|files|), dimension-sized — never touches row data), so the same
     plan reconciles a million-file table: the listing comes from the
     filesystem/catalog, the row counts from the manifest, not a scan."""
-    from .layout import layout_compact_small_files, partitioned_events_path
-
-    partitioned_events_path(spark, sf_dir)  # ensure base table exists
     wh = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    out = os.path.join(wh, f"aks_events_compacted_{_tag(sf_dir)}")
+    # DEDICATED table: the fixture plants junk files, so it must never
+    # share a directory with tables other queries glob-scan (planting
+    # orphans into the shared compacted table broke two layout queries'
+    # footer inference — measured in the round-6 full run)
+    out = os.path.join(wh, f"aks_manifest_audit_{_tag(sf_dir)}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        layout_compact_small_files(spark, sf_dir).count()
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
 
     orphan_dir = os.path.join(out, "event_date=1999-01-01")
     orphans = [

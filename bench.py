@@ -249,6 +249,8 @@ HEADLINE = [
     "curation_gopher_quality_rules",
     "dedup_minhash_band_tuning",
     "maintenance_manifest_orphans",
+    "dedup_pair_similarity_histogram",
+    "pipeline_incremental_corpus_refresh",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -102,6 +102,13 @@ SF1_CANARY = [
     "window_session_funnel_paths",
     "layout_sorted_write_clustering",
     "curation_soft_dedup_weighting",
+    # round-6 additions with data-dependent pair/iteration fan-out
+    "graph_pagerank_purchases",          # per-iteration |E| joins
+    "graph_triangle_count_cosupply",     # pair generation + wedge closure
+    "events_mann_kendall_trend",         # capped per-user pairwise join
+    "dedup_pair_similarity_histogram",   # co-shingle posting-list join
+    "pipeline_incremental_corpus_refresh",  # incoming↔standing containment
+    "curation_gopher_quality_rules",     # full-word explode, two-level agg
 ]
 
 # Oracle-infeasible at sf1 (currently none): a query lands here when its
