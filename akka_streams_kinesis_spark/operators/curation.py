@@ -1582,3 +1582,79 @@ def pipeline_incremental_corpus_refresh(
         F.coalesce("n_after_neardup", F.lit(0)).alias("n_after_neardup"),
         F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=_CC_MEMBER_CTES
+    + """
+    , sizes AS (
+        SELECT cluster_rep, COUNT(*) AS cluster_size
+        FROM members GROUP BY cluster_rep
+    ), binned AS (
+        SELECT CAST(LENGTH(bin(cluster_size)) AS BIGINT) AS size_bin,
+               CAST(COUNT(*) AS BIGINT)           AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT)  AS n_docs,
+               CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable
+        FROM sizes GROUP BY 1
+    ), singles AS (
+        SELECT CAST(1 AS BIGINT) AS size_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(0 AS BIGINT) AS n_removable
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM members m WHERE m.doc_id = d.doc_id)
+    )
+    SELECT * FROM binned
+    UNION ALL
+    SELECT * FROM singles
+    ORDER BY size_bin
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned size distribution of the near-dup clusters (connected
+    components of the MinHash-LSH pair graph) plus the singleton mass —
+    the dedup IMPACT report: n_removable per bin is exactly the documents
+    a keep-one-per-cluster collapse deletes, and a heavy tail here is the
+    evidence (power-law duplication: a few templates account for most of
+    the removable mass — the C4/RefinedWeb finding).
+
+    Scale shape: reuses the banded, bucket-capped pair pipeline and the
+    pointer-jumping components fixpoint (see dedup_cluster_components);
+    everything after `members` is hash aggregates whose output is
+    O(log max_cluster) rows. Singletons are counted by an anti-join of
+    the corpus against the member list — never materialized per-bin.
+
+    Determinism: the bin is the binary digit count of an exact integer
+    cluster size (no float log2); every column is an integer count."""
+    pairs = dedup_minhash(spark, sf_dir).persist()
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    members = connected_components(edges)
+    pairs.unpersist()
+    sizes = members.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    binned = (
+        sizes.groupBy(
+            F.length(F.bin("cluster_size")).cast("long").alias("size_bin")
+        )
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            (F.sum("cluster_size") - F.count("*")).alias("n_removable"),
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    singles = (
+        docs.join(members.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.lit(1).cast("long").alias("size_bin"),
+            F.col("n_clusters").cast("long"),
+            F.col("n_clusters").cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_removable"),
+        )
+    )
+    return binned.unionByName(singles).orderBy("size_bin")

@@ -327,3 +327,165 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_triangles", "n_edges", "max_per_node", "n_nodes_in_triangles"
         )
     )
+
+
+# link prediction: drop super-node customers (distinct-supplier basket
+# above this) before pair generation — same Σ deg² bound as the triangle
+# census (_TRI_MAX_BASKET), applied to the customer side
+_LP_MAX_BASKET = 64
+_LP_TOPK = 25
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), sized AS (
+        SELECT custkey FROM edges
+        GROUP BY custkey HAVING COUNT(*) <= {_LP_MAX_BASKET}
+    ), kept AS (
+        SELECT e.custkey, e.suppkey FROM edges e JOIN sized s USING (custkey)
+    ), deg AS (
+        SELECT suppkey, COUNT(*) AS d FROM kept GROUP BY suppkey
+    ), shared AS (
+        SELECT a.suppkey AS u, b.suppkey AS v, COUNT(*) AS shared
+        FROM kept a JOIN kept b
+          ON a.custkey = b.custkey AND a.suppkey < b.suppkey
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT s.u, s.v, s.shared,
+               du.d AS deg_u, dv.d AS deg_v,
+               (10000 * s.shared) // (du.d + dv.d - s.shared) AS jacc4
+        FROM shared s
+        JOIN deg du ON du.suppkey = s.u
+        JOIN deg dv ON dv.suppkey = s.v
+    )
+    SELECT u, v, shared, deg_u, deg_v, jacc4
+    FROM scored
+    ORDER BY jacc4 DESC, shared DESC, u, v
+    LIMIT {_LP_TOPK}
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap link prediction on the supplier projection of the
+    customer↔supplier purchase graph: score each co-purchased supplier
+    pair by the Jaccard similarity of their customer neighborhoods,
+    |N(u)∩N(v)| / |N(u)∪N(v)| — the classic link-prediction /
+    entity-affinity baseline (Liben-Nowell & Kleinberg). Returns the
+    top-{_LP_TOPK} most-overlapping pairs.
+
+    Scale shape: candidate pairs are generated ONLY through shared
+    customers (a self-join on custkey), never suppliers × suppliers, and
+    super-node customers above {_LP_MAX_BASKET} distinct suppliers are
+    dropped first — so pair work is Σ min(deg, {_LP_MAX_BASKET})² and a
+    hub cannot square the pipeline. Degrees are a dimension-sized frame
+    joined back onto the (already aggregated) pair list.
+
+    Determinism: the score is the integer (10000·shared) FLOOR-div
+    (deg_u + deg_v − shared) — no float crosses the ranking, so the
+    top-{_LP_TOPK} cut is bit-identical across engines and partition
+    orders (ties broken by shared, then u, v)."""
+    edges = _purchase_edges(spark, sf_dir)
+    sized = (
+        edges.groupBy("custkey")
+        .agg(F.count("*").alias("basket"))
+        .filter(F.col("basket") <= _LP_MAX_BASKET)
+        .select("custkey")
+    )
+    kept = edges.join(sized, "custkey")
+    deg = kept.groupBy("suppkey").agg(F.count("*").alias("d"))
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .groupBy(F.col("a.suppkey").alias("u"), F.col("b.suppkey").alias("v"))
+        .agg(F.count("*").alias("shared"))
+    )
+    du = deg.select(F.col("suppkey").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("suppkey").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        shared.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "shared",
+            "deg_u",
+            "deg_v",
+            F.expr("(10000 * shared) DIV (deg_u + deg_v - shared)").alias("jacc4"),
+        )
+        .orderBy(F.col("jacc4").desc(), F.col("shared").desc(), "u", "v")
+        .limit(_LP_TOPK)
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), degs AS (
+        SELECT 'customer' AS side, custkey AS node, COUNT(*) AS deg
+        FROM edges GROUP BY custkey
+        UNION ALL
+        SELECT 'supplier' AS side, suppkey AS node, COUNT(*) AS deg
+        FROM edges GROUP BY suppkey
+    )
+    SELECT side,
+           CAST(LENGTH(bin(deg)) AS BIGINT) AS bin_id,
+           CAST(1 << (LENGTH(bin(deg)) - 1) AS BIGINT) AS deg_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg) AS BIGINT) AS total_degree
+    FROM degs
+    GROUP BY 1, 2, 3
+    ORDER BY side, bin_id
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree histogram of both sides of the purchase graph —
+    the first-look health audit for any graph workload (heavy-tail check,
+    super-node detection, the evidence behind basket caps like
+    _TRI_MAX_BASKET / _LP_MAX_BASKET).
+
+    The bin is length(bin(deg)) — the deg's binary digit count, i.e.
+    ⌊log₂ deg⌋+1 computed by string length rather than a float log2 whose
+    boundary values could round differently across engines. Output is
+    O(log max_deg) rows per side regardless of graph size; the work is two
+    hash aggregates over the (deduplicated) edge list."""
+    edges = _purchase_edges(spark, sf_dir)
+    degs = (
+        edges.groupBy(F.col("custkey").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .select(F.lit("customer").alias("side"), "deg")
+        .unionByName(
+            edges.groupBy(F.col("suppkey").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .select(F.lit("supplier").alias("side"), "deg")
+        )
+    )
+    binned = degs.select(
+        "side",
+        F.length(F.bin("deg")).cast("long").alias("bin_id"),
+        F.col("deg"),
+    )
+    return (
+        binned.groupBy("side", "bin_id")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("deg").alias("total_degree"),
+        )
+        .select(
+            "side",
+            "bin_id",
+            F.expr("cast(shiftleft(1L, cast(bin_id - 1 as int)) as long)").alias("deg_lo"),
+            "n_nodes",
+            "total_degree",
+        )
+        .orderBy("side", "bin_id")
+    )

@@ -672,3 +672,96 @@ def maintenance_manifest_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_live_rows",
         (F.col("n_missing") == 0).alias("manifest_covers_all_live"),
     )
+
+
+# compaction planner: target rewrite-group size in "bytes" (n_chars is the
+# byte proxy the documents fixture carries); small at test SF so each
+# source yields a handful of groups — at scale this is a per-partition
+# catalog computation and the constant is the table's target file size
+_COMPACT_TARGET = 2048
+_COMPACT_SMALL = 3   # a group with fewer files than this needs no rewrite
+
+
+@query(
+    "maintenance_compaction_planner",
+    oracle=f"""
+    WITH files AS (
+        SELECT source, doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS bytes_before
+        FROM documents
+    ), planned AS (
+        SELECT source, bytes_before // {_COMPACT_TARGET} AS group_id,
+               doc_id, n_chars
+        FROM files
+    )
+    SELECT source, group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS group_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_file,
+           CAST(MAX(doc_id) AS BIGINT) AS last_file,
+           COUNT(*) >= {_COMPACT_SMALL} AS rewrite
+    FROM planned
+    GROUP BY source, group_id
+    ORDER BY source, group_id
+    """,
+)
+def maintenance_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNER (the Iceberg ``rewrite_data_files``
+    bin-pack step, planning side): within each partition, assign files to
+    ≈{_COMPACT_TARGET}-byte rewrite groups by cumulative-quota binning —
+    group = ⌊bytes_before_this_file / target⌋ over the files in id order —
+    and report per-group file counts, bytes and the rewrite-worthiness
+    flag. ``documents`` stands in for the file manifest (doc_id = file id,
+    n_chars = file bytes, source = partition), the same catalog-sized
+    frame ``maintenance_manifest_orphans`` reconciles.
+
+    Why this binning: first-fit bin packing is inherently sequential, but
+    the cumulative-quota form is ONE window pass (prefix sum → integer
+    division), deterministic, and within one file of first-fit's group
+    boundaries — the standard planner compromise. At 100 TB the input is
+    the manifest (files, not data), so the window partitions are
+    per-table-partition file lists — thousands of rows, not billions;
+    the actual data rewrite this plan drives is the separate execution
+    step (layout_compact_small_files).
+
+    Determinism: group boundaries are integer FLOOR divisions of exact
+    integer prefix sums — no float anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("bytes_before"),
+    ).select(
+        "source",
+        F.expr(f"bytes_before DIV {_COMPACT_TARGET}").alias("group_id"),
+        "doc_id",
+        "n_chars",
+    )
+    return (
+        planned.groupBy("source", "group_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").alias("group_bytes"),
+            F.min("doc_id").alias("first_file"),
+            F.max("doc_id").alias("last_file"),
+        )
+        .select(
+            "source",
+            "group_id",
+            "n_files",
+            "group_bytes",
+            "first_file",
+            "last_file",
+            (F.col("n_files") >= _COMPACT_SMALL).alias("rewrite"),
+        )
+        .orderBy("source", "group_id")
+    )

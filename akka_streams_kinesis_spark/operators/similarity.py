@@ -932,3 +932,280 @@ def embedding_dimension_variance_report(spark: SparkSession, sf_dir: str) -> Dat
         F.round(F.max("v"), 6).alias("max_v"),
         (std6 < 0.01).alias("near_dead"),
     )
+
+
+_DIV_TOPK = 10     # diversified result size
+_DIV_QUOTA = 2     # at most this many hits per label in the final top-k
+
+
+@query(
+    "similarity_diversified_topk",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    sims AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id, v.label AS label,
+               ROUND({_DUCK_SIM}, 6) AS sim
+        FROM q
+        JOIN embeddings v ON q.vec_id <> v.vec_id
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY q.vec_id, v.vec_id, v.label
+    ), quota AS (
+        SELECT query_id, vec_id, label, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id, label ORDER BY sim DESC, vec_id
+               ) AS label_rnk
+        FROM sims
+    ), ranked AS (
+        SELECT query_id, vec_id, label, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM quota WHERE label_rnk <= {_DIV_QUOTA}
+    )
+    SELECT query_id, vec_id, label, sim, rnk FROM ranked WHERE rnk <= {_DIV_TOPK}
+    """,
+)
+def similarity_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-quota re-rank: brute-force cosine top-{_DIV_TOPK} with at
+    most {_DIV_QUOTA} results per label — the RAG/retrieval staple that
+    stops one dense cluster of near-duplicates from monopolizing the
+    result list (the window-function twin of MMR, without MMR's
+    sequential greedy step).
+
+    Scale shape: identical to the brute-force baseline — broadcast query
+    set against a partitioned corpus scan, no corpus shuffle — plus two
+    window passes over the per-query candidate lists (corpus-partitioned
+    by query_id, each partition |corpus|-bounded; at 100 TB the first
+    window runs on the ANN shortlist instead of the full sims frame).
+    Ranking uses the 6-dp-rounded sim with vec_id tie-break, so both the
+    quota cut and the final cut are deterministic on both engines."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    v = fanout(e).select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label"),
+        F.col("embedding").alias("v_emb"),
+    )
+    sims = v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim"),
+    )
+    w_label = Window.partitionBy("query_id", "label").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    w_all = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("label_rnk", F.row_number().over(w_label))
+        .filter(F.col("label_rnk") <= _DIV_QUOTA)
+        .withColumn("rnk", F.row_number().over(w_all))
+        .filter(F.col("rnk") <= _DIV_TOPK)
+        .select("query_id", "vec_id", "label", "sim", "rnk")
+    )
+
+
+_MP_RADII = (0, 1, 2)   # probe Hamming radii swept
+_MP_K = 10              # recall@k
+
+
+def _code_spark() -> Column:
+    """Integer bucket code: sign bit of dims 0..7 packed little-endian."""
+    code = F.lit(0)
+    for i in range(_IVF_BITS):
+        code = code + F.when(F.expr(f"embedding[{i}]") >= 0, F.lit(1 << i)).otherwise(0)
+    return code.cast("long")
+
+
+_CODE_DUCK = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_IVF_BITS)
+)
+
+
+@query(
+    "similarity_multiprobe_recall_sweep",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, label, embedding,
+               CAST({_CODE_DUCK} AS BIGINT) AS code
+        FROM embeddings
+    ), q AS (SELECT * FROM coded WHERE vec_id < {_N_QUERIES}),
+    sims AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               ROUND({_DUCK_SIM}, 6) AS sim,
+               bit_count(xor(q.code, v.code)) AS hamming
+        FROM q
+        JOIN coded v ON q.vec_id <> v.vec_id
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY q.vec_id, v.vec_id, q.code, v.code
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM sims
+        ) WHERE rnk <= {_MP_K}
+    ), radii AS (SELECT * FROM (VALUES (0), (1), (2)) AS r(probe_h)),
+    cand AS (
+        SELECT r.probe_h, s.query_id, s.vec_id, s.sim
+        FROM sims s JOIN radii r ON s.hamming <= r.probe_h
+    ), cand_top AS (
+        SELECT probe_h, query_id, vec_id FROM (
+            SELECT probe_h, query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_h, query_id ORDER BY sim DESC, vec_id
+                   ) AS rnk
+            FROM cand
+        ) WHERE rnk <= {_MP_K}
+    ), hits AS (
+        SELECT c.probe_h, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM cand_top c JOIN exact e
+          ON e.query_id = c.query_id AND e.vec_id = c.vec_id
+        GROUP BY c.probe_h
+    ), volume AS (
+        SELECT probe_h, CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+        FROM cand GROUP BY probe_h
+    )
+    SELECT v.probe_h, v.n_candidate_pairs,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           (10000 * COALESCE(h.n_hits, 0)) // ({_MP_K} * {_N_QUERIES}) AS recall4
+    FROM volume v LEFT JOIN hits h ON h.probe_h = v.probe_h
+    ORDER BY v.probe_h
+    """,
+)
+def similarity_multiprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH tuning table: recall@{_MP_K} and candidate volume of
+    the sign-bit bucket index when each query probes every bucket within
+    Hamming radius h ∈ {_MP_RADII} of its own code — the ANN twin of the
+    MinHash band-tuning S-curve (dedup_minhash_band_tuning). The output
+    is the measured recall/cost trade-off that picks the probe radius
+    from data instead of folklore (Lv et al., multi-probe LSH).
+
+    Scale shape: this is an OFFLINE eval on a query sample — ground truth
+    needs the brute-force ranking anyway (same cost shape as
+    embedding_matryoshka_truncation_qa); both rankings come from ONE
+    broadcast-join sims frame, radii fan out 3× by a broadcast join
+    against a 3-row literal frame, and everything downstream is windows
+    over per-(radius, query) groups. In production the per-radius
+    candidate volume column is the scan-cost estimate: at radius h the
+    index scans Σ_(j<=h) C(8,j)/2^8 of the corpus.
+
+    Determinism: bucket codes and Hamming distances are integers; recall
+    is (10000·hits) FLOOR-div ({_MP_K}·|Q|) — no float crosses the gate."""
+    e = fanout(table(spark, sf_dir, "embeddings"))
+    coded = e.select("vec_id", "embedding", _code_spark().alias("code"))
+    q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("code").alias("q_code"),
+    )
+    sims = (
+        coded.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim("q_emb", "embedding"), 6).alias("sim"),
+            F.expr("bit_count(q_code ^ code)").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MP_K)
+        .select("query_id", F.col("vec_id").alias("e_vec_id"))
+    )
+    radii = spark.range(1).select(
+        F.explode(F.array(*[F.lit(h) for h in _MP_RADII])).alias("probe_h")
+    )
+    cand = sims.join(F.broadcast(radii), F.col("hamming") <= F.col("probe_h"))
+    w_h = Window.partitionBy("probe_h", "query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    cand_top = (
+        cand.withColumn("rnk", F.row_number().over(w_h))
+        .filter(F.col("rnk") <= _MP_K)
+        .select("probe_h", "query_id", "vec_id")
+    )
+    hits = (
+        cand_top.join(
+            exact,
+            (cand_top["query_id"] == exact["query_id"])
+            & (cand_top["vec_id"] == exact["e_vec_id"]),
+        )
+        .groupBy("probe_h")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    volume = cand.groupBy("probe_h").agg(F.count("*").alias("n_candidate_pairs"))
+    return (
+        volume.join(F.broadcast(hits), "probe_h", "left")
+        .select(
+            "probe_h",
+            "n_candidate_pairs",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.expr(
+                f"(10000 * coalesce(n_hits, 0L)) DIV ({_MP_K} * {_N_QUERIES})"
+            ).alias("recall4"),
+        )
+        .orderBy("probe_h")
+    )
+
+
+_CB_HOT_FACTOR = 2   # a cell is hot when it holds > factor× the mean load
+
+
+@query(
+    "similarity_ivf_cell_balance_report",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, CAST({_CODE_DUCK} AS BIGINT) AS cell FROM embeddings
+    ), per_cell AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM coded GROUP BY cell
+    ), tot AS (
+        SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM per_cell
+    )
+    SELECT p.cell, p.n_vectors,
+           (10000 * p.n_vectors) // t.total AS share4,
+           (t.n_cells * p.n_vectors > {_CB_HOT_FACTOR} * t.total) AS hot
+    FROM per_cell p CROSS JOIN tot t
+    ORDER BY p.n_vectors DESC, p.cell
+    """,
+)
+def similarity_ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy audit of the sign-bit IVF index — the similarity-side
+    twin of maintenance_partition_skew_report: per-cell vector counts,
+    corpus share, and a hot flag when a cell holds more than
+    {_CB_HOT_FACTOR}× the mean occupied-cell load. Hot cells are where
+    ANN latency hides (a probe into a hot cell scans that cell's whole
+    posting list), and the report is the evidence that justifies
+    re-training the coarse quantizer or splitting cells.
+
+    Scale shape: ONE hash aggregate on the cell code (map-side partials
+    shrink the shuffle to |cells| rows), then a broadcast of the 1-row
+    total. Output is at most 2^{_IVF_BITS} rows regardless of corpus
+    size. Hot flag and share are exact integer arithmetic (the flag
+    compares n_cells·n > {_CB_HOT_FACTOR}·total, never a float mean)."""
+    e = table(spark, sf_dir, "embeddings")
+    per_cell = (
+        e.select(_code_spark().alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    tot = per_cell.agg(
+        F.sum("n_vectors").alias("total"), F.count("*").alias("n_cells")
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            F.expr("(10000 * n_vectors) DIV total").alias("share4"),
+            (
+                F.col("n_cells") * F.col("n_vectors")
+                > _CB_HOT_FACTOR * F.col("total")
+            ).alias("hot"),
+        )
+        .orderBy(F.col("n_vectors").desc(), "cell")
+    )

@@ -1057,3 +1057,153 @@ def stream_observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         [(n_rows, total_cents, min_id, max_id, n_types)], schema
     )
+
+
+@query(
+    "stream_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once foreachBatch sink via a batch-id commit log — the
+    idempotence discipline that upgrades Structured Streaming's
+    at-least-once foreachBatch contract to exactly-once on replay
+    (Spark's own docs call out that foreachBatch can re-deliver a batch
+    after a failure between sink write and checkpoint commit; the sink
+    must dedupe on batchId).
+
+    Protocol per micro-batch: (1) if the commit log already contains this
+    batchId, SKIP — the batch is a redelivery; (2) write the batch to a
+    staging dir; (3) atomically rename staging into the table and append
+    the batchId marker. The query then DELIBERATELY replays a committed
+    batch through the same sink function (simulating the
+    crash-after-write-before-checkpoint window) and the landed table
+    still hash-matches plain SQL over the source — double-apply would
+    double the counts and break the gate end-to-end.
+
+    Scale shape: the commit log is one empty marker file per micro-batch
+    (catalog-sized); staging-dir rename is the same O(1)-metadata commit
+    every table format uses. The landed data is written partitioned by
+    the batch's own id, so concurrent batches never collide."""
+    import uuid as _uuid
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    run = _uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"eos_{run}")
+    out = os.path.join(base, "table")
+    log = os.path.join(base, "commits")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    os.makedirs(log, exist_ok=True)
+
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(log, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # redelivered batch: already committed, idempotent skip
+        staging = os.path.join(base, f"staging_{batch_id}")
+        batch.select("event_id", "ts", "event_type", "value").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        os.rename(staging, os.path.join(out, f"batch_id={batch_id}"))
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    q = (
+        events.writeStream.foreachBatch(_commit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    # simulate the crash-retry window: re-deliver an already-committed
+    # batch (re-read from the landed table, exactly what a restarted query
+    # would hand the sink again) through the same sink function; the
+    # commit log must swallow it without touching the table
+    committed = sorted(
+        int(m.split("_", 1)[1]) for m in os.listdir(log) if m.startswith("batch_")
+    )
+    assert committed, "stream produced no committed batches"
+    replay_id = committed[0]
+    replay_df = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(os.path.join(out, f"batch_id={replay_id}"))
+    _commit(replay_df, replay_id)
+    landed = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(os.path.join(out, "*"))
+    return landed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+
+
+@query(
+    "stream_backfill_union_live",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_backfill_union_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill ∪ live with an overlap seam — the kappa-architecture
+    migration every streaming pipeline runs at least once: a historical
+    batch table covers the past (here: event_id % 10 < 7), the live
+    stream covers the recent range (event_id % 10 ≥ 5), and the two
+    OVERLAP (5–6) because a safe cutover always replays a margin rather
+    than risking a gap. The serving query unions both sides, collapses
+    the overlap by event identity, and must equal plain SQL over the
+    whole history — which only happens if the seam dedup is correct in
+    both directions (no loss AND no double count).
+
+    Scale shape: the backfill side is a plain partitioned parquet scan;
+    the seam dedup is dropDuplicates on the event key — an equi-shuffle
+    on ids whose cost is the overlap margin's, not history's, once the
+    backfill table is partition-pruned to the seam window (here the whole
+    fixture is the seam for gate coverage). The rollup after the union is
+    the same additive aggregate the live path maintains."""
+    import uuid as _uuid
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    run = _uuid.uuid4().hex[:10]
+    backfill_dir = os.path.join(tempfile.gettempdir(), f"backfill_{run}")
+
+    # historical batch export: the first 70% of the id space
+    events_all = table(spark, sf_dir, "events")
+    events_all.filter(F.col("event_id") % 10 < 7).select(
+        "event_id", "ts", "event_type", "value"
+    ).write.mode("overwrite").parquet(backfill_dir)
+
+    # live side: drain the stream, keep the recent 50% of the id space
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
+    live = decode_json_payload(records, _EVENT_SCHEMA).filter(
+        F.col("event_id") % 10 >= 5
+    ).select("event_id", "ts", "event_type", "value")
+    drained = _run_available_now(live, spark, mode="append")
+
+    backfill = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(backfill_dir)
+    unioned = backfill.unionByName(drained).dropDuplicates(["event_id"])
+    return unioned.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )

@@ -552,3 +552,149 @@ def curation_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame
             / 10000.0
         ).alias("pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_agreement_kappa — can the cheap screen replace the
+# full rule battery?
+# ---------------------------------------------------------------------------
+
+_KAPPA_CHEAP_MIN_WORDS = 30   # cheap screen: minimum word count
+_KAPPA_CHEAP_STOP_DEN = 25    # ...and stopword-token share >= 1/25 (4%)
+
+
+@query(
+    "quality_classifier_agreement_kappa",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), base AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(t, ' '))   AS n_words,
+               LENGTH(REPLACE(t, ' ', '')) AS n_alpha
+        FROM norm
+    ), words AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS w FROM norm
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_distinct,
+               MAX(c)   AS top_cnt,
+               SUM(CASE WHEN w IN {_GOPHER_STOPWORDS} THEN 1 ELSE 0 END) AS n_stop_kinds,
+               SUM(CASE WHEN w IN {_GOPHER_STOPWORDS} THEN c ELSE 0 END) AS n_stop_toks
+        FROM wc GROUP BY doc_id
+    ), flags AS (
+        SELECT
+            (b.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+             AND 3 * b.n_words <= b.n_alpha AND b.n_alpha <= 10 * b.n_words
+             AND p.n_stop_kinds >= 2
+             AND 5 * p.top_cnt <= b.n_words
+             AND 5 * p.n_distinct >= b.n_words)            AS battery,
+            (b.n_words >= {_KAPPA_CHEAP_MIN_WORDS}
+             AND {_KAPPA_CHEAP_STOP_DEN} * p.n_stop_toks >= b.n_words) AS cheap
+        FROM base b JOIN per_doc p USING (doc_id)
+    ), cont AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT)                                       AS n_docs,
+            CAST(SUM(CASE WHEN battery AND cheap THEN 1 ELSE 0 END) AS BIGINT)     AS n11,
+            CAST(SUM(CASE WHEN battery AND NOT cheap THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN NOT battery AND cheap THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(SUM(CASE WHEN NOT battery AND NOT cheap THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM flags
+    )
+    SELECT n_docs, n11, n10, n01, n00,
+           FLOOR((n11 + n00) * 10000.0 / n_docs + 0.5) / 10000.0 AS po4,
+           FLOOR((n_docs * (n11 + n00)
+                  - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                 * 10000.0
+                 / (n_docs * n_docs
+                    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                 + 0.5) / 10000.0                                AS kappa4
+    FROM cont
+    """,
+)
+def quality_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the full Gopher rule battery and a 2-rule cheap
+    screen (min {_KAPPA_CHEAP_MIN_WORDS} words + stopword-token share ≥
+    1/{_KAPPA_CHEAP_STOP_DEN}) — the classifier-replacement audit: before
+    swapping an expensive quality filter for a cheaper one across 100 TB,
+    measure chance-corrected agreement on the corpus, not raw accuracy
+    (raw agreement is inflated when both classifiers mostly say "pass").
+
+    Determinism: the 2×2 contingency table is exact integer counts and κ
+    is computed as the single exact rational
+    (N·(n11+n00) − Σ marginal products) / (N² − Σ marginal products),
+    FLOOR-rounded at 4dp — the nested po/pe divisions never materialize
+    as floats. int64 headroom: N² < 2^63 for N < 3·10⁹ docs per audit
+    slice.
+
+    Scale shape: one explode → (doc, word) hash-agg → per-doc agg (the
+    Gopher shape), then a single global conditional aggregate — output is
+    ONE row regardless of corpus size."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    norm = d.select("doc_id", normalize_text(F.col("text")).alias("t"))
+    base = norm.select(
+        "doc_id",
+        F.size(F.split("t", " ")).alias("n_words"),
+        F.length(F.replace(F.col("t"), F.lit(" "), F.lit(""))).alias("n_alpha"),
+    )
+    wc = (
+        norm.select("doc_id", F.explode(F.split("t", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    is_stop = F.col("w").isin(*list(_GOPHER_STOPWORDS))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+        F.sum(is_stop.cast("int")).alias("n_stop_kinds"),
+        F.sum(F.when(is_stop, F.col("c")).otherwise(0)).alias("n_stop_toks"),
+    )
+    flags = base.join(per_doc, "doc_id").select(
+        (
+            F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+            & (F.lit(3) * F.col("n_words") <= F.col("n_alpha"))
+            & (F.col("n_alpha") <= F.lit(10) * F.col("n_words"))
+            & (F.col("n_stop_kinds") >= 2)
+            & (F.lit(5) * F.col("top_cnt") <= F.col("n_words"))
+            & (F.lit(5) * F.col("n_distinct") >= F.col("n_words"))
+        ).alias("battery"),
+        (
+            (F.col("n_words") >= _KAPPA_CHEAP_MIN_WORDS)
+            & (
+                F.lit(_KAPPA_CHEAP_STOP_DEN) * F.col("n_stop_toks")
+                >= F.col("n_words")
+            )
+        ).alias("cheap"),
+    )
+    cont = flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("battery") & F.col("cheap")).cast("long")).alias("n11"),
+        F.sum((F.col("battery") & ~F.col("cheap")).cast("long")).alias("n10"),
+        F.sum((~F.col("battery") & F.col("cheap")).cast("long")).alias("n01"),
+        F.sum((~F.col("battery") & ~F.col("cheap")).cast("long")).alias("n00"),
+    )
+    # marginal-products term of the exact rational κ; F.expr literals would
+    # type as DECIMAL, so the 4dp rounding uses the Python-API double idiom
+    marg = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    agree = F.col("n11") + F.col("n00")
+    return cont.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (F.floor(agree * 10000.0 / F.col("n_docs") + 0.5) / 10000.0).alias("po4"),
+        (
+            F.floor(
+                (F.col("n_docs") * agree - marg)
+                * 10000.0
+                / (F.col("n_docs") * F.col("n_docs") - marg)
+                + 0.5
+            )
+            / 10000.0
+        ).alias("kappa4"),
+    )

@@ -251,6 +251,14 @@ HEADLINE = [
     "maintenance_manifest_orphans",
     "dedup_pair_similarity_histogram",
     "pipeline_incremental_corpus_refresh",
+    "graph_jaccard_link_prediction",
+    "graph_degree_distribution",
+    "similarity_diversified_topk",
+    "similarity_multiprobe_recall_sweep",
+    "maintenance_compaction_planner",
+    "dedup_cluster_size_histogram",
+    "quality_classifier_agreement_kappa",
+    "similarity_ivf_cell_balance_report",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.
@@ -278,6 +286,8 @@ STREAM_SECTION = [
     "stream_static_dim_enrichment",
     "stream_windowed_topk",
     "stream_observed_ingest_metrics",
+    "stream_exactly_once_sink",
+    "stream_backfill_union_live",
 ]
 
 
