@@ -109,6 +109,12 @@ SF1_CANARY = [
     "dedup_pair_similarity_histogram",   # co-shingle posting-list join
     "pipeline_incremental_corpus_refresh",  # incoming↔standing containment
     "curation_gopher_quality_rules",     # full-word explode, two-level agg
+    # round-6 waves 3/4 with data-dependent pair/eval fan-out
+    "graph_jaccard_link_prediction",     # co-customer pair generation
+    "dedup_cluster_size_histogram",      # CC fixpoint + anti-join singles
+    "similarity_multiprobe_recall_sweep",  # all-pairs eval ×3 probe radii
+    "similarity_diversified_topk",       # all-pairs + double window
+    "quality_classifier_agreement_kappa",  # full-word explode contingency
 ]
 
 # Oracle-infeasible at sf1 (currently none): a query lands here when its

@@ -166,6 +166,19 @@ SHOWCASE = [
      "join above removes false positives."),
     ("stream_ingest_hourly_rollup",
      "(streaming — see the drain rate in bench.py; plan not dumped here)"),
+    ("graph_jaccard_link_prediction",
+     "Candidate pairs ONLY via the shared-customer equi self-join (one "
+     "Exchange on custkey, basket-capped); degree frames come back as "
+     "BroadcastHashJoins; final cut is TakeOrderedAndProject on the "
+     "integer score — no supplier×supplier product anywhere."),
+    ("maintenance_compaction_planner",
+     "ONE Exchange on source feeding a single running-sum Window, then a "
+     "partial+final HashAggregate pair — no join; the planner is a pure "
+     "window pass over the manifest-sized frame."),
+    ("similarity_multiprobe_recall_sweep",
+     "ONE broadcast-join sims frame (corpus never shuffles) fanned out by "
+     "a 3-row broadcast radii join; both rankings are Windows over "
+     "per-(radius,query) groups — no second corpus scan for ground truth."),
 ]
 
 
