@@ -117,12 +117,17 @@ SF1_CANARY = [
     "quality_classifier_agreement_kappa",  # full-word explode contingency
 ]
 
-# Oracle-infeasible at sf1 (currently none): a query lands here when its
-# deliberately-naive DuckDB oracle cannot run at sf1 even though the
-# engine can. similarity_knn_graph_blocked lived here briefly — its
-# uncapped label cells made the oracle's pairwise join ~26B unnested
-# rows — until the _KNN_BLOCK size cap made BOTH sides linear.
-SF1_ORACLE_INFEASIBLE: set[str] = set()
+# Oracle-infeasible at sf1: a query lands here when its deliberately-
+# naive DuckDB oracle cannot run at sf1 even though the engine can.
+# similarity_knn_graph_blocked lived here briefly — its uncapped label
+# cells made the oracle's pairwise join ~26B unnested rows — until the
+# _KNN_BLOCK size cap made BOTH sides linear.
+# graph_triangle_count_cosupply: the oracle materializes the kept×kept
+# co-supply self-join + three-way closure single-node; at sf1 DuckDB's
+# temp spill exceeded the VM's disk (ENOSPC at ~70 GB) while the engine
+# side finishes the same shape distributed in ~2 min. The ENGINE is
+# still timed at sf1 by scaling_canary.py (no oracle there).
+SF1_ORACLE_INFEASIBLE: set[str] = {"graph_triangle_count_cosupply"}
 
 if __name__ == "__main__":
     import sys
