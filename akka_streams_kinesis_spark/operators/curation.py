@@ -1460,7 +1460,7 @@ _ICR_DF_CAP = 1000
         WHERE q.n_words >= 50 AND 5 * q.top_cnt <= q.n_words
     )
     SELECT t.lang, t.source,
-           SUM(CASE WHEN t.incoming THEN 1 ELSE 0 END)          AS n_incoming,
+           CAST(SUM(CASE WHEN t.incoming THEN 1 ELSE 0 END) AS BIGINT) AS n_incoming,
            COUNT(*) FILTER (t.doc_id IN (SELECT doc_id FROM s1)) AS n_after_exact,
            COUNT(*) FILTER (t.doc_id IN (SELECT doc_id FROM s2)) AS n_after_neardup,
            COUNT(*) FILTER (t.doc_id IN (SELECT doc_id FROM s3)) AS n_admitted

@@ -109,7 +109,7 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN deg d ON d.src = e.src
         GROUP BY n.node
     )
-    SELECT node, rank_u FROM r3
+    SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM r3
     WHERE node LIKE 's%'
     ORDER BY rank_u DESC, node
     LIMIT 25

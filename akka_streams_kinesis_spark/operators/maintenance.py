@@ -693,7 +693,7 @@ _COMPACT_SMALL = 3   # a group with fewer files than this needs no rewrite
                ), 0) AS bytes_before
         FROM documents
     ), planned AS (
-        SELECT source, bytes_before // {_COMPACT_TARGET} AS group_id,
+        SELECT source, CAST(bytes_before // {_COMPACT_TARGET} AS BIGINT) AS group_id,
                doc_id, n_chars
         FROM files
     )

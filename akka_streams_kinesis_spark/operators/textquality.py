@@ -459,13 +459,13 @@ _GOPHER_MAX_WORDS = 100_000
     )
     SELECT source,
            COUNT(*)                                            AS n_docs,
-           SUM(CASE WHEN NOT r_word_count    THEN 1 ELSE 0 END) AS n_fail_word_count,
-           SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS n_fail_mean_word_len,
-           SUM(CASE WHEN NOT r_stopwords     THEN 1 ELSE 0 END) AS n_fail_stopwords,
-           SUM(CASE WHEN NOT r_repetition    THEN 1 ELSE 0 END) AS n_fail_repetition,
-           SUM(CASE WHEN NOT r_distinct_ratio THEN 1 ELSE 0 END) AS n_fail_distinct_ratio,
-           SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_stopwords
-                     AND r_repetition AND r_distinct_ratio THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN NOT r_word_count    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+           CAST(SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_word_len,
+           CAST(SUM(CASE WHEN NOT r_stopwords     THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords,
+           CAST(SUM(CASE WHEN NOT r_repetition    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_repetition,
+           CAST(SUM(CASE WHEN NOT r_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_distinct_ratio,
+           CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_stopwords
+                     AND r_repetition AND r_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT)
                                                                AS n_pass_all,
            FLOOR(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_stopwords
                            AND r_repetition AND r_distinct_ratio THEN 1 ELSE 0 END)
