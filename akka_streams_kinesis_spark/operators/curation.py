@@ -1658,3 +1658,225 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return binned.unionByName(singles).orderBy("size_bin")
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences_waste_sweep — context-length tuning table for the packer
+# ---------------------------------------------------------------------------
+
+_PACK_SWEEP_LENS = (512, 1024, 2048, 4096)
+
+
+@query(
+    "pack_sequences_waste_sweep",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+        FROM documents
+    ), cum AS (
+        SELECT lang, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok AS BIGINT) AS cum_before
+        FROM toks
+    ), lens AS (
+        SELECT * FROM (VALUES {", ".join(f"({L})" for L in _PACK_SWEEP_LENS)}) AS t(ctx_len)
+    ), per_lang AS (
+        SELECT l.ctx_len, c.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c.cum_before // l.ctx_len
+                              <> (c.cum_before + c.n_tok - 1) // l.ctx_len
+                         THEN 1 ELSE 0 END) AS BIGINT)   AS n_split,
+               CAST((MAX(c.cum_before + c.n_tok) + l.ctx_len - 1) // l.ctx_len
+                    AS BIGINT)                            AS n_chunks,
+               CAST(MAX(c.cum_before + c.n_tok) AS BIGINT) AS total_tok
+        FROM cum c CROSS JOIN lens l
+        GROUP BY l.ctx_len, c.lang
+    )
+    SELECT ctx_len,
+           CAST(SUM(n_docs) AS BIGINT)                       AS n_docs,
+           CAST(SUM(n_split) AS BIGINT)                      AS n_docs_split,
+           CAST((10000 * SUM(n_split)) // SUM(n_docs) AS BIGINT) AS split_share4,
+           CAST(SUM(n_chunks) AS BIGINT)                     AS n_chunks,
+           CAST(SUM(ctx_len * n_chunks - total_tok) AS BIGINT) AS tail_waste_tok
+    FROM per_lang
+    GROUP BY ctx_len
+    ORDER BY ctx_len
+    """,
+)
+def pack_sequences_waste_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length tuning table for concat-then-chunk packing: for each
+    candidate window length L ∈ {_PACK_SWEEP_LENS}, the fraction of
+    documents SPLIT across a chunk boundary (cross-doc attention
+    contamination / truncated-context cost), the chunk count, and the
+    final-chunk padding waste — the measured trade-off that picks a
+    training context length from data instead of folklore (the packing
+    twin of the LSH band-tuning and multi-probe sweep tables).
+
+    Exact integers end to end: a doc is split iff
+    ⌊cum_before/L⌋ ≠ ⌊(cum_before+n_tok−1)/L⌋ over the exact per-language
+    prefix sums, chunk counts are ceiling divisions, shares are 1e4-scale
+    FLOOR divisions — nothing crosses a float.
+
+    Scale shape: ONE window pass builds the prefix sums (same plan as
+    pack_sequences_bins); the sweep fans out 4× via a broadcast literal
+    frame; everything downstream is two-level hash aggregation whose
+    output is |langs|×4 then 4 rows."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).select(
+        "lang",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long").alias("cum_before"),
+    )
+    lens = spark.range(1).select(
+        F.explode(F.array(*[F.lit(L) for L in _PACK_SWEEP_LENS])).alias("ctx_len")
+    )
+    per_lang = (
+        cum.join(F.broadcast(lens))
+        .groupBy("ctx_len", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (
+                    F.expr("cum_before DIV ctx_len")
+                    != F.expr("(cum_before + n_tok - 1) DIV ctx_len")
+                ).cast("long")
+            ).alias("n_split"),
+            F.expr(
+                "(max(cum_before + n_tok) + max(ctx_len) - 1) DIV max(ctx_len)"
+            ).alias("n_chunks"),
+            F.max(F.col("cum_before") + F.col("n_tok")).alias("total_tok"),
+        )
+    )
+    return (
+        per_lang.groupBy("ctx_len")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_split").alias("n_docs_split"),
+            F.expr("(10000 * sum(n_split)) DIV sum(n_docs)").alias("split_share4"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum(
+                F.col("ctx_len") * F.col("n_chunks") - F.col("total_tok")
+            ).alias("tail_waste_tok"),
+        )
+        .select(
+            "ctx_len",
+            "n_docs",
+            "n_docs_split",
+            "split_share4",
+            "n_chunks",
+            "tail_waste_tok",
+        )
+        .orderBy("ctx_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_source_overlap_matrix — cross-source content duplication matrix
+# ---------------------------------------------------------------------------
+
+_SOM_N = 3  # shingle width for the overlap fingerprint
+
+
+@query(
+    "curation_source_overlap_matrix",
+    oracle=f"""
+    WITH norm AS (
+        SELECT source, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT source, STRING_SPLIT(t, ' ') AS w FROM norm
+    ), sh AS (
+        SELECT DISTINCT source,
+               MD5(UNNEST(CASE WHEN LEN(w) >= {_SOM_N}
+                           THEN LIST_TRANSFORM(RANGE(1, LEN(w) - {_SOM_N - 2}),
+                                               i -> {" || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(_SOM_N))})
+                           ELSE [] END)) AS h
+        FROM toks
+    ), per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sh GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           pa.n_grams AS n_grams_a, pb.n_grams AS n_grams_b,
+           (10000 * i.n_shared) // (pa.n_grams + pb.n_grams - i.n_shared)
+               AS jaccard4
+    FROM inter i
+    JOIN per_source pa ON pa.source = i.source_a
+    JOIN per_source pb ON pb.source = i.source_b
+    """,
+)
+def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE content-overlap matrix: for every pair of ingestion
+    feeds, the count of distinct {_SOM_N}-gram fingerprints they share and
+    the resulting Jaccard similarity — the feed-level dual of the per-doc
+    dedup screens, and the first thing a curation review asks when two
+    crawls/dumps are suspected of re-scraping the same sites (drop one
+    feed? dedup across? weight down?). Pairs with zero shared grams are
+    absent (sparse matrix).
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram-digest)
+    rows — bounded by |sources| × per-source vocabulary, with the
+    explode's fan-out absorbed map-side by the distinct's partial
+    aggregation. The pair generation self-joins on the 16-byte digest,
+    so a gram shared by s sources fans out to C(s,2) ≤ C(|sources|,2)
+    pairs — bounded by the FEED count (20 here), never by corpus size;
+    the per-pair aggregate output is at most |sources|² rows. Both join
+    sides derive from the same frame, arriving co-partitioned on the
+    digest."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    sh = (
+        toks.select("source", F.explode(word_shingles("w", _SOM_N)).alias("g"))
+        .select("source", F.md5("g").alias("h"))
+        .distinct()
+    )
+    per_source = sh.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        inter.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            F.expr(
+                "(10000 * n_shared) DIV (n_grams_a + n_grams_b - n_shared)"
+            ).alias("jaccard4"),
+        )
+    )

@@ -420,3 +420,231 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bucket_width"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train_merges — distributed BPE merge LEARNING (unrolled rounds)
+# ---------------------------------------------------------------------------
+
+# Number of merge rounds learned. Unrolled (not a driver loop over actions)
+# so the whole trainer stays one declarative recipe per round; each round's
+# vocabulary is localCheckpointed because round k+1's pair counts reference
+# it repeatedly (same lineage-truncation discipline as the connected-
+# components loop, curation.py).
+_BPE_ROUNDS = 3
+
+# A word is represented as its symbol sequence with every symbol wrapped in
+# parens: "the" -> "(t)(h)(e)". Applying merge (a,b) is then a plain literal
+# string REPLACE of "(a)(b)" with "(ab)" — and because both Spark's and
+# DuckDB's replace() scan left-to-right over non-overlapping occurrences,
+# this IS the greedy BPE application rule ("aaa" + merge(a,a) -> (aa)(a)),
+# identical in both engines. The alphabet is normalize_text's [a-z0-9 ], so
+# parens can never collide with corpus symbols.
+
+
+def _bpe_oracle() -> str:
+    norm = _NORM
+    rounds = []
+    prev = "v0"
+    for k in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+    p{k} AS (
+        SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT REGEXP_EXTRACT_ALL(w, '\\(([^()]*)\\)', 1) AS l, freq
+              FROM {prev}) t
+        CROSS JOIN UNNEST(RANGE(1, LEN(l))) AS r(i)
+        GROUP BY 1, 2
+    ), b{k} AS (
+        SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+    ), v{k} AS (
+        SELECT REPLACE(w, '(' || b{k}.a || ')(' || b{k}.b || ')',
+                          '(' || b{k}.a || b{k}.b || ')') AS w, freq
+        FROM {prev}, b{k}
+    )""")
+        prev = f"v{k}"
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_round, a AS sym_a, b AS sym_b, "
+        f"a || b AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT UNNEST(STRING_SPLIT({norm}, ' ')) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ), v0 AS (
+        SELECT REGEXP_REPLACE(tok, '(.)', '(\\1)', 'g') AS w, freq FROM vocab
+    ),{",".join(rounds)}
+    {selects}
+    ORDER BY merge_round
+    """
+
+
+@query("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — the iterative dual of
+    ``text_bpe_pair_counts``: {_BPE_ROUNDS} merge rounds are actually
+    learned, each round = (count adjacent symbol pairs weighted by word
+    frequency) → (argmax with lexicographic tie-break) → (apply the merge
+    to the vocabulary). Returns one row per learned merge with its count.
+
+    Scale shape — the reason BPE training is feasible on a 100 TB corpus
+    at all: after ONE corpus pass builds the word-frequency table, every
+    round operates on the VOCABULARY (Heaps-bounded, millions of rows at
+    web scale, ~10^4 here), never the corpus. Pair counting explodes each
+    vocab word into (|word|-1) weighted pairs and hash-aggregates (map-
+    side partials bound the shuffle by the pair alphabet); the argmax is
+    a 1-row TakeOrdered broadcast back into a literal string replace.
+    Per-round vocabularies are localCheckpointed so round k+1's lineage
+    does not re-derive rounds 1..k (the connected-components discipline,
+    curation.py).
+
+    Determinism: counts are exact int64 sums of word frequencies, the
+    argmax tie-break is lexicographic (a, b), and merge application is
+    left-to-right non-overlapping literal replace in BOTH engines — greedy
+    BPE semantics, bit-identical across partition orders."""
+    toks = _tokens(spark, sf_dir).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    v = vocab.select(
+        F.regexp_replace("tok", "(.)", r"($1)").alias("w"), "freq"
+    ).localCheckpoint()
+    out = None
+    for k in range(1, _BPE_ROUNDS + 1):
+        syms = v.select(
+            F.regexp_extract_all("w", F.lit(r"\(([^()]*)\)"), 1).alias("l"),
+            "freq",
+        ).filter(F.size("l") >= 2)
+        pairs = (
+            syms.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 1),"
+                        " i -> struct(element_at(l, i) AS a,"
+                        "             element_at(l, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
+        row = best.select(
+            F.lit(k).alias("merge_round"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        v = (
+            v.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                F.replace(
+                    F.col("w"),
+                    F.concat(F.lit("("), "a", F.lit(")("), "b", F.lit(")")),
+                    F.concat(F.lit("("), "a", "b", F.lit(")")),
+                ).alias("w"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    return out.orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# events_frequent_sequences — session-bounded sequential pattern mining
+# ---------------------------------------------------------------------------
+
+# Relative support threshold: keep length-3 sequences covering at least
+# 0.9% of all session trigrams (exact integer compare: 1000*n >= 9*total).
+_SEQ_SUPPORT_PER_MILLE = 9
+
+
+@query(
+    "events_frequent_sequences",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ), grams AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER s AS t2,
+               LEAD(event_type, 2) OVER s AS t3
+        FROM sessions
+        WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    ), counted AS (
+        SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM grams
+        WHERE t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, n, (10000 * n) // total AS support4
+    FROM counted
+    WHERE 1000 * n >= {_SEQ_SUPPORT_PER_MILLE} * total
+    ORDER BY n DESC, t1, t2, t3
+    """,
+)
+def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the session-bounded length-3 case: count
+    every event-type trigram occurring INSIDE a 30-minute-gap session (a
+    trigram never spans a session boundary — the property the plain Markov
+    transition matrix can't express) and keep those above a relative
+    support threshold ({_SEQ_SUPPORT_PER_MILLE}‰ of all trigrams). This is
+    the frequent-subsequence primitive behind journey mining / funnel
+    discovery (PrefixSpan's k=3 slice, materialized declaratively).
+
+    Scale shape: ONE shuffle on user_id drives both the sessionize lag and
+    the per-session lead window (same partitioning, Catalyst reuses the
+    Exchange); the trigram aggregate's key space is |event_type|³ (125
+    here) so the second exchange and the single-row total broadcast are
+    metadata-sized. Exact integer support compare — no float threshold."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_us > 1800 * 1000 * 1000, 1)
+        .otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    s = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    grams = sessions.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(s).alias("t2"),
+        F.lead("event_type", 2).over(s).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    counted = grams.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = Window.partitionBy()
+    return (
+        counted.withColumn("total", F.sum("n").over(total).cast("long"))
+        .filter(F.lit(1000) * F.col("n") >= F.lit(_SEQ_SUPPORT_PER_MILLE) * F.col("total"))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.expr("(10000 * n) DIV total").alias("support4"),
+        )
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    )

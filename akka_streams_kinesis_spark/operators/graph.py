@@ -18,7 +18,7 @@ oracle can unroll the same iterations as CTEs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import table
 from ..registry import query
@@ -489,3 +489,175 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side", "bin_id")
     )
+
+
+
+# ---------------------------------------------------------------------------
+# graph_core_peel_quantile — iterative dense-core extraction (onion peeling)
+# ---------------------------------------------------------------------------
+
+# Each peel round recomputes BOTH sides' degree distributions over the
+# SURVIVING edge set and drops every node below its side's CURRENT 20th-
+# percentile degree (exact integer compare 10*cum >= 2*tot — no float
+# percentile). Re-deriving the threshold per round is what makes the peel
+# scale-invariant AND total-collapse-proof: a fixed k never peels this
+# dense bipartite graph at any tested scale (every node clears any small
+# constant — the same degeneracy as fixed-support triangle edges, see the
+# _TRI note), while a fixed INITIAL-percentile anchor annihilates it by
+# round 2 (removing p% of customers scales every supplier degree down by
+# ~p%, pushing the whole tightly-concentrated supplier side under its
+# original percentile). The per-round quantile always erodes and can
+# never empty a side: the threshold is itself one of the surviving
+# degrees, so nodes AT the threshold survive by construction.
+_PEEL_PCT_NUM, _PEEL_PCT_DEN = 2, 10   # 20th percentile, exact rational
+_PEEL_ROUNDS = 3
+
+
+def _peel_oracle() -> str:
+    pn, pd = _PEEL_PCT_NUM, _PEEL_PCT_DEN
+    rounds = []
+    prev = "e0"
+    for r in range(1, _PEEL_ROUNDS + 1):
+        rounds.append(f"""
+    cdeg{r} AS (SELECT custkey, COUNT(*) AS d FROM {prev} GROUP BY custkey),
+    sdeg{r} AS (SELECT suppkey, COUNT(*) AS d FROM {prev} GROUP BY suppkey),
+    ccum{r} AS (
+        SELECT d, SUM(COUNT(*)) OVER (ORDER BY d) AS cum,
+               SUM(COUNT(*)) OVER () AS tot
+        FROM cdeg{r} GROUP BY d
+    ), scum{r} AS (
+        SELECT d, SUM(COUNT(*)) OVER (ORDER BY d) AS cum,
+               SUM(COUNT(*)) OVER () AS tot
+        FROM sdeg{r} GROUP BY d
+    ), kc{r} AS MATERIALIZED (
+        SELECT MIN(d) AS k FROM ccum{r} WHERE {pd} * cum >= {pn} * tot
+    ), ks{r} AS MATERIALIZED (
+        SELECT MIN(d) AS k FROM scum{r} WHERE {pd} * cum >= {pn} * tot
+    ),
+    ac{r} AS MATERIALIZED (
+        SELECT custkey FROM cdeg{r} WHERE d >= (SELECT k FROM kc{r})
+    ),
+    asup{r} AS MATERIALIZED (
+        SELECT suppkey FROM sdeg{r} WHERE d >= (SELECT k FROM ks{r})
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.custkey, e.suppkey FROM {prev} e
+        JOIN ac{r} USING (custkey) JOIN asup{r} USING (suppkey)
+    ),
+    stat{r} AS (
+        SELECT {r} AS peel_round,
+               (SELECT CAST(k AS BIGINT) FROM kc{r})          AS k_cust,
+               (SELECT CAST(k AS BIGINT) FROM ks{r})          AS k_supp,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ac{r})   AS n_cust_alive,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM asup{r}) AS n_supp_alive,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r})    AS n_edges_alive
+    )""")
+        prev = f"e{r}"
+    selects = "\n    UNION ALL ".join(
+        f"SELECT * FROM stat{r}" for r in range(1, _PEEL_ROUNDS + 1)
+    )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),{",".join(rounds)}
+    {selects}
+    ORDER BY peel_round
+    """
+
+
+def _degree_threshold(deg: DataFrame) -> DataFrame:
+    """Exact integer percentile threshold over a degree distribution: the
+    smallest degree d with cum_count(<=d) clearing the percentile — a
+    1-row frame derived from degree COUNTS (|distinct degrees| rows, so
+    the single-partition window sees hundreds of rows, never nodes)."""
+    dist = deg.groupBy("d").agg(F.count("*").alias("n"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return (
+        dist.select(
+            "d",
+            F.sum("n").over(wcum).alias("cum"),
+            F.sum("n").over(wall).alias("tot"),
+        )
+        .filter(
+            F.lit(_PEEL_PCT_DEN) * F.col("cum")
+            >= F.lit(_PEEL_PCT_NUM) * F.col("tot")
+        )
+        .agg(F.min("d").alias("k"))
+    )
+
+
+@query("graph_core_peel_quantile", oracle=_peel_oracle())
+def graph_core_peel_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction by iterative quantile peeling ("onion
+    peeling"), the third iterative graph primitive (after PageRank's
+    fixed-iteration power method and the connected-components pointer-
+    jumping loop, curation.py) and the degree-based cousin of k-core:
+    each round drops every node below its side's CURRENT 20th-percentile
+    degree, recomputed over the surviving edge set — so a drop erodes its
+    neighbors' degrees and the next round peels deeper, the cascade a
+    one-shot degree filter cannot express (and the reason classic fixed-k
+    k-core degenerates on this graph — see the constants note). Returns
+    the per-round erosion audit: both thresholds and alive customers /
+    suppliers / edges — the hub-persistence signal behind influence cores
+    and super-node caps.
+
+    Scale shape: thresholds come from degree-COUNT tables (|distinct
+    degrees| rows); each peel round is two hash-agg degree counts + two
+    broadcast threshold joins + two semi joins keyed on the edge's own
+    columns (no pairwise expansion anywhere); the surviving edge frame is
+    localCheckpointed per round so round r+1's lineage does not re-derive
+    rounds 1..r (the connected-components discipline). Work per round is
+    O(|edges alive|) and the edge set only shrinks. Peel depth is a
+    documented bound, not a fixpoint — at 100 TB you run rounds until the
+    erosion audit plateaus."""
+    e = _purchase_edges(spark, sf_dir).localCheckpoint()
+    out = None
+    for r in range(1, _PEEL_ROUNDS + 1):
+        cdeg = e.groupBy("custkey").agg(F.count("*").alias("d"))
+        sdeg = e.groupBy("suppkey").agg(F.count("*").alias("d"))
+        kc = _degree_threshold(cdeg).localCheckpoint()
+        ks = _degree_threshold(sdeg).localCheckpoint()
+        alive_c = (
+            cdeg.crossJoin(F.broadcast(kc))
+            .filter(F.col("d") >= F.col("k"))
+            .select("custkey")
+            .localCheckpoint()
+        )
+        alive_s = (
+            sdeg.crossJoin(F.broadcast(ks))
+            .filter(F.col("d") >= F.col("k"))
+            .select("suppkey")
+            .localCheckpoint()
+        )
+        # alive counts come from the degree filter itself (a passing node
+        # can still lose all its edges this round — it stays "alive" until
+        # the NEXT round's degree recount drops it, same as the oracle)
+        e = (
+            e.join(alive_c, "custkey", "left_semi")
+            .join(alive_s, "suppkey", "left_semi")
+            .select("custkey", "suppkey")
+            .localCheckpoint()
+        )
+        row = (
+            e.agg(F.count("*").cast("long").alias("n_edges_alive"))
+            .crossJoin(
+                alive_c.agg(F.count("*").cast("long").alias("n_cust_alive"))
+            )
+            .crossJoin(
+                alive_s.agg(F.count("*").cast("long").alias("n_supp_alive"))
+            )
+            .crossJoin(F.broadcast(kc.select(F.col("k").cast("long").alias("k_cust"))))
+            .crossJoin(F.broadcast(ks.select(F.col("k").cast("long").alias("k_supp"))))
+            .select(
+                F.lit(r).alias("peel_round"),
+                "k_cust",
+                "k_supp",
+                "n_cust_alive",
+                "n_supp_alive",
+                "n_edges_alive",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("peel_round")

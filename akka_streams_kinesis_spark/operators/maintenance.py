@@ -765,3 +765,78 @@ def maintenance_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source", "group_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_schema_evolution_audit — mergeSchema across snapshot versions
+# ---------------------------------------------------------------------------
+
+# v1 snapshot = even event_ids written WITHOUT the value column (the
+# pre-evolution schema); v2 = odd event_ids with the full schema
+
+
+@query(
+    "maintenance_schema_evolution_audit",
+    oracle="""
+    WITH evolved AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 2 = 1 THEN value END AS value
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                     AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                        AS n_legacy_rows,
+           CAST(SUM(CASE WHEN value IS NOT NULL
+                         THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT)         AS evolved_cents
+    FROM evolved
+    GROUP BY event_type
+    """,
+)
+def maintenance_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read audit: a table directory holding parquet files
+    written under TWO schema versions (v1 lacks the later-added ``value``
+    column) is read back with ``mergeSchema`` — Spark's schema-on-read
+    union — and the audit reports, per event type, how many rows are
+    pre-evolution (NULL-filled for the new column) and the aggregate over
+    the rows that do carry it. This is the first operational question
+    after any additive column migration on a lake table: how much of the
+    table still needs backfill, and is the evolved data flowing.
+
+    Gated END-TO-END: the query physically writes both snapshot versions
+    and re-reads the merged directory, so a wrong merge (dropped column,
+    misaligned fill) breaks the hash against plain SQL over the source.
+
+    Scale shape: mergeSchema unions footers at planning time (file-count
+    work, not data); the audit itself is one conditional hash-agg. Parquet
+    column pruning still applies per file — v1 files simply have no pages
+    for the new column."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    e = table(spark, sf_dir, "events")
+    base = os.path.join(
+        _tempfile.gettempdir(), f"schema_evo_{_uuid.uuid4().hex[:10]}"
+    )
+    # v1: the pre-evolution schema (no value column)
+    e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
+    # v2: the evolved schema
+    e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_legacy_rows"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long"),
+            ).otherwise(0)
+        ).alias("evolved_cents"),
+    )

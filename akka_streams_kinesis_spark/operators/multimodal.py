@@ -440,3 +440,94 @@ def multimodal_clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_hex",
         (F.col("score_hex") < _CLIP_KEEP_BELOW).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_hamming_pairs — bucketed Hamming near-dup pair generation
+# ---------------------------------------------------------------------------
+
+# 16-bit perceptual code from the stubbed feature triple (a real pHash
+# quantizes DCT coefficients; the stand-in quantizes the same decoded
+# feature fields, keeping every downstream step — banding, bucket join,
+# Hamming confirm — real and oracle-checkable)
+_PH_HAMMING_MAX = 3     # confirm threshold: near-dup iff ≤ 3 differing bits
+# band = the top byte of the code; pairs are generated only within a band
+# (single-band recall limit documented in the docstring; production runs
+# several band tables exactly like the MinHash band path, dedup.py)
+
+
+@query(
+    "multimodal_phash_hamming_pairs",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT)                 AS byte_size,
+               CAST(LENGTH(text) % 640 + 1 AS BIGINT)       AS width,
+               CAST((LENGTH(text) * 7) % 480 + 1 AS BIGINT) AS height
+        FROM documents
+    ), coded AS (
+        SELECT doc_id,
+               CAST(
+                   ((width // 16) % 16) * 4096
+                 + ((height // 16) % 16) * 256
+                 + (byte_size % 256) AS BIGINT
+               ) AS phash16
+        FROM feats
+    ), banded AS (
+        SELECT doc_id, phash16, phash16 // 256 AS band FROM coded
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(a.phash16 AS BIGINT) AS phash_a,
+           CAST(b.phash16 AS BIGINT) AS phash_b,
+           CAST(bit_count(xor(a.phash16, b.phash16)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash16, b.phash16)) <= {_PH_HAMMING_MAX}
+    """,
+)
+def multimodal_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate PAIRS for media: decode features
+    (Arrow-batched mapInPandas, deterministic stand-in decoder — see
+    module docstring), pack them into a 16-bit pHash-style code, band on
+    the code's top byte, generate candidate pairs ONLY within a band, and
+    confirm with an exact Hamming-distance test (≤{_PH_HAMMING_MAX} bits).
+    This is the image-dedup candidate pipeline (pHash/aHash dedup in
+    LAION-scale curation) with the same scale anatomy as MinHash-LSH for
+    text: banding makes candidate work Σ(bucket²), never corpus².
+
+    Single-band recall limit: a pair differing only in the top byte is
+    missed; production runs several rotated band tables exactly like the
+    MinHash band path (operators/dedup.py) — one band here keeps the
+    oracle 1:1.
+
+    Determinism: the code is exact integer arithmetic over the decoded
+    integer features; the confirm is bit_count(xor) — no float anywhere."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    feats = extract_features(to_binary_table(d).select("doc_id", "payload"))
+    coded = feats.select(
+        "doc_id",
+        (
+            (F.expr("(width DIV 16) % 16") * 4096)
+            + (F.expr("(height DIV 16) % 16") * 256)
+            + (F.col("byte_size") % 256)
+        ).cast("long").alias("phash16"),
+    )
+    banded = coded.withColumn("band", F.expr("phash16 DIV 256"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.expr("bit_count(a.phash16 ^ b.phash16)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= _PH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash16").alias("phash_a"),
+            F.col("b.phash16").alias("phash_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+    )

@@ -856,3 +856,72 @@ def join_bloom_prefilter_reduction(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median — exact weighted median via cumulative-weight window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH byval AS (
+        SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT l_returnflag, l_linestatus, v, w,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                                 ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+                    AS BIGINT) AS tw
+        FROM byval
+    )
+    SELECT l_returnflag, l_linestatus,
+           MIN(v)  AS weighted_median,
+           MIN(tw) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (here: extendedprice weighted by
+    quantity per returnflag×linestatus — 'the price a median shipped UNIT
+    carries', not the median line). Spark has percentile/median but no
+    weighted variant; the engine derives it exactly: collapse to distinct
+    values with integer total weights (one hash-agg — the shuffle carries
+    |distinct values| rows, not the fact table), cumulative-weight window
+    per group, then the smallest value whose cumulative weight reaches
+    half the total (lower weighted median; 2*cw >= tw in exact integer
+    arithmetic — no float fraction).
+
+    Scale shape: hash-agg → one window sort over the collapsed value
+    table → metadata-sized final agg. Ties and partial-agg order cannot
+    move the answer: weights are int64 and the boundary compare is
+    integer."""
+    li = table(spark, sf_dir, "lineitem")
+    byval = li.groupBy(
+        "l_returnflag", "l_linestatus", F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    grp = Window.partitionBy("l_returnflag", "l_linestatus")
+    cum = grp.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cw = byval.select(
+        "l_returnflag",
+        "l_linestatus",
+        "v",
+        F.sum("w").over(cum).cast("long").alias("cw"),
+        F.sum("w").over(grp).cast("long").alias("tw"),
+    )
+    return (
+        cw.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("tw").alias("total_weight"),
+        )
+    )

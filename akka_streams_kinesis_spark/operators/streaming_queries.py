@@ -1207,3 +1207,77 @@ def stream_backfill_union_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+@query(
+    "stream_pattern_match_cep",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ), sym AS (
+        SELECT user_id, session_id, COUNT(*) AS n_ev,
+               STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS symbols
+        FROM sessions
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(SUM(n_ev) AS BIGINT)    AS n_events,
+           CAST(COUNT(*) AS BIGINT)     AS n_sessions,
+           CAST(SUM(CASE WHEN LEN(REGEXP_EXTRACT_ALL(symbols, 'v[ce]*p')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_sessions,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(symbols, 'v[ce]*p'))) AS BIGINT)
+               AS n_matches
+    FROM sym
+    GROUP BY user_id
+    """,
+)
+def stream_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP FROM THE LIVE STREAM: per-user session-bounded
+    row-pattern matching (view→[clicks/errors]*→purchase) maintained as a
+    custom applyInPandasWithState operator — the streaming twin of the
+    batch compile-to-regex MATCH_RECOGNIZE (events_pattern_match_sequence,
+    windows.py), and the fourth custom stateful operator (after running
+    totals, streaming HLL, streaming Misra-Gries). Each micro-batch folds
+    the user's new events into checkpointed state and emits refreshed
+    totals; per-user counts are monotone so the final state per user is
+    max(struct), and it must equal the batch sessionize+regex aggregate —
+    exactly what the oracle checks end to end through the encode → shard
+    → stream-read → decode pipe.
+
+    State/scale: see streaming_session_cep (streaming/stateful.py) — the
+    drain variant keeps per-user history because backfill file order is
+    not event-time order; a live deployment evicts closed sessions via
+    GroupStateTimeout, making state O(open sessions)."""
+    from ..streaming.stateful import streaming_session_cep
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=64)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    running = streaming_session_cep(events)
+    updates = _run_available_now(running, spark, mode="update")
+    fin = F.max(
+        F.struct("n_events", "n_sessions", "n_converted_sessions", "n_matches")
+    ).alias("fin")
+    return (
+        updates.groupBy("user_id")
+        .agg(fin)
+        .select(
+            "user_id",
+            F.col("fin.n_events").alias("n_events"),
+            F.col("fin.n_sessions").alias("n_sessions"),
+            F.col("fin.n_converted_sessions").alias("n_converted_sessions"),
+            F.col("fin.n_matches").alias("n_matches"),
+        )
+    )

@@ -690,3 +690,96 @@ def window_session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _SFP_TOPK)
     )
     return ranked.select("path", "n_sessions", "avg_prefix_len", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# events_pattern_match_sequence — MATCH_RECOGNIZE-style regex over sessions
+# ---------------------------------------------------------------------------
+
+# Event-type alphabet maps to its (distinct) first letter: click->c,
+# error->e, purchase->p, signup->s, view->v. The conversion pattern is a
+# view followed by a purchase with only clicks/errors in between.
+_SEQ_PATTERN = "v[ce]*p"
+
+
+@query(
+    "events_pattern_match_sequence",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ), sym AS (
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS symbols
+        FROM sessions
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, n_events, symbols,
+           CAST(LEN(REGEXP_EXTRACT_ALL(symbols, '{_SEQ_PATTERN}')) AS BIGINT)
+               AS n_matches,
+           LEN(REGEXP_EXTRACT_ALL(symbols, '{_SEQ_PATTERN}')) > 0 AS converted
+    FROM sym
+    """,
+)
+def events_pattern_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE for Spark, the compile-to-regex strategy: Spark has
+    no row-pattern matching clause (Flink/Trino's MATCH_RECOGNIZE), so the
+    engine sessionizes, folds each session's ordered event types into a
+    compact symbol string, and runs the row pattern as a REGEX over that
+    string — here ``{_SEQ_PATTERN}`` = "a view converting to a purchase
+    with only clicks/errors between" — reporting per-session match counts.
+    Non-overlapping leftmost-match counting is the same contract in Java
+    regex and RE2, and greedy quantifiers agree on this backtracking-free
+    pattern, so the count is engine-portable.
+
+    Determinism: the symbol fold is array_sort over (ts, event_id, sym)
+    structs collected per session — collect_list order is partition-
+    nondeterministic, the sort makes the string exact (the oracle's
+    STRING_AGG ... ORDER BY twin).
+
+    Scale shape: ONE shuffle on user_id covers sessionize lag, session-id
+    running sum, and the per-session collect (Catalyst reuses the
+    Exchange); per-session state is bounded by session length (30-min gap
+    caps it), never by user history. The pattern evaluation is a JVM
+    regexp over a session-sized string — no Python, no second shuffle."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_us > 1800 * 1000 * 1000, 1)
+        .otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    sym = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("sym"))
+            )
+        ).alias("seq"),
+    )
+    symbols = F.concat_ws("", F.expr("transform(seq, x -> x.sym)"))
+    n_matches = F.regexp_count(symbols, F.lit(_SEQ_PATTERN))
+    return sym.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        symbols.alias("symbols"),
+        n_matches.cast("long").alias("n_matches"),
+        (n_matches > 0).alias("converted"),
+    )

@@ -201,3 +201,94 @@ def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP: per-user session pattern matching (MATCH_RECOGNIZE twin)
+# ---------------------------------------------------------------------------
+
+_CEP_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, n_sessions long, "
+    "n_converted_sessions long, n_matches long"
+)
+_CEP_STATE_SCHEMA = "ts_us array<long>, event_id array<long>, sym array<string>"
+_CEP_GAP_US = 1800 * 1000 * 1000  # 30-minute session gap, integer µs
+_CEP_PATTERN = "v[ce]*p"  # view → (clicks/errors)* → purchase
+
+
+def _update_cep(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import re as _re
+
+    if state.exists:
+        ts_us, eid, sym = (list(c) for c in state.get)
+    else:
+        ts_us, eid, sym = [], [], []
+    for pdf in pdfs:
+        # datetime64[ns] → integer microseconds (exact; matches EPOCH_US)
+        ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        eid.extend(pdf["event_id"].astype("int64").tolist())
+        sym.extend(pdf["event_type"].str[:1].tolist())
+    state.update((ts_us, eid, sym))
+
+    # replay the accumulated per-user history: sessionize on the 30-min
+    # gap in (ts, event_id) order, then count non-overlapping pattern
+    # matches per session — identical semantics to the batch operator
+    # events_pattern_match_sequence (windows.py)
+    order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], eid[i]))
+    pat = _re.compile(_CEP_PATTERN)
+    n_sessions = n_conv = n_matches = 0
+    buf: list[str] = []
+    prev = None
+
+    def _close() -> None:
+        nonlocal n_sessions, n_conv, n_matches
+        if buf:
+            n_sessions += 1
+            m = len(pat.findall("".join(buf)))
+            n_matches += m
+            n_conv += 1 if m else 0
+
+    for i in order:
+        if prev is not None and ts_us[i] - prev > _CEP_GAP_US:
+            _close()
+            buf = []
+        buf.append(sym[i])
+        prev = ts_us[i]
+    _close()
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [len(ts_us)],
+            "n_sessions": [n_sessions],
+            "n_converted_sessions": [n_conv],
+            "n_matches": [n_matches],
+        }
+    )
+
+
+def streaming_session_cep(events: DataFrame) -> DataFrame:
+    """Streaming CEP (complex event processing): per-user session-bounded
+    row-pattern matching maintained in checkpointed keyed state — the
+    streaming twin of the batch compile-to-regex MATCH_RECOGNIZE
+    (events_pattern_match_sequence). Each micro-batch folds new events
+    into the user's history and emits refreshed per-user totals
+    (sessions, converted sessions, pattern matches); counts are monotone,
+    so the caller's final-state pick (max struct) is the drained answer.
+
+    State holds the full per-user event history because this entry drains
+    a historical backfill whose FILE order is not event-time order — an
+    event-time timeout would close sessions prematurely (the same
+    contract note as the 35-day watermark on the stream-stream join). A
+    live deployment evicts closed sessions with a GroupStateTimeout at
+    gap + arrival skew, making state O(open session), not O(history)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_cep,
+        outputStructType=_CEP_OUTPUT_SCHEMA,
+        stateStructType=_CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -259,6 +259,15 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "quality_classifier_agreement_kappa",
     "similarity_ivf_cell_balance_report",
+    "multimodal_phash_hamming_pairs",
+    "maintenance_schema_evolution_audit",
+    "pack_sequences_waste_sweep",
+    "text_bpe_train_merges",
+    "events_frequent_sequences",
+    "events_pattern_match_sequence",
+    "graph_core_peel_quantile",
+    "agg_weighted_median",
+    "curation_source_overlap_matrix",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.
@@ -288,6 +297,7 @@ STREAM_SECTION = [
     "stream_observed_ingest_metrics",
     "stream_exactly_once_sink",
     "stream_backfill_union_live",
+    "stream_pattern_match_cep",
 ]
 
 

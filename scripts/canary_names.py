@@ -115,6 +115,20 @@ SF1_CANARY = [
     "similarity_multiprobe_recall_sweep",  # all-pairs eval ×3 probe radii
     "similarity_diversified_topk",       # all-pairs + double window
     "quality_classifier_agreement_kappa",  # full-word explode contingency
+    # round-6 wave 5
+    "multimodal_phash_hamming_pairs",    # banded Hamming pair generation
+    "pack_sequences_waste_sweep",        # prefix-sum window ×4 sweep
+    "maintenance_schema_evolution_audit",  # two-version table write+merge
+    # round-6 wave 6
+    "text_bpe_train_merges",             # iterative vocab merges, 3 checkpointed rounds
+    "events_pattern_match_sequence",     # per-session collect + regex count
+    "events_frequent_sequences",         # double window + trigram agg
+    # round-6 wave 7
+    "graph_core_peel_quantile",          # 3 checkpointed peel rounds, semi-join cascade
+    "curation_source_overlap_matrix",    # gram-digest self-join, C(sources,2) fanout
+    "agg_weighted_median",               # distinct-value collapse + cumulative window
+    # round-6 wave 8
+    "stream_pattern_match_cep",          # per-user session state, Arrow stateful op
 ]
 
 # Oracle-infeasible at sf1: a query lands here when its deliberately-

@@ -179,6 +179,33 @@ SHOWCASE = [
      "ONE broadcast-join sims frame (corpus never shuffles) fanned out by "
      "a 3-row broadcast radii join; both rankings are Windows over "
      "per-(radius,query) groups — no second corpus scan for ground truth."),
+    ("text_bpe_train_merges",
+     "Pair counting runs over the localCheckpointed VOCABULARY (never the "
+     "corpus): InMemoryTableScan/checkpoint scan feeds the explode, the "
+     "Exchange carries (pair, partial-count) bounded by the pair "
+     "alphabet; each merge is a 1-row TakeOrdered broadcast into a "
+     "literal replace."),
+    ("events_pattern_match_sequence",
+     "ONE Exchange on user_id shared by the sessionize lag window, the "
+     "session-id running sum, AND the per-session collect (hash "
+     "partitioning on user_id satisfies the (user_id, session_id) "
+     "clustering) — the regexp runs JVM-side over the folded string, no "
+     "second shuffle."),
+    ("graph_core_peel_quantile",
+     "Each peel round: two HashAggregate degree counts + two broadcast "
+     "threshold joins + two left-semi joins; checkpoint scans between "
+     "rounds (no lineage re-derivation); the quantile windows run over "
+     "degree-COUNT tables (|distinct degrees| rows), never nodes."),
+    ("curation_source_overlap_matrix",
+     "The corpus collapses to DISTINCT (source, digest) BEFORE the pair "
+     "self-join (partial aggregation absorbs the explode map-side); the "
+     "join key is the 16-byte digest; per-source totals come back as "
+     "BroadcastHashJoins onto the |sources|²-bounded pair aggregate."),
+    ("agg_weighted_median",
+     "First HashAggregate collapses the fact table to distinct values "
+     "(the Exchange carries values, not rows); one Window sort per group "
+     "over the collapsed table; integer boundary filter + tiny final "
+     "aggregate — no percentile UDAF, no full-table sort."),
 ]
 
 

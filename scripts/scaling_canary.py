@@ -89,9 +89,21 @@ def main() -> None:
     merge = "--merge" in sys.argv
     t_small = time_all(SF01_DIR, names)
     t_big = time_all(SF1_DIR, names)
+    extra_keys: dict = {}
     if merge:
         with open(out_path) as f:
-            prior = json.load(f)["queries"]
+            prior_doc = json.load(f)
+        prior = prior_doc["queries"]
+        # preserve side-car sections (e.g. sf3_spot) across a merge
+        extra_keys = {
+            k: v
+            for k, v in prior_doc.items()
+            if k not in (
+                "metric", "data_ratio", "ratio_flag_threshold",
+                "ratio_floor_sec", "n_queries", "n_flagged", "flagged",
+                "total_sf01_sec", "total_sf1_sec", "queries",
+            )
+        }
         for n, rec in prior.items():
             if n not in names:
                 t_small[n] = rec["sf01_sec"]
@@ -119,6 +131,7 @@ def main() -> None:
         "total_sf01_sec": round(sum(v for v in t_small.values() if v), 3),
         "total_sf1_sec": round(sum(v for v in t_big.values() if v), 3),
         "queries": queries,
+        **extra_keys,
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
