@@ -742,3 +742,100 @@ def behavior_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataF
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# behavior_ab_test_lift — deterministic assignment + exact-integer lift
+# ---------------------------------------------------------------------------
+
+# Deterministic 50/50 arm assignment from a salted md5 of the user id —
+# the same stateless-predicate discipline as split_train_valid_test
+# (importance.py): no assignment table, no shuffle, reproducible across
+# engines and reruns. Conversion = the user has at least one purchase.
+_AB_SALT = "exp42"
+
+
+@query(
+    "behavior_ab_test_lift",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN SUBSTR(MD5('{_AB_SALT}|' || CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events
+        GROUP BY user_id
+    ), arms AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT)       AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST((10000 * SUM(converted)) // COUNT(*) AS BIGINT)
+                   AS conv_rate4
+        FROM assigned
+        GROUP BY arm
+    )
+    SELECT a.arm, a.n_users, a.n_converted, a.conv_rate4,
+           a.conv_rate4
+             - (SELECT conv_rate4 FROM arms WHERE arm = 'control')
+               AS lift_vs_control4
+    FROM arms a
+    """,
+)
+def behavior_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over the event log: deterministic salted-md5
+    50/50 arm assignment (the same stateless hash-predicate discipline as
+    the train/valid/test splits — no assignment table, no membership
+    join, reproducible across engines, reruns and backfills), per-arm
+    user counts, purchase-conversion rates, and the treatment-vs-control
+    lift — all in exact 1e4-scale integer arithmetic so the readout is
+    bit-identical regardless of aggregation order.
+
+    Scale shape: ONE hash-agg collapses the event log to per-user
+    (arm, converted) rows — the shuffle carries users, not events, and
+    the arm hash is computed map-side; the per-arm aggregate is 2 rows
+    and the control rate joins back as a broadcast scalar. At 100 TB
+    this is the cheapest possible experiment readout: no event ever
+    crosses the wire twice."""
+    e = table(spark, sf_dir, "events")
+    # first md5 byte < 0x80 → control: the hex-string lexicographic
+    # compare (the split_train_valid_test idiom, curation.py) needs no
+    # hex→int conversion and behaves identically in both engines
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit(_AB_SALT + "|"), F.col("user_id").cast("string"))),
+            1,
+            2,
+        )
+        < "80",
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    assigned = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted"),
+        )
+        .withColumn("arm", arm)
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("CAST((10000 * sum(converted)) DIV count(*) AS BIGINT)").alias(
+            "conv_rate4"
+        ),
+    )
+    control = arms.filter(F.col("arm") == "control").select(
+        F.col("conv_rate4").alias("_ctl4")
+    )
+    return (
+        arms.crossJoin(F.broadcast(control))
+        .select(
+            "arm",
+            "n_users",
+            "n_converted",
+            "conv_rate4",
+            (F.col("conv_rate4") - F.col("_ctl4")).alias("lift_vs_control4"),
+        )
+    )

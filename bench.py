@@ -268,6 +268,8 @@ HEADLINE = [
     "graph_core_peel_quantile",
     "agg_weighted_median",
     "curation_source_overlap_matrix",
+    "maintenance_incremental_view_refresh",
+    "behavior_ab_test_lift",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

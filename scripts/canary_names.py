@@ -129,6 +129,9 @@ SF1_CANARY = [
     "agg_weighted_median",               # distinct-value collapse + cumulative window
     # round-6 wave 8
     "stream_pattern_match_cep",          # per-user session state, Arrow stateful op
+    # round-6 wave 9
+    "maintenance_incremental_view_refresh",  # physical snapshot write + delta merge
+    "behavior_ab_test_lift",             # event-log collapse to per-user rows
 ]
 
 # Oracle-infeasible at sf1: a query lands here when its deliberately-
