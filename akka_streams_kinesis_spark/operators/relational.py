@@ -925,3 +925,64 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar_decimal_money_arithmetic — exact DECIMAL money semantics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_decimal_money_arithmetic",
+    oracle="""
+    WITH money AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(18, 2))
+                   AS price_dec
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)                    AS n,
+           CAST(SUM(price_dec) AS DECIMAL(28, 2))      AS total_dec,
+           CAST(MIN(price_dec) AS DECIMAL(18, 2))      AS min_dec,
+           CAST(MAX(price_dec) AS DECIMAL(18, 2))      AS max_dec,
+           CAST(SUM(CAST(price_dec * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+           (CAST(SUM(price_dec) AS DECIMAL(28, 2)) * 100
+              = CAST(SUM(CAST(price_dec * 100 AS BIGINT)) AS DECIMAL(28, 0)))
+               AS decimal_exactness_holds
+    FROM money
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_decimal_money_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money arithmetic — the fixed-point semantics every
+    financial aggregate actually requires (doubles drift with aggregation
+    order; every other money column in this repo routes through the FLOOR
+    cents idiom for that reason). Prices are cast to DECIMAL(18,2) at the
+    scan; SUM/MIN/MAX run in exact decimal; and the query SELF-AUDITS by
+    also summing integer cents and emitting a boolean proving
+    SUM(decimal)×100 == SUM(cents) — the exactness property that silently
+    fails under double arithmetic and provably holds under decimal, in
+    both engines, regardless of partition order.
+
+    Scale shape: one partial+final hash aggregate; Spark's decimal sums
+    use 128-bit accumulators in Tungsten (UnsafeRow fixed-width up to
+    precision 38) — exactness costs no extra shuffle and no UDF. Explicit
+    result-precision CASTs pin the cross-engine schema (Spark and DuckDB
+    widen decimal sums differently: +10 digits vs +6)."""
+    o = table(spark, sf_dir, "orders")
+    money = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    return money.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("price_dec").cast("decimal(28,2)").alias("total_dec"),
+        F.min("price_dec").cast("decimal(18,2)").alias("min_dec"),
+        F.max("price_dec").cast("decimal(18,2)").alias("max_dec"),
+        F.sum((F.col("price_dec") * 100).cast("long")).cast("long").alias("total_cents"),
+        (
+            F.sum("price_dec").cast("decimal(28,2)") * 100
+            == F.sum((F.col("price_dec") * 100).cast("long")).cast("decimal(28,0)")
+        ).alias("decimal_exactness_holds"),
+    )

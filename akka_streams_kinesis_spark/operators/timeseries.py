@@ -1016,3 +1016,75 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_sliding_distinct_users — trailing-window DISTINCT via contribution
+# ---------------------------------------------------------------------------
+
+_SDW_DAYS = 7  # trailing window length in days
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    ), expanded AS (
+        SELECT d.day AS day, du.user_id, du.day AS origin_day
+        FROM du JOIN days d
+          ON d.day >= du.day
+         AND d.day < du.day + INTERVAL {_SDW_DAYS} DAY
+    )
+    SELECT day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS trailing_{_SDW_DAYS}d_users,
+           CAST(COUNT(DISTINCT CASE WHEN day = origin_day THEN user_id END)
+                AS BIGINT) AS dau
+    FROM expanded
+    GROUP BY day
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{_SDW_DAYS}-day DISTINCT active users per day (plus same-day
+    DAU) — the rolling reach metric behind every WAU panel. COUNT(DISTINCT)
+    over a RANGE window frame is not supported by Spark (or any engine,
+    efficiently), so the engine uses the contribution-expansion identity:
+    collapse to distinct (day, user) pairs FIRST (one hash-agg — after it,
+    each user contributes at most once per day), explode each pair into
+    the ≤ {_SDW_DAYS} later days it keeps the user 'active' for, semi-join
+    to days that actually exist, and count distinct per target day. DAU
+    rides the SAME expansion (the contribution whose target day equals its
+    origin day), so both metrics share one distinct-aggregate pipeline —
+    no second pass, no join of two aggregates.
+
+    Scale shape: the expensive dedup runs BEFORE the {_SDW_DAYS}× fan-out,
+    so the expanded shuffle carries {_SDW_DAYS}×|user-days| rows (user-days
+    ≪ events), not {_SDW_DAYS}×|events|; the day list is a broadcast
+    dimension. The window length is a bounded multiplier, exactly like the
+    sliding-window expansion in events_sliding_windows. All-integer; no
+    approximate sketch — this is the exact twin of a per-day HLL union."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("origin_day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("origin_day").alias("day")).distinct()
+    expanded = du.select(
+        F.explode(
+            F.expr(f"sequence(origin_day, date_add(origin_day, {_SDW_DAYS - 1}))")
+        ).alias("day"),
+        "user_id",
+        "origin_day",
+    ).join(F.broadcast(days), "day", "left_semi")
+    return expanded.groupBy("day").agg(
+        F.countDistinct("user_id")
+        .cast("long")
+        .alias(f"trailing_{_SDW_DAYS}d_users"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("origin_day"), F.col("user_id"))
+        )
+        .cast("long")
+        .alias("dau"),
+    )

@@ -270,6 +270,8 @@ HEADLINE = [
     "curation_source_overlap_matrix",
     "maintenance_incremental_view_refresh",
     "behavior_ab_test_lift",
+    "events_sliding_distinct_users",
+    "scalar_decimal_money_arithmetic",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -132,6 +132,9 @@ SF1_CANARY = [
     # round-6 wave 9
     "maintenance_incremental_view_refresh",  # physical snapshot write + delta merge
     "behavior_ab_test_lift",             # event-log collapse to per-user rows
+    # round-6 wave 10
+    "events_sliding_distinct_users",     # 7x user-day contribution explode
+    "scalar_decimal_money_arithmetic",   # 128-bit decimal accumulators
 ]
 
 # Oracle-infeasible at sf1: a query lands here when its deliberately-
