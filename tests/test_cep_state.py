@@ -1,0 +1,109 @@
+"""Unit tests for the streaming CEP state function (_update_cep,
+streaming/stateful.py) with a fake GroupState: pins the two properties the
+end-to-end oracle gate cannot isolate —
+
+1. cross-batch folding: a session whose events arrive split across two
+   micro-batches (in arbitrary arrival order) produces the same final
+   totals as single-batch arrival, because the state replays the full
+   accumulated history each batch;
+2. session semantics: the 30-minute gap splits sessions, the pattern
+   counts non-overlapping v[ce]*p runs per session, and counts are
+   monotone across batches (the property the drain's max-struct pick
+   relies on).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from akka_streams_kinesis_spark.streaming.stateful import _CEP_GAP_US, _update_cep
+
+
+class FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _batch(rows):
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime([r[0] for r in rows], unit="us"),
+            "event_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+        }
+    )
+
+
+MIN_US = 60 * 1_000_000
+
+# one user's history: session A = view,click,purchase (one match),
+# session B (> 30 min later) = view,error,view,purchase (one match,
+# non-overlapping leftmost: v e v p -> 'vevp' matches 'v[ce]*p' once)
+EVENTS = [
+    (0 * MIN_US, 1, "view"),
+    (1 * MIN_US, 2, "click"),
+    (2 * MIN_US, 3, "purchase"),
+    (2 * MIN_US + _CEP_GAP_US + 1, 4, "view"),
+    (2 * MIN_US + _CEP_GAP_US + 1 + MIN_US, 5, "error"),
+    (2 * MIN_US + _CEP_GAP_US + 1 + 2 * MIN_US, 6, "view"),
+    (2 * MIN_US + _CEP_GAP_US + 1 + 3 * MIN_US, 7, "purchase"),
+]
+
+
+def _run(batches):
+    state = FakeState()
+    outs = []
+    for b in batches:
+        outs.append(next(_update_cep((42,), iter([b]), state)))
+    return outs
+
+
+def test_single_batch_totals():
+    (out,) = _run([_batch(EVENTS)])
+    assert out["user_id"][0] == 42
+    assert out["n_events"][0] == 7
+    assert out["n_sessions"][0] == 2
+    assert out["n_converted_sessions"][0] == 2
+    assert out["n_matches"][0] == 2
+
+
+def test_cross_batch_fold_equals_single_batch_even_out_of_order():
+    # session A's purchase and session B's opener arrive in batch 2,
+    # BEFORE session A's earlier click (arrival order != event order)
+    b1 = _batch([EVENTS[0], EVENTS[4], EVENTS[6]])
+    b2 = _batch([EVENTS[2], EVENTS[3], EVENTS[1], EVENTS[5]])
+    out1, out2 = _run([b1, b2])
+    # monotone growth across batches
+    assert out1["n_events"][0] == 3
+    assert out2["n_events"][0] == 7
+    assert out1["n_matches"][0] <= out2["n_matches"][0]
+    # final state identical to single-batch arrival
+    (ref,) = _run([_batch(EVENTS)])
+    for col in ("n_events", "n_sessions", "n_converted_sessions", "n_matches"):
+        assert out2[col][0] == ref[col][0], col
+
+
+def test_overlap_rule_nonoverlapping_leftmost():
+    # 'vpvp' = two matches; 'vvp' = ONE match (leftmost v consumed greedily
+    # ... v[ce]*p cannot span the middle v, so the match starts at the
+    # second v — still one non-overlapping match)
+    rows = [
+        (0 * MIN_US, 1, "view"),
+        (1 * MIN_US, 2, "purchase"),
+        (2 * MIN_US, 3, "view"),
+        (3 * MIN_US, 4, "purchase"),
+    ]
+    (out,) = _run([_batch(rows)])
+    assert out["n_sessions"][0] == 1
+    assert out["n_matches"][0] == 2
