@@ -24,7 +24,7 @@ import uuid
 from datetime import datetime, timezone
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import div_round4
 from ..io import table
@@ -1279,5 +1279,78 @@ def stream_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fin.n_sessions").alias("n_sessions"),
             F.col("fin.n_converted_sessions").alias("n_converted_sessions"),
             F.col("fin.n_matches").alias("n_matches"),
+        )
+    )
+
+
+@query(
+    "source_shard_occupancy_report",
+    oracle="""
+    WITH placed AS (
+        SELECT CASE WHEN SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+                    THEN 'shardId-000000000001'
+                    ELSE 'shardId-000000000000' END AS shard_id,
+               user_id
+        FROM events
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT)                 AS n_records,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS n_keys,
+           CAST((10000 * COUNT(*)) // (SELECT COUNT(*) FROM events) AS BIGINT)
+               AS share4,
+           TRUE AS sequences_contiguous,
+           TRUE AS keys_disjoint_across_shards
+    FROM placed
+    GROUP BY shard_id
+    """,
+)
+def source_shard_occupancy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard occupancy / placement-balance report over the PHYSICAL stream —
+    the ops dashboard behind every Kinesis deployment (hot-shard detection
+    is what triggers a split, KinesisSource.scala's reshard handling is
+    the consumer half of that loop). The engine reads the stream's own
+    shard files and reports, per shard: record count, distinct partition
+    keys, traffic share, and two AUDITED invariants of the data model —
+    per-shard sequence contiguity (max−min+1 == n, the monotonic
+    PutRecords contract) and key-placement disjointness (Σ per-shard
+    distinct keys == global distinct keys, i.e. md5 ranges never send one
+    key to two shards). The oracle recomputes occupancy INDEPENDENTLY
+    from the source table via the same Kinesis placement rule (md5's top
+    hex digit decides the half-range on a 2-shard even split) and pins
+    the invariants as literal TRUE — a placement bug, a lost record, or a
+    broken sequence assignment each breaks the hash.
+
+    Scale shape: one scan of the shard files (partition-pruned Hive
+    layout), a 2-row aggregate, a broadcast total; the disjointness check
+    is a window over the |shards|-row aggregate, not a second scan."""
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    files = spark.read.parquet(stream.data_dir)
+    total = files.agg(F.count("*").alias("_total"))
+    per = files.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.countDistinct("partition_key").cast("long").alias("n_keys"),
+        (
+            F.max("sequence_number") - F.min("sequence_number") + 1
+            == F.count("*")
+        ).alias("sequences_contiguous"),
+    )
+    global_keys = files.agg(
+        F.countDistinct("partition_key").alias("_gkeys")
+    )
+    wall = Window.partitionBy()
+    return (
+        per.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(global_keys))
+        .select(
+            F.col("shard_id").cast("string").alias("shard_id"),
+            "n_records",
+            "n_keys",
+            F.expr("CAST((10000 * n_records) DIV _total AS BIGINT)").alias(
+                "share4"
+            ),
+            "sequences_contiguous",
+            (F.sum("n_keys").over(wall) == F.col("_gkeys")).alias(
+                "keys_disjoint_across_shards"
+            ),
         )
     )

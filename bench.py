@@ -272,6 +272,7 @@ HEADLINE = [
     "behavior_ab_test_lift",
     "events_sliding_distinct_users",
     "scalar_decimal_money_arithmetic",
+    "source_shard_occupancy_report",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -135,6 +135,8 @@ SF1_CANARY = [
     # round-6 wave 10
     "events_sliding_distinct_users",     # 7x user-day contribution explode
     "scalar_decimal_money_arithmetic",   # 128-bit decimal accumulators
+    # round-6 wave 11
+    "source_shard_occupancy_report",     # physical shard-file scan + invariant audit
 ]
 
 # Oracle-infeasible at sf1: a query lands here when its deliberately-
