@@ -77,3 +77,35 @@ def div_round4(num: Column, den: Column) -> Column:
 
 # DuckDB twin of div_round4 (format with num=..., den=...)
 DIV_ROUND4_DUCK = "FLOOR(({num}) * 10000.0 / ({den}) + 0.5) / 10000.0"
+
+
+def money_cents(col: Column) -> Column:
+    """DOUBLE money → exact integer cents via ``FLOOR(x*100 + 0.5)`` —
+    pure IEEE double ops, bit-identical in every engine/version. The
+    double→DECIMAL(18,2) cast this replaces is *engine-defined* at the
+    half-cent boundary (DuckDB switched truncate→round across versions;
+    Spark is HALF_UP), which made `scalar_decimal_money_arithmetic` pass
+    locally and fail on the driver's DuckDB. Never let a double→DECIMAL
+    cast carry semantics; derive cents here, do all arithmetic in BIGINT
+    cents, and only render DECIMAL via cents_to_decimal."""
+    return F.floor(col * 100.0 + 0.5).cast("long")
+
+
+# DuckDB twin of money_cents (format with col=...)
+MONEY_CENTS_DUCK = "CAST(FLOOR(({col}) * 100 + 0.5) AS BIGINT)"
+
+
+def cents_to_decimal(cents: Column, precision: int = 18) -> Column:
+    """Exact BIGINT cents → DECIMAL(precision, 2). Uses decimal×decimal
+    multiplication by the exact constant 0.01 (never division, never a
+    double hop): decimal(28,0) * decimal(3,2) is exact in both engines,
+    and the final cast only narrows precision of an exactly-representable
+    scale-2 value, so no rounding mode is ever consulted."""
+    scaled = cents.cast("decimal(28,0)") * F.lit("0.01").cast("decimal(3,2)")
+    return scaled.cast(f"decimal({precision},2)")
+
+
+# DuckDB twin of cents_to_decimal (format with cents=..., p=precision)
+CENTS_TO_DECIMAL_DUCK = (
+    "CAST(CAST(({cents}) AS DECIMAL(28,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL({p},2))"
+)

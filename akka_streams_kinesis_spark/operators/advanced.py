@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from ..functions import MONEY_CENTS_DUCK, money_cents
 from ..io import fanout, table
 from ..registry import query
 from .similarity import cosine_sim
@@ -538,11 +539,11 @@ _SKEW_SALTS = 8
 
 @query(
     "join_salted_skew_join",
-    oracle="""
+    oracle=f"""
     SELECT p.p_type,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS revenue
+           CAST(SUM({MONEY_CENTS_DUCK.format(col="l_extendedprice")}) AS DOUBLE)
+               / 100.0 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_type
     """,
@@ -557,15 +558,17 @@ def join_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the property that makes salting safe to deploy. This is what
     AQE's skew-join split does adaptively; the explicit form is the fix
     when skew is known ahead of time (a boilerplate part, a bot user) or
-    AQE's per-partition thresholds miss it. Revenue sums ride a DECIMAL
-    so the salted reduction order cannot perturb the hash.
+    AQE's per-partition thresholds miss it. Revenue sums ride exact
+    integer cents (money_cents — never a double→DECIMAL cast, whose
+    half-cent behavior is engine-version-defined) so the salted reduction
+    order cannot perturb the hash.
 
     Scale: the replicated dim is |part| × 8 rows of two columns — still a
     shuffle (or broadcast) of the SMALL side; the fact side's shuffle is
     the same size as unsalted, just spread over 8× the key space."""
     l = table(spark, sf_dir, "lineitem").select(
         "l_partkey",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        money_cents(F.col("l_extendedprice")).alias("cents"),
         (F.crc32(F.col("l_orderkey").cast("string")) % _SKEW_SALTS)
         .cast("int")
         .alias("salt"),
@@ -581,7 +584,7 @@ def join_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("p_type").agg(
         F.count("*").alias("n_lines"),
-        F.sum("price").cast("double").alias("revenue"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias("revenue"),
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import CENTS_TO_DECIMAL_DUCK, MONEY_CENTS_DUCK, cents_to_decimal, money_cents
 from ..io import table
 from ..registry import query
 
@@ -165,10 +166,12 @@ def asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_feature_snapshot",
-    oracle="""
+    oracle=f"""
     WITH labeled AS (
         SELECT event_id, user_id, ts,
-               CAST(value AS DECIMAL(18,2)) AS label_value
+               {CENTS_TO_DECIMAL_DUCK.format(
+                   cents=MONEY_CENTS_DUCK.format(col="value"), p=18)}
+                   AS label_value
         FROM events WHERE event_type = 'purchase'
     )
     SELECT l.event_id, l.user_id,
@@ -177,7 +180,8 @@ def asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE e.user_id = l.user_id
                AND (e.ts < l.ts OR (e.ts = l.ts AND e.event_id < l.event_id)))
                AS f_n_prior_events,
-           (SELECT CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+           (SELECT CAST(COALESCE(SUM({MONEY_CENTS_DUCK.format(col="e.value")}), 0)
+                        AS DOUBLE) / 100.0
               FROM events e
              WHERE e.user_id = l.user_id AND e.event_type = 'purchase'
                AND (e.ts < l.ts OR (e.ts = l.ts AND e.event_id < l.event_id)))
@@ -211,19 +215,20 @@ def asof_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    dec = F.col("value").cast("decimal(18,2)")
+    cents = money_cents(F.col("value"))
     snap = e.select(
         "event_id",
         "user_id",
         "event_type",
-        dec.alias("label_value"),
+        cents_to_decimal(cents, 18).alias("label_value"),
         F.count("*").over(w).alias("f_n_prior_events"),
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", dec)).over(w),
-            F.lit(0).cast("decimal(18,2)"),
-        )
-        .cast("double")
-        .alias("f_prior_spend"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)).over(w),
+                F.lit(0).cast("long"),
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("f_prior_spend"),
         F.sum(
             F.when(F.col("event_type") == "click", 1).otherwise(0)
         )

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import div_round4
+from ..functions import DIV_ROUND4_DUCK, MONEY_CENTS_DUCK, div_round4, money_cents
 from ..io import table
 from ..registry import query
 
@@ -232,23 +232,23 @@ def behavior_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "behavior_spend_pareto",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
         SELECT user_id,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-                   AS spend
+               SUM({MONEY_CENTS_DUCK.format(col="value")}) AS spend_cents
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
     ), ranked AS (
-        SELECT spend,
-               NTILE(10) OVER (ORDER BY spend DESC, user_id) AS decile
+        SELECT spend_cents,
+               NTILE(10) OVER (ORDER BY spend_cents DESC, user_id) AS decile
         FROM per_user
     )
     SELECT decile,
            COUNT(*) AS n_users,
-           CAST(SUM(spend) AS DOUBLE) AS decile_spend,
-           ROUND(SUM(SUM(spend)) OVER (ORDER BY decile)
-                 / SUM(SUM(spend)) OVER (), 4) AS cum_share
+           CAST(SUM(spend_cents) AS DOUBLE) / 100.0 AS decile_spend,
+           {DIV_ROUND4_DUCK.format(
+               num="SUM(SUM(spend_cents)) OVER (ORDER BY decile)",
+               den="SUM(SUM(spend_cents)) OVER ()")} AS cum_share
     FROM ranked
     GROUP BY decile
     """,
@@ -257,8 +257,10 @@ def behavior_spend_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/Lorenz concentration of purchase value: users ranked by
     total spend, cut into deciles, with each decile's spend and the
     cumulative share — the "top 10% of users drive X% of revenue"
-    number. Spend sums ride DECIMAL end to end, so the ranking and the
-    shares are exact and engine-identical.
+    number. Spend rides exact BIGINT cents end to end (money_cents — a
+    double→DECIMAL cast is engine-version-defined at the half-cent), so
+    the ranking and the shares are exact and engine-identical; the share
+    rounds through the div_round4 IEEE idiom.
 
     Plan: the ONLY per-event work is the per-user aggregate (map-side
     partials on a high-cardinality key); the NTILE window then sorts the
@@ -268,25 +270,22 @@ def behavior_spend_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     per_user = e.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("spend")
+        F.sum(money_cents(F.col("value"))).alias("spend_cents")
     )
-    w = Window.orderBy(F.col("spend").desc(), "user_id")
+    w = Window.orderBy(F.col("spend_cents").desc(), "user_id")
     ranked = per_user.withColumn("decile", F.ntile(10).over(w))
     deciles = ranked.groupBy("decile").agg(
         F.count("*").alias("n_users"),
-        F.sum("spend").alias("dec_spend"),
+        F.sum("spend_cents").alias("dec_cents"),
     )
     wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     return deciles.select(
         "decile",
         "n_users",
-        F.col("dec_spend").cast("double").alias("decile_spend"),
-        F.round(
-            (F.sum("dec_spend").over(wcum) / F.sum("dec_spend").over(wall)).cast(
-                "double"
-            ),
-            4,
+        (F.col("dec_cents").cast("double") / F.lit(100.0)).alias("decile_spend"),
+        div_round4(
+            F.sum("dec_cents").over(wcum), F.sum("dec_cents").over(wall)
         ).alias("cum_share"),
     )
 

@@ -27,6 +27,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import MONEY_CENTS_DUCK, money_cents
 from ..io import table
 from ..registry import query
 
@@ -241,12 +242,12 @@ _RT_SCHEMA = (
 
 @query(
     "scan_formats_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT f.fmt,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT o_orderkey) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS total_price,
+           CAST(SUM({MONEY_CENTS_DUCK.format(col="o_totalprice")}) AS DOUBLE)
+               / 100.0 AS total_price,
            MAX(o_orderdate) AS max_date
     FROM orders
     CROSS JOIN (VALUES ('parquet'), ('csv'), ('json'), ('orc')) AS f(fmt)
@@ -294,9 +295,10 @@ def scan_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.agg(
                 F.count("*").alias("n_rows"),
                 F.countDistinct("o_orderkey").alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("total_price"),
+                (
+                    F.sum(money_cents(F.col("o_totalprice"))).cast("double")
+                    / F.lit(100.0)
+                ).alias("total_price"),
                 F.max("o_orderdate").alias("max_date"),
             ).select(F.lit(fmt).alias("fmt"), "*")
         )

@@ -29,6 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import MONEY_CENTS_DUCK, money_cents
 from ..io import table
 from ..registry import query
 
@@ -248,7 +249,7 @@ _ATTR_HORIZON_S = 259200  # 3 days
         FROM events
     ), purchases AS (
         SELECT CAST(ts AS DATE) AS day,
-               CAST(value AS DECIMAL(18,2)) AS value,
+               {MONEY_CENTS_DUCK.format(col="value")} AS cents,
                (last_click_ts IS NOT NULL
                 AND epoch_us(ts) - epoch_us(last_click_ts)
                     <= CAST({_ATTR_HORIZON_S} AS BIGINT) * 1000000)
@@ -260,10 +261,10 @@ _ATTR_HORIZON_S = 259200  # 3 days
            COUNT(*) AS n_purchases,
            CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
                AS n_attributed,
-           CAST(SUM(CASE WHEN attributed THEN value ELSE 0 END) AS DOUBLE)
-               AS attributed_value,
-           CAST(SUM(CASE WHEN NOT attributed THEN value ELSE 0 END) AS DOUBLE)
-               AS organic_value,
+           CAST(SUM(CASE WHEN attributed THEN cents ELSE 0 END) AS DOUBLE)
+               / 100.0 AS attributed_value,
+           CAST(SUM(CASE WHEN NOT attributed THEN cents ELSE 0 END) AS DOUBLE)
+               / 100.0 AS organic_value,
            ROUND(AVG(CASE WHEN attributed THEN latency_us END) / 1000000, 4)
                AS avg_latency_s
     FROM purchases
@@ -303,9 +304,10 @@ def behavior_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
     latency = F.unix_micros("ts") - F.unix_micros("last_click_ts")
     purchases = tagged.filter(F.col("event_type") == "purchase").select(
         F.to_date("ts").alias("day"),
-        # decimal sum: exact, order-independent — no float-accumulation
-        # drift between Spark's partial aggregates and the oracle
-        F.col("value").cast("decimal(18,2)").alias("value"),
+        # integer-cents sum: exact, order-independent — no float drift
+        # between Spark's partial aggregates and the oracle, and no
+        # engine-version-defined double→DECIMAL cast (money_cents)
+        money_cents(F.col("value")).alias("cents"),
         (
             F.col("last_click_ts").isNotNull()
             & (latency <= _ATTR_HORIZON_S * 1_000_000)
@@ -315,20 +317,18 @@ def behavior_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
     return purchases.groupBy("day").agg(
         F.count("*").alias("n_purchases"),
         F.sum(F.col("attributed").cast("long")).alias("n_attributed"),
-        F.sum(
-            F.when(F.col("attributed"), F.col("value")).otherwise(
-                F.lit(0).cast("decimal(18,2)")
-            )
-        )
-        .cast("double")
-        .alias("attributed_value"),
-        F.sum(
-            F.when(~F.col("attributed"), F.col("value")).otherwise(
-                F.lit(0).cast("decimal(18,2)")
-            )
-        )
-        .cast("double")
-        .alias("organic_value"),
+        (
+            F.sum(
+                F.when(F.col("attributed"), F.col("cents")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("attributed_value"),
+        (
+            F.sum(
+                F.when(~F.col("attributed"), F.col("cents")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("organic_value"),
         F.round(
             F.avg(F.when(F.col("attributed"), F.col("latency_us"))) / 1_000_000,
             4,

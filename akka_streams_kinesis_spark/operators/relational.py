@@ -24,6 +24,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import (
+    CENTS_TO_DECIMAL_DUCK,
+    MONEY_CENTS_DUCK,
+    cents_to_decimal,
+    money_cents,
+)
 from ..io import table
 from ..registry import query
 
@@ -934,21 +940,20 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_decimal_money_arithmetic",
-    oracle="""
+    oracle=f"""
     WITH money AS (
         SELECT o_orderpriority,
-               CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(18, 2))
-                   AS price_dec
+               {MONEY_CENTS_DUCK.format(col="o_totalprice")} AS cents
         FROM orders
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT)                    AS n,
-           CAST(SUM(price_dec) AS DECIMAL(28, 2))      AS total_dec,
-           CAST(MIN(price_dec) AS DECIMAL(18, 2))      AS min_dec,
-           CAST(MAX(price_dec) AS DECIMAL(18, 2))      AS max_dec,
-           CAST(SUM(CAST(price_dec * 100 AS BIGINT)) AS BIGINT) AS total_cents,
-           (CAST(SUM(price_dec) AS DECIMAL(28, 2)) * 100
-              = CAST(SUM(CAST(price_dec * 100 AS BIGINT)) AS DECIMAL(28, 0)))
+           {CENTS_TO_DECIMAL_DUCK.format(cents="SUM(cents)", p=28)} AS total_dec,
+           {CENTS_TO_DECIMAL_DUCK.format(cents="MIN(cents)", p=18)} AS min_dec,
+           {CENTS_TO_DECIMAL_DUCK.format(cents="MAX(cents)", p=18)} AS max_dec,
+           CAST(SUM(cents) AS BIGINT)                  AS total_cents,
+           ({CENTS_TO_DECIMAL_DUCK.format(cents="SUM(cents)", p=28)} * 100
+              = CAST(SUM(cents) AS DECIMAL(28, 0)))
                AS decimal_exactness_holds
     FROM money
     GROUP BY o_orderpriority
@@ -957,32 +962,36 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_decimal_money_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL money arithmetic — the fixed-point semantics every
     financial aggregate actually requires (doubles drift with aggregation
-    order; every other money column in this repo routes through the FLOOR
-    cents idiom for that reason). Prices are cast to DECIMAL(18,2) at the
-    scan; SUM/MIN/MAX run in exact decimal; and the query SELF-AUDITS by
-    also summing integer cents and emitting a boolean proving
-    SUM(decimal)×100 == SUM(cents) — the exactness property that silently
-    fails under double arithmetic and provably holds under decimal, in
-    both engines, regardless of partition order.
+    order). Cents are derived ONCE from the parquet DOUBLE with the FLOOR
+    idiom (`money_cents`: pure IEEE ops, bit-identical across engines and
+    versions — a double→DECIMAL cast is engine-defined at the half-cent
+    boundary and actually diverged between DuckDB versions, the repo's one
+    driver-red row in six rounds). All aggregation runs in BIGINT cents;
+    DECIMAL columns are *rendered* from cents via exact decimal
+    multiplication (`cents_to_decimal`), never computed in decimal. The
+    query SELF-AUDITS with a boolean proving SUM-as-decimal×100 ==
+    SUM(cents) in both engines, regardless of partition order.
 
-    Scale shape: one partial+final hash aggregate; Spark's decimal sums
-    use 128-bit accumulators in Tungsten (UnsafeRow fixed-width up to
-    precision 38) — exactness costs no extra shuffle and no UDF. Explicit
-    result-precision CASTs pin the cross-engine schema (Spark and DuckDB
-    widen decimal sums differently: +10 digits vs +6)."""
+    Scale shape: one partial+final hash aggregate over int64 — exactness
+    costs no extra shuffle, no UDF, and no 128-bit decimal accumulator.
+    Explicit result-precision CASTs pin the cross-engine schema.
+
+    Reference semantics preserved: exact integer accumulation, the analog
+    of the reference's integer sequence-number ordering discipline
+    (KinesisSource.scala:59-63)."""
     o = table(spark, sf_dir, "orders")
     money = o.select(
         "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        money_cents(F.col("o_totalprice")).alias("cents"),
     )
     return money.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("price_dec").cast("decimal(28,2)").alias("total_dec"),
-        F.min("price_dec").cast("decimal(18,2)").alias("min_dec"),
-        F.max("price_dec").cast("decimal(18,2)").alias("max_dec"),
-        F.sum((F.col("price_dec") * 100).cast("long")).cast("long").alias("total_cents"),
+        cents_to_decimal(F.sum("cents"), 28).alias("total_dec"),
+        cents_to_decimal(F.min("cents"), 18).alias("min_dec"),
+        cents_to_decimal(F.max("cents"), 18).alias("max_dec"),
+        F.sum("cents").cast("long").alias("total_cents"),
         (
-            F.sum("price_dec").cast("decimal(28,2)") * 100
-            == F.sum((F.col("price_dec") * 100).cast("long")).cast("decimal(28,0)")
+            cents_to_decimal(F.sum("cents"), 28) * 100
+            == F.sum("cents").cast("decimal(28,0)")
         ).alias("decimal_exactness_holds"),
     )
