@@ -1251,10 +1251,12 @@ def stream_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows.py), and the fourth custom stateful operator (after running
     totals, streaming HLL, streaming Misra-Gries). Each micro-batch folds
     the user's new events into checkpointed state and emits refreshed
-    totals; per-user counts are monotone so the final state per user is
-    max(struct), and it must equal the batch sessionize+regex aggregate —
-    exactly what the oracle checks end to end through the encode → shard
-    → stream-read → decode pipe.
+    totals; only n_events is strictly monotone per emit (session/match
+    counts can dip when a late event merges sessions), so the final state
+    per user is selected explicitly by max_by(struct, n_events), and it
+    must equal the batch sessionize+regex aggregate — exactly what the
+    oracle checks end to end through the encode → shard → stream-read →
+    decode pipe.
 
     State/scale: see streaming_session_cep (streaming/stateful.py) — the
     drain variant keeps per-user history because backfill file order is
@@ -1267,8 +1269,12 @@ def stream_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = decode_json_payload(records, _EVENT_SCHEMA)
     running = streaming_session_cep(events)
     updates = _run_available_now(running, spark, mode="update")
-    fin = F.max(
-        F.struct("n_events", "n_sessions", "n_converted_sessions", "n_matches")
+    # final row per user = the one with the most folded events (strictly
+    # monotone per emit) — NOT max over count columns, which can dip when
+    # a late event merges two sessions
+    fin = F.max_by(
+        F.struct("n_events", "n_sessions", "n_converted_sessions", "n_matches"),
+        F.col("n_events"),
     ).alias("fin")
     return (
         updates.groupBy("user_id")

@@ -211,9 +211,43 @@ _CEP_OUTPUT_SCHEMA = (
     "user_id long, n_events long, n_sessions long, "
     "n_converted_sessions long, n_matches long"
 )
-_CEP_STATE_SCHEMA = "ts_us array<long>, event_id array<long>, sym array<string>"
+# full per-user history (arrival order; re-sorted only on the repair path)
+# plus the memoized fold cursor over the sorted prefix processed so far:
+# counts of CLOSED sessions, the OPEN session's symbol string, and the
+# (ts, event_id) sort key of the last folded event.
+_CEP_STATE_SCHEMA = (
+    "ts_us array<long>, event_id array<long>, sym array<string>, "
+    "n_closed long, n_closed_conv long, n_closed_matches long, "
+    "open_syms string, last_ts long, last_eid long"
+)
 _CEP_GAP_US = 1800 * 1000 * 1000  # 30-minute session gap, integer µs
 _CEP_PATTERN = "v[ce]*p"  # view → (clicks/errors)* → purchase
+# compiled ONCE per worker interpreter — the round-6 version recompiled
+# (and re-scanned the full history) every micro-batch
+import re as _re_mod  # noqa: E402
+
+_CEP_RE = _re_mod.compile(_CEP_PATTERN)
+
+
+def _cep_fold(ts_sorted, sym_sorted, n_closed, n_conv, n_matches, open_syms, last_ts):
+    """Fold events (already in (ts, event_id) order, all at-or-after the
+    cursor) into the session state machine. Returns the updated cursor.
+    Sessions close on a >30-min gap; the closing findall counts
+    non-overlapping leftmost matches over the complete session string —
+    identical semantics to the batch events_pattern_match_sequence."""
+    parts = [open_syms] if open_syms else []
+    for t, s in zip(ts_sorted, sym_sorted):
+        if last_ts is not None and t - last_ts > _CEP_GAP_US:
+            session = "".join(parts)
+            if session:
+                m = len(_CEP_RE.findall(session))
+                n_closed += 1
+                n_matches += m
+                n_conv += 1 if m else 0
+            parts = []
+        parts.append(s)
+        last_ts = t
+    return n_closed, n_conv, n_matches, "".join(parts), last_ts
 
 
 def _update_cep(
@@ -221,51 +255,78 @@ def _update_cep(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    import re as _re
-
     if state.exists:
-        ts_us, eid, sym = (list(c) for c in state.get)
+        st = state.get
+        ts_us, eid, sym = list(st[0]), list(st[1]), list(st[2])
+        n_closed, n_conv, n_matches = st[3], st[4], st[5]
+        open_syms = st[6]
+        last_ts = None if st[7] is None or st[7] < 0 else int(st[7])
+        last_eid = None if st[8] is None or st[8] < 0 else int(st[8])
     else:
         ts_us, eid, sym = [], [], []
+        n_closed = n_conv = n_matches = 0
+        open_syms, last_ts, last_eid = "", None, None
+
+    new_ts: list[int] = []
+    new_eid: list[int] = []
+    new_sym: list[str] = []
     for pdf in pdfs:
         # datetime64[ns] → integer microseconds (exact; matches EPOCH_US)
-        ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
-        eid.extend(pdf["event_id"].astype("int64").tolist())
-        sym.extend(pdf["event_type"].str[:1].tolist())
-    state.update((ts_us, eid, sym))
+        new_ts.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        new_eid.extend(pdf["event_id"].astype("int64").tolist())
+        new_sym.extend(pdf["event_type"].str[:1].tolist())
 
-    # replay the accumulated per-user history: sessionize on the 30-min
-    # gap in (ts, event_id) order, then count non-overlapping pattern
-    # matches per session — identical semantics to the batch operator
-    # events_pattern_match_sequence (windows.py)
-    order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], eid[i]))
-    pat = _re.compile(_CEP_PATTERN)
-    n_sessions = n_conv = n_matches = 0
-    buf: list[str] = []
-    prev = None
+    batch = sorted(zip(new_ts, new_eid, new_sym))
+    ts_us.extend(new_ts)
+    eid.extend(new_eid)
+    sym.extend(new_sym)
 
-    def _close() -> None:
-        nonlocal n_sessions, n_conv, n_matches
-        if buf:
-            n_sessions += 1
-            m = len(pat.findall("".join(buf)))
-            n_matches += m
-            n_conv += 1 if m else 0
+    if batch and last_ts is not None and (batch[0][0], batch[0][1]) <= (last_ts, last_eid):
+        # REPAIR: a late event sorts before the fold cursor (it may merge
+        # two already-counted sessions or break a match) — re-sort and
+        # replay the full history. Arbitrary lateness is this drain's
+        # contract (backfill file order ≠ event-time order), so no prefix
+        # is ever permanently safe; the memoized cursor is an optimism
+        # that this path repairs.
+        order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], eid[i]))
+        n_closed, n_conv, n_matches, open_syms, last_ts = _cep_fold(
+            [ts_us[i] for i in order],
+            [sym[i] for i in order],
+            0, 0, 0, "", None,
+        )
+        last_eid = max(
+            (eid[i] for i in order if ts_us[i] == last_ts), default=None
+        )
+    elif batch:
+        # FAST PATH: every new event sorts after the cursor — fold only
+        # the new suffix, O(|batch| log |batch|) + the open-session scan,
+        # instead of the round-6 full-history re-sort + re-findall.
+        n_closed, n_conv, n_matches, open_syms, last_ts = _cep_fold(
+            [b[0] for b in batch], [b[2] for b in batch],
+            n_closed, n_conv, n_matches, open_syms, last_ts,
+        )
+        last_eid = max(b[1] for b in batch if b[0] == last_ts)
 
-    for i in order:
-        if prev is not None and ts_us[i] - prev > _CEP_GAP_US:
-            _close()
-            buf = []
-        buf.append(sym[i])
-        prev = ts_us[i]
-    _close()
+    state.update(
+        (
+            ts_us, eid, sym,
+            n_closed, n_conv, n_matches,
+            open_syms,
+            -1 if last_ts is None else last_ts,
+            -1 if last_eid is None else last_eid,
+        )
+    )
+
+    # emission folds the OPEN session in without closing it
+    m_open = len(_CEP_RE.findall(open_syms)) if open_syms else 0
+    has_open = 1 if open_syms else 0
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [len(ts_us)],
-            "n_sessions": [n_sessions],
-            "n_converted_sessions": [n_conv],
-            "n_matches": [n_matches],
+            "n_sessions": [n_closed + has_open],
+            "n_converted_sessions": [n_conv + (1 if m_open else 0)],
+            "n_matches": [n_matches + m_open],
         }
     )
 
@@ -276,8 +337,19 @@ def streaming_session_cep(events: DataFrame) -> DataFrame:
     streaming twin of the batch compile-to-regex MATCH_RECOGNIZE
     (events_pattern_match_sequence). Each micro-batch folds new events
     into the user's history and emits refreshed per-user totals
-    (sessions, converted sessions, pattern matches); counts are monotone,
-    so the caller's final-state pick (max struct) is the drained answer.
+    (sessions, converted sessions, pattern matches). Only ``n_events`` is
+    strictly monotone per emit; the session/match counts can DECREASE
+    when a late out-of-order event merges two sessions or breaks a match,
+    so callers must select the final row per user by max ``n_events``
+    (stream_pattern_match_cep uses ``max_by(struct, n_events)``), never
+    by max of a count column.
+
+    Per-batch cost: a memoized fold cursor (closed-session counts + the
+    open session's symbol string + last (ts, event_id)) makes the common
+    in-order batch O(|batch| log |batch|) plus one regex scan of the OPEN
+    session only; a batch containing an event that sorts before the
+    cursor triggers a full re-sort + replay (the repair path), since a
+    late event can restructure already-counted sessions.
 
     State holds the full per-user event history because this entry drains
     a historical backfill whose FILE order is not event-time order — an

@@ -107,3 +107,55 @@ def test_overlap_rule_nonoverlapping_leftmost():
     (out,) = _run([_batch(rows)])
     assert out["n_sessions"][0] == 1
     assert out["n_matches"][0] == 2
+
+
+def test_late_event_merges_sessions_and_counts_decrease():
+    # batch 1: two events > 30 min apart -> 2 sessions; batch 2 delivers a
+    # LATE event between them bridging both gaps -> 1 merged session. The
+    # session count legitimately DECREASES (why callers must pick the
+    # final row by n_events, not max of a count column).
+    a = (0 * MIN_US, 1, "view")
+    late = (20 * MIN_US, 2, "click")
+    b = (40 * MIN_US, 3, "purchase")
+    out1, out2 = _run([_batch([a, b]), _batch([late])])
+    assert out1["n_sessions"][0] == 2
+    assert out2["n_sessions"][0] == 1
+    assert out2["n_matches"][0] == 1  # merged 'vcp' matches once
+    # equals single-batch arrival
+    (ref,) = _run([_batch([a, late, b])])
+    for col in ("n_events", "n_sessions", "n_converted_sessions", "n_matches"):
+        assert out2[col][0] == ref[col][0], col
+
+
+def test_fast_path_incremental_equals_full_replay():
+    # strictly in-order arrival, one event per batch: every batch after
+    # the first takes the incremental fast path; totals must equal the
+    # single-batch replay at every prefix.
+    for k in range(1, len(EVENTS) + 1):
+        outs = _run([_batch([e]) for e in EVENTS[:k]])
+        (ref,) = _run([_batch(EVENTS[:k])])
+        for col in ("n_events", "n_sessions", "n_converted_sessions", "n_matches"):
+            assert outs[-1][col][0] == ref[col][0], (k, col)
+
+
+def test_random_batching_equals_single_batch():
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    t = 0
+    for i in range(60):
+        t += rng.choice([MIN_US, 5 * MIN_US, _CEP_GAP_US + MIN_US])
+        rows.append((t, i + 1, rng.choice(["view", "click", "error", "purchase"])))
+    (ref,) = _run([_batch(rows)])
+    for trial in range(5):
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        cuts = sorted(rng.sample(range(1, len(rows)), 4))
+        batches = [
+            _batch(shuffled[i:j])
+            for i, j in zip([0] + cuts, cuts + [len(rows)])
+        ]
+        outs = _run(batches)
+        for col in ("n_events", "n_sessions", "n_converted_sessions", "n_matches"):
+            assert outs[-1][col][0] == ref[col][0], (trial, col)
