@@ -825,8 +825,13 @@ def behavior_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_rate4"
         ),
     )
-    control = arms.filter(F.col("arm") == "control").select(
-        F.col("conv_rate4").alias("_ctl4")
+    # 1-row aggregate (never 0 rows): if the control arm were empty the
+    # oracle's scalar subquery yields NULL lift while a crossJoin against
+    # an EMPTY control frame would drop both arm rows — max() over the
+    # filtered frame returns the rate or NULL, matching the subquery in
+    # the degenerate case too
+    control = arms.filter(F.col("arm") == "control").agg(
+        F.max("conv_rate4").alias("_ctl4")
     )
     return (
         arms.crossJoin(F.broadcast(control))

@@ -1079,13 +1079,17 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     must dedupe on batchId).
 
     Protocol per micro-batch: (1) if the commit log already contains this
-    batchId, SKIP — the batch is a redelivery; (2) write the batch to a
-    staging dir; (3) atomically rename staging into the table and append
+    batchId, SKIP — the batch is a redelivery; (2) if the landed dir for
+    this batchId already exists WITHOUT a marker, the previous attempt
+    crashed between rename and marker — the rename is the atomic commit
+    point, so backfill the marker and SKIP; (3) write the batch to a
+    staging dir; (4) atomically rename staging into the table and append
     the batchId marker. The query then DELIBERATELY replays a committed
-    batch through the same sink function (simulating the
-    crash-after-write-before-checkpoint window) and the landed table
-    still hash-matches plain SQL over the source — double-apply would
-    double the counts and break the gate end-to-end.
+    batch through the same sink function twice — once normally
+    (simulating crash-after-write-before-checkpoint) and once with the
+    marker removed (simulating crash-between-rename-and-marker) — and
+    the landed table still hash-matches plain SQL over the source —
+    double-apply would double the counts and break the gate end-to-end.
 
     Scale shape: the commit log is one empty marker file per micro-batch
     (catalog-sized); staging-dir rename is the same O(1)-metadata commit
@@ -1107,13 +1111,22 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
         marker = os.path.join(log, f"batch_{batch_id}")
+        landed_dir = os.path.join(out, f"batch_id={batch_id}")
         if os.path.exists(marker):
             return  # redelivered batch: already committed, idempotent skip
+        if os.path.exists(landed_dir):
+            # crash window between rename and marker: the batch IS
+            # committed (the rename is the atomic commit point) but the
+            # marker was never written — backfill it and skip, instead of
+            # re-renaming onto an existing dir (which raises, fail-stop)
+            with open(marker, "w") as f:
+                f.write("committed")
+            return
         staging = os.path.join(base, f"staging_{batch_id}")
         batch.select("event_id", "ts", "event_type", "value").write.mode(
             "overwrite"
         ).parquet(staging)
-        os.rename(staging, os.path.join(out, f"batch_id={batch_id}"))
+        os.rename(staging, landed_dir)
         with open(marker, "w") as f:
             f.write("committed")
 
@@ -1137,6 +1150,12 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp, event_type string, value double"
     ).parquet(os.path.join(out, f"batch_id={replay_id}"))
     _commit(replay_df, replay_id)
+    # and the narrower crash window: rename landed but marker never
+    # written — redelivery must backfill the marker and skip, not retry
+    # the rename onto the existing dir
+    os.remove(os.path.join(log, f"batch_{replay_id}"))
+    _commit(replay_df, replay_id)
+    assert os.path.exists(os.path.join(log, f"batch_{replay_id}"))
     landed = spark.read.schema(
         "event_id long, ts timestamp, event_type string, value double"
     ).parquet(os.path.join(out, "*"))
