@@ -137,6 +137,81 @@ SF1_CANARY = [
     "scalar_decimal_money_arithmetic",   # 128-bit decimal accumulators
     # round-6 wave 11
     "source_shard_occupancy_report",     # physical shard-file scan + invariant audit
+    # --- round-7 widening (verdict ask #4): every remaining flagship-
+    # family member, the 20 slowest bench names outside the canary, and
+    # one heaviest representative per remaining cheap family ---
+    # remaining dedup_* / similarity_* / graph_* / pipeline_*
+    "dedup_incremental_digest",
+    "dedup_method_venn",
+    "dedup_minhash_band_tuning",
+    "dedup_normalized",
+    "dedup_simhash_buckets",
+    "similarity_centroid_drift",
+    "similarity_hyperplane_lsh",
+    "similarity_ivf_cell_balance_report",
+    "similarity_label_centroids",
+    "similarity_paired_retrieval_eval",
+    "graph_degree_distribution",
+    "pipeline_quality_dedup_filter",
+    # slowest bench names not previously covered
+    "curation_importance_weights",
+    "curation_decontaminate_train",
+    "tpch_q21_waiting_suppliers",
+    "text_repetition_filter",
+    "maintenance_table_stats",
+    "subquery_lateral_recent_orders",
+    "tpch_q8_market_share",
+    "tpch_q20_excess_share_suppliers",
+    "source_pyds_ingest_rollup",
+    "egress_writer_throttle_requeue",
+    "quality_expectations_report",
+    "scan_formats_roundtrip",
+    "tpch_q7_volume_shipping",
+    "embedding_matryoshka_truncation_qa",
+    "egress_writer_passthrough",
+    "behavior_cohort_ltv_triangle",
+    "text_langid_confusion",
+    "tpch_q11_important_stock",
+    "tpch_q9_product_profit",
+    "maintenance_manifest_orphans",
+    "egress_writer_dlq_split",
+    "tpch_q2_min_cost_supplier",
+    # per-family heaviest representatives not otherwise covered
+    "agg_collect_sorted_lists",          # per-group collected arrays
+    "agg_regression_value_trend",        # regr_* accumulators
+    "asof_join_tolerance",               # staleness-bounded as-of
+    "behavior_segment_migration_matrix", # month×month self-join
+    "behavior_spend_pareto",             # per-user collapse + NTILE
+    "behavior_growth_accounting",        # day-over-day full-outer
+    "curation_domain_mixture_weights",   # per-source aggregate + renorm
+    "curation_tokenizer_fertility",      # regex token explode
+    "events_transition_matrix",          # lag self-pair aggregation
+    "events_seasonality_profile",        # dow×hour pivot
+    "events_velocity_features",          # multi-window per-user frames
+    "join_fuzzy_entity_resolution",      # blocked edit-distance join
+    "join_scd2_point_in_time",           # interval-bounded join
+    "layout_zorder_cluster",             # interleaved-bit clustering write
+    "layout_bucketed_join",              # bucketed co-located join
+    "maintenance_merge_upsert",          # physical merge write
+    "maintenance_snapshot_diff",         # two-snapshot full-outer
+    "multimodal_clip_pair_filter",       # paired modality screen
+    "multimodal_frame_sample",           # per-video frame explode
+    "quality_psi_drift_report",          # binned distribution compare
+    "sample_weighted_reservoir",         # weighted reservoir keys
+    "sample_fixed_per_group",            # per-group rank sample
+    "scalar_string_functions",           # widest scalar family row count
+    "subquery_in_recent_buyers",         # decorrelated IN
+    "text_pii_scrub",                    # multi-regex rewrite
+    "text_chunk_windows",                # overlapping token windows
+    "text_token_counts_bpe",             # BPE-ish regex token counts
+    "text_zipf_fit",                     # rank-frequency regression
+    "udaf_pandas_weighted_mean",         # Arrow-batched grouped UDAF
+    "udtf_sentence_split",               # generator UDTF explode
+    "unpivot_nation_balances",           # stack/unpivot
+    "window_first_last_nth",             # ordered frame navigation
+    "window_percent_rank_cume",          # rank-family windows
+    "stream_exactly_once_sink",          # commit-log sink at volume
+    "stream_merge_upsert_table",         # streaming merge at volume
 ]
 
 # Oracle-infeasible at sf1: a query lands here when its deliberately-
