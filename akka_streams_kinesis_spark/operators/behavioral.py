@@ -843,3 +843,98 @@ def behavior_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("conv_rate4") - F.col("_ctl4")).alias("lift_vs_control4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# behavior_next_event_prediction — Markov argmax baseline with holdout eval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "behavior_next_event_prediction",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rdesc
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), train_pairs AS (
+        SELECT prev_type, event_type
+        FROM seq WHERE prev_type IS NOT NULL AND rdesc > 1
+    ), model AS (
+        SELECT prev_type, event_type AS predicted, cnt FROM (
+            SELECT prev_type, event_type, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY prev_type
+                                      ORDER BY COUNT(*) DESC, event_type) AS rn
+            FROM train_pairs GROUP BY prev_type, event_type
+        ) WHERE rn = 1
+    ), eval_rows AS (
+        SELECT s.prev_type, s.event_type AS actual, m.predicted
+        FROM seq s JOIN model m ON m.prev_type = s.prev_type
+        WHERE s.rdesc = 1 AND s.prev_type IS NOT NULL
+    )
+    SELECT prev_type, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           FLOOR(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) * 10000.0
+                 / COUNT(*) + 0.5) / 10000.0 AS accuracy4
+    FROM eval_rows
+    GROUP BY prev_type, predicted
+    """,
+)
+def behavior_next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-correct Markov next-event baseline with a per-user holdout:
+    every user's LAST event (by ts, event_id) is held out; the transition
+    model (argmax next-type per previous-type, ties broken by lexical min)
+    is fit on the REMAINING consecutive pairs only — the held-out target
+    never trains the model that predicts it, the temporal-split
+    discipline every sequence-model eval needs. Emits per-context
+    prediction, eval support, and accuracy.
+
+    Plan: ONE per-user ordered window pass produces both the lag pairs
+    and the holdout flag (no self-join, no second shuffle of events);
+    the model is a |types|²-row aggregate broadcast back onto the
+    |users|-row eval frame. At 100 TB the only event-scale work is the
+    window, which shares the user_id exchange with every other
+    behavioral operator.
+
+    Determinism: counts are exact integers, the argmax tie-break is
+    total, accuracy rounds through the FLOOR-1e4 idiom."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(wdesc).alias("rdesc"),
+    )
+    train_pairs = seq.filter(
+        F.col("prev_type").isNotNull() & (F.col("rdesc") > 1)
+    )
+    wrank = Window.partitionBy("prev_type").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    model = (
+        train_pairs.groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("event_type").alias("predicted"))
+    )
+    eval_rows = seq.filter(
+        (F.col("rdesc") == 1) & F.col("prev_type").isNotNull()
+    ).join(F.broadcast(model), "prev_type")
+    correct = (F.col("event_type") == F.col("predicted")).cast("int")
+    return eval_rows.groupBy("prev_type", "predicted").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        (F.floor(F.sum(correct) * 10000.0 / F.count("*") + 0.5) / 10000.0).alias(
+            "accuracy4"
+        ),
+    )

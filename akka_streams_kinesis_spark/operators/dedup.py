@@ -779,3 +779,90 @@ def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         (F.floor(F.col("bin") * 1000.0 / 20.0) / 1000.0).alias("bin_lo"),
         "n_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_split_leakage_audit — near-dup pairs crossing a naive hash split
+# ---------------------------------------------------------------------------
+
+# naive 80/20 split: first two md5 hex chars < 'cc' (204/256) → train.
+# Deliberately INDEPENDENT of content — the audit's whole point is that a
+# uniform per-doc split scatters near-duplicate PAIRS across the boundary.
+_LEAK_SALT = "leakaudit:"
+_LEAK_TRAIN_HEX = "cc"
+
+
+def _split_case(doc_expr: str, strtype: str = "VARCHAR") -> str:
+    """Dialect-shared except the string type name: DuckDB spells it
+    VARCHAR, Spark SQL requires STRING (bare VARCHAR needs a length)."""
+    concat = (
+        f"'{_LEAK_SALT}' || CAST({doc_expr} AS {strtype})"
+        if strtype == "VARCHAR"
+        else f"CONCAT('{_LEAK_SALT}', CAST({doc_expr} AS {strtype}))"
+    )
+    return (
+        f"CASE WHEN SUBSTR(MD5({concat}), 1, 2)"
+        f" < '{_LEAK_TRAIN_HEX}' THEN 'train' ELSE 'heldout' END"
+    )
+
+
+@query(
+    "dedup_split_leakage_audit",
+    oracle=f"""
+    {_minhash_ctes()}{_band_cap_ctes()}, classed AS (
+        SELECT CASE
+                 WHEN {_split_case("doc_a")} = {_split_case("doc_b")}
+                 THEN {_split_case("doc_a")} || '_' || {_split_case("doc_b")}
+                 ELSE 'cross_split_leak'
+               END AS pair_class
+        FROM cand_pairs
+    )
+    SELECT pair_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(COUNT(*) * 10000.0 / SUM(COUNT(*)) OVER () + 0.5) / 10000.0
+               AS share4
+    FROM classed
+    GROUP BY pair_class
+    """,
+)
+def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/heldout CONTAMINATION audit for a naive uniform split: take
+    the MinHash-LSH near-duplicate candidate pairs (the same banded,
+    df-capped generator as dedup_minhash_lsh — never N²) and classify
+    each pair by which side of an md5 80/20 document split its members
+    landed on. Every `cross_split_leak` row is an eval example whose
+    near-duplicate sits in training — the leakage class
+    split_leakage_safe_clusters exists to PREVENT; this operator is the
+    detector you run against a split you didn't build cluster-aware.
+
+    The split is derived stateless from doc_id (salted md5 threshold), so
+    no membership table is joined: the classifier is two map-side CASE
+    expressions over the pair list.
+
+    Scale shape: identical to dedup_minhash_lsh (its pair generator is
+    the whole cost) plus one dimension-sized aggregate; the audit adds
+    zero shuffles over the candidate pairs beyond their own distinct."""
+    bands = _minhash_bands(_minhash_signatures(spark, sf_dir)).persist()
+    pairs = _capped_band_pairs(bands)
+    split_a = F.expr(_split_case("doc_a", "STRING"))
+    split_b = F.expr(_split_case("doc_b", "STRING"))
+    classed = pairs.select(
+        F.when(split_a == split_b, F.concat(split_a, F.lit("_"), split_b))
+        .otherwise(F.lit("cross_split_leak"))
+        .alias("pair_class")
+    )
+    w_all = Window.partitionBy()
+    return (
+        classed.groupBy("pair_class")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            "pair_class",
+            "n_pairs",
+            (
+                F.floor(
+                    F.col("n_pairs") * 10000.0 / F.sum("n_pairs").over(w_all) + 0.5
+                )
+                / 10000.0
+            ).alias("share4"),
+        )
+    )

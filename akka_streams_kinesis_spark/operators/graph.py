@@ -661,3 +661,111 @@ def graph_core_peel_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("peel_round")
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation_communities — deterministic synchronous LPA
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round as a DuckDB CTE pair: neighbor-label
+    counts, then the deterministic argmax (max count, then min label)."""
+    return f"""{out}_cnt AS (
+        SELECT e.dst AS node, p.label, COUNT(*) AS cnt
+        FROM dir_edges e JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst, p.label
+    ), {out} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM {out}_cnt
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation_communities",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), dir_edges AS (
+        SELECT 'c' || custkey AS src, 's' || suppkey AS dst FROM edges
+        UNION ALL
+        SELECT 's' || suppkey AS src, 'c' || custkey AS dst FROM edges
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM dir_edges
+    ), {_lpa_round_sql("l0", "l1")}, {_lpa_round_sql("l1", "l2")},
+       {_lpa_round_sql("l2", "l3")}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l3
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """,
+)
+def graph_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) over the
+    bipartite purchase graph: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken by the lexicographically smallest label — the determinism
+    tweak that makes textbook LPA (random tie-breaks, async order) safe
+    to gate across engines and partition orders. {_LPA_ROUNDS} fixed
+    synchronous rounds, then the 20 largest communities.
+
+    Unlike connected components (curation.py, pointer jumping), LPA
+    yields DENSITY-driven clusters: a bridge edge between two dense
+    groups does not merge them, because frequency voting at the bridge
+    node is dominated by its own side.
+
+    Scale shape: each round is one |E| hash join (edges against the
+    |V|-row label frame, shuffled on the same dst key every round) plus
+    two hash-aggs (neighbor-label counts, per-node argmax via a window
+    over the count frame — partitioned by node, so no global sort). The
+    label frame is localCheckpointed per round: constant-depth lineage,
+    one action per round, the same discipline as PageRank above.
+    Per-round state is |V| rows regardless of |E| — the property that
+    lets LPA run where modularity solvers can't."""
+    edges = _purchase_edges(spark, sf_dir)
+    dir_edges = (
+        edges.select(
+            F.concat(F.lit("c"), F.col("custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("suppkey")).alias("dst"),
+        )
+        .unionByName(
+            edges.select(
+                F.concat(F.lit("s"), F.col("suppkey")).alias("src"),
+                F.concat(F.lit("c"), F.col("custkey")).alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = dir_edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            dir_edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )

@@ -547,3 +547,90 @@ def layout_sorted_write_clustering(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("n_rows") == F.col("src_rows")).alias("rows_preserved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_partition_spec_evolution — day→hour partition migration, dual-read
+# ---------------------------------------------------------------------------
+
+# the spec cutover: event days strictly before this day-of-month stay in
+# the v1 (daily) layout; later days are written under the v2 (hourly) spec
+_PSE_CUT_DAY = 15
+
+
+@query(
+    "layout_partition_spec_evolution",
+    oracle=f"""
+    WITH windowed AS (
+        SELECT event_type,
+               CASE WHEN EXTRACT(DAY FROM ts) < {_PSE_CUT_DAY}
+                    THEN 'v1_daily' ELSE 'v2_hourly' END AS spec,
+               value
+        FROM events
+    )
+    SELECT spec, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM windowed
+    GROUP BY spec, event_type
+    """,
+)
+def layout_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION without rewriting history: the event log
+    starts partitioned by day (v1), the spec changes to (day, hour) (v2)
+    for data after a cutover, and reads go through a dual-layout UNION
+    that keeps both specs' partition pruning — the Iceberg
+    spec-evolution contract reproduced on plain parquet. The alternative
+    (rewriting the historical table into the new spec) costs O(history)
+    per spec change; the union view costs nothing and old partitions
+    still prune on day while new ones prune on (day, hour).
+
+    The gate aggregates BOTH layouts back out of their physical
+    directories, labeled by spec, against plain SQL over the source —
+    a row lost or duplicated at the cutover boundary (the classic
+    off-by-one: `<` vs `<=` on the cut) breaks the per-spec hash.
+
+    Scale shape: both writes are embarrassingly parallel partitioned
+    sinks; the union read is two pruned scans with no shuffle until the
+    final rollup's map-side partials."""
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    v1_dir = os.path.join(wh, f"aks_pse_v1_{_tag(sf_dir)}")
+    v2_dir = os.path.join(wh, f"aks_pse_v2_{_tag(sf_dir)}")
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+        F.dayofmonth("ts").alias("_dom"),
+    )
+    if not os.path.exists(os.path.join(v1_dir, "_SUCCESS")):
+        e.filter(F.col("_dom") < _PSE_CUT_DAY).drop("_dom", "event_hour").write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(v1_dir)
+    if not os.path.exists(os.path.join(v2_dir, "_SUCCESS")):
+        e.filter(F.col("_dom") >= _PSE_CUT_DAY).drop("_dom").write.mode(
+            "overwrite"
+        ).partitionBy("event_date", "event_hour").parquet(v2_dir)
+
+    v1 = spark.read.parquet(v1_dir).select(
+        F.lit("v1_daily").alias("spec"), "event_type", "value"
+    )
+    v2 = spark.read.parquet(v2_dir).select(
+        F.lit("v2_hourly").alias("spec"), "event_type", "value"
+    )
+    return (
+        v1.unionByName(v2)
+        .groupBy("spec", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+    )

@@ -920,3 +920,86 @@ def maintenance_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> Da
     return spark.read.parquet(path + "_v2").select(
         "day", "event_type", "n", "cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_delete_vectors_mor — merge-on-read deletes + compaction parity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_delete_vectors_mor",
+    oracle="""
+    SELECT p.read_path, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events e
+    CROSS JOIN (VALUES ('mor'), ('compacted')) AS p(read_path)
+    WHERE e.event_type <> 'error'
+    GROUP BY p.read_path, e.event_type
+    """,
+)
+def maintenance_delete_vectors_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETEs via delete vectors + compaction equivalence —
+    the Iceberg/Delta deletion-vector lifecycle on plain parquet: a
+    delete marks keys in a sidecar file instead of rewriting data files
+    (O(deleted keys) write, not O(table)), every read applies the sidecar
+    as an anti-join, and a later compaction rewrites the base WITH the
+    deletes folded in and drops the sidecar. The gate proves the
+    equivalence contract both table formats rest on: MoR read ==
+    compacted read == plain SQL with the predicate, per group, exactly.
+
+    Here the 'DELETE' drops all error events; the sidecar holds their
+    event_ids. Both read paths are returned side by side, labeled, so a
+    divergence (a key missed by the anti-join, a compaction that dropped
+    or duplicated a row) breaks the per-path oracle hash.
+
+    Scale shape: the delete sidecar is usually dimension-sized —
+    broadcast anti-join on the scan, zero shuffle of the base; when it
+    isn't, the anti-join shuffles ONCE on the key, still never rewriting
+    the base. Compaction is an embarrassingly parallel partition rewrite
+    whose cost is paid once to restore sidecar-free scan speed — the
+    standard MoR → CoW trade.
+
+    Reference parity: none (connector has no table maintenance); this is
+    the lakehouse-maintenance surface of SURVEY §2.D file sinks."""
+    wh = _wh(spark)
+    base_dir = os.path.join(wh, f"aks_dv_base_{_tag(sf_dir)}")
+    dv_dir = os.path.join(wh, f"aks_dv_deletes_{_tag(sf_dir)}")
+    compact_dir = os.path.join(wh, f"aks_dv_compacted_{_tag(sf_dir)}")
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        e.write.mode("overwrite").parquet(base_dir)
+    base = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(base_dir)
+
+    if not os.path.exists(os.path.join(dv_dir, "_SUCCESS")):
+        base.filter(F.col("event_type") == "error").select("event_id").write.mode(
+            "overwrite"
+        ).parquet(dv_dir)
+    deletes = spark.read.schema("event_id long").parquet(dv_dir)
+
+    # merge-on-read: base minus sidecar at scan time
+    mor = base.join(F.broadcast(deletes), "event_id", "left_anti")
+
+    # compaction: fold the deletes into a rewritten base, sidecar retired
+    if not os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
+        mor.write.mode("overwrite").parquet(compact_dir)
+    compacted = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(compact_dir)
+
+    def _agg(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+                "total_cents"
+            ),
+        ).select(F.lit(label).alias("read_path"), "*")
+
+    return _agg(mor, "mor").unionByName(_agg(compacted, "compacted"))

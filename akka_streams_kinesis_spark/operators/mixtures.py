@@ -31,7 +31,7 @@ All four are fully DuckDB-oracle-gated.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import table
 from ..registry import query
@@ -450,4 +450,125 @@ def sample_class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(keep).cast("bigint").alias("n_kept"),
         )
         .select("lang", "n_original", "n_kept", "target_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_temperature_sampling — α-temperature mixture REALIZATION
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.5  # tempering exponent: kept_d ∝ n_d^α (α=1 plain, α=0 uniform)
+
+
+@query(
+    "curation_temperature_sampling",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_original FROM documents GROUP BY source
+    ), floor_n AS (
+        SELECT MIN(n_original) AS n_min FROM counts
+    ), rates AS (
+        -- keep probability p_d = (n_min/n_d)^(1-α), quantized to 6dp so the
+        -- POWER() double (identical to ~1 ulp in both engines) can never
+        -- straddle the hash-threshold compare differently
+        SELECT c.source, c.n_original,
+               FLOOR(POWER(CAST(f.n_min AS DOUBLE) / c.n_original,
+                           1.0 - {_TEMP_ALPHA}) * 1000000.0 + 0.5) / 1000000.0
+                   AS p_keep6
+        FROM counts c CROSS JOIN floor_n f
+    ), kept AS (
+        SELECT d.source,
+               CASE WHEN CAST(('0x' || SUBSTR(MD5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967296.0 < r.p_keep6
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d JOIN rates r ON r.source = d.source
+    ), agg AS (
+        SELECT k.source, r.n_original, r.p_keep6,
+               CAST(SUM(k.keep) AS BIGINT) AS n_kept
+        FROM kept k JOIN rates r ON r.source = k.source
+        GROUP BY k.source, r.n_original, r.p_keep6
+    )
+    SELECT source, n_original, p_keep6, n_kept,
+           FLOOR(POWER(CAST(n_original AS DOUBLE), {_TEMP_ALPHA}) * 10000.0
+                 / SUM(POWER(CAST(n_original AS DOUBLE), {_TEMP_ALPHA})) OVER ()
+                 + 0.5) / 10000.0 AS target_share4,
+           FLOOR(CAST(n_kept AS DOUBLE) * 10000.0
+                 / SUM(n_kept) OVER () + 0.5) / 10000.0 AS realized_share4
+    FROM agg
+    """,
+)
+def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature mixture sampling REALIZED as a stateless row filter —
+    the mC4/T5-style corpus rebalance (kept_d ∝ n_d^α) actually applied to
+    documents, not just the weight table (curation_domain_mixture_weights
+    computes the weights; this operator materializes the sample). Each
+    domain keeps docs whose md5-fraction clears p_d = (n_min/n_d)^(1-α),
+    so the smallest domain keeps everything and the giant crawl slice is
+    damped toward n_d^α; the emitted table audits realized vs target
+    share per domain.
+
+    Determinism across engines: the only float in the predicate is
+    POWER(), quantized to 6 dp via the FLOOR idiom before the compare
+    (both engines' pow agree to ~1 ulp, so the quantized rates are
+    bit-identical); the hash fraction is an exact dyadic rational. Shares
+    round through the same FLOOR-1e4 idiom.
+
+    Scale shape: domain counts are a dimension-sized aggregate broadcast
+    back to the corpus scan; the keep predicate is map-side C-speed md5 —
+    no shuffle touches kept rows, the sample is identical on any cluster
+    layout or re-run, and new docs face the same predicate on ingest (the
+    property that lets the mixture survive incremental refreshes)."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_original"))
+    floor_n = counts.agg(F.min("n_original").alias("n_min"))
+    p6 = (
+        F.floor(
+            F.pow(
+                F.col("n_min").cast("double") / F.col("n_original"),
+                F.lit(1.0 - _TEMP_ALPHA),
+            )
+            * 1_000_000.0
+            + 0.5
+        )
+        / 1_000_000.0
+    ).alias("p_keep6")
+    rates = counts.crossJoin(F.broadcast(floor_n)).select(
+        "source", "n_original", p6
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    agg = (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_original", "p_keep6")
+        .agg(F.sum((frac < F.col("p_keep6")).cast("int")).cast("long").alias("n_kept"))
+    )
+    w_all = Window.partitionBy()
+    target4 = (
+        F.floor(
+            F.pow(F.col("n_original").cast("double"), F.lit(_TEMP_ALPHA))
+            * 10_000.0
+            / F.sum(F.pow(F.col("n_original").cast("double"), F.lit(_TEMP_ALPHA))).over(
+                w_all
+            )
+            + 0.5
+        )
+        / 10_000.0
+    ).alias("target_share4")
+    realized4 = (
+        F.floor(
+            F.col("n_kept").cast("double") * 10_000.0 / F.sum("n_kept").over(w_all)
+            + 0.5
+        )
+        / 10_000.0
+    ).alias("realized_share4")
+    return agg.select(
+        "source", "n_original", "p_keep6", "n_kept", target4, realized4
     )

@@ -1209,3 +1209,115 @@ def similarity_ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy(F.col("n_vectors").desc(), "cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_knn_label_eval — label-blind kNN classifier with holdout-free
+# leave-one-out eval
+# ---------------------------------------------------------------------------
+
+_KNN_EVAL_K = 3
+
+
+@query(
+    "similarity_knn_label_eval",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, label, embedding, {_BUCKET_DUCK} AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS src, a.label AS true_label,
+               b.vec_id AS dst, b.label AS nbr_label,
+               ROUND({_DUCK_SIM.replace("q.", "a.").replace("v.", "b.")}, 6) AS sim
+        FROM coded a
+        JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY a.vec_id, a.label, b.vec_id, b.label
+    ), topk AS (
+        SELECT src, true_label, nbr_label FROM (
+            SELECT src, true_label, nbr_label,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rnk
+            FROM pairs
+        ) WHERE rnk <= {_KNN_EVAL_K}
+    ), votes AS (
+        SELECT src, true_label, nbr_label AS predicted FROM (
+            SELECT src, true_label, nbr_label,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY COUNT(*) DESC, nbr_label) AS vr
+            FROM topk GROUP BY src, true_label, nbr_label
+        ) WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           FLOOR(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) * 10000.0
+                 / COUNT(*) + 0.5) / 10000.0 AS accuracy4
+    FROM votes
+    GROUP BY true_label
+    """,
+)
+def similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier quality report: every vector is classified by the
+    majority label of its {_KNN_EVAL_K} nearest neighbors (leave-one-out:
+    self excluded), with candidates drawn ONLY from the vector's
+    LABEL-BLIND IVF sign-bucket — blocking must come from content, never
+    from the label, or the eval silently answers itself (the embedding
+    analog of dedup_split_leakage_audit's lesson). Emits per-class
+    support and accuracy — the 'are these embeddings any good for this
+    taxonomy' health check run before spending GPU-time training on them.
+
+    Vote determinism: neighbors ranked by 6-dp cosine then vec_id; the
+    vote by (count desc, label asc) — total orders on both engines.
+    Singleton buckets contribute no eval rows (no neighbors to vote).
+
+    Scale shape: identical to similarity_ann_ivf's bucket equi-join (the
+    pair space is Σ bucket², bounded by the quantizer; at 100 TB the
+    buckets come from a learned IVF with the same size cap) plus two
+    window cuts that WindowGroupLimit keeps per-bucket. No all-pairs
+    stage anywhere."""
+    e = table(spark, sf_dir, "embeddings")
+    coded = e.withColumn("bucket", _bucket_spark())
+    a = fanout(coded).select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("true_label"),
+        F.col("bucket"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = coded.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("nbr_label"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("b_bucket")) & (F.col("src") != F.col("dst")),
+    ).select(
+        "src",
+        "true_label",
+        "dst",
+        "nbr_label",
+        F.round(cosine_sim("a_emb", "b_emb"), 6).alias("sim"),
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
+    topk = pairs.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= _KNN_EVAL_K
+    )
+    wv = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "nbr_label")
+    votes = (
+        topk.groupBy("src", "true_label", "nbr_label")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("src", "true_label", F.col("nbr_label").alias("predicted"))
+    )
+    correct = (F.col("predicted") == F.col("true_label")).cast("int")
+    return votes.groupBy("true_label").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        (F.floor(F.sum(correct) * 10000.0 / F.count("*") + 0.5) / 10000.0).alias(
+            "accuracy4"
+        ),
+    )

@@ -1379,3 +1379,156 @@ def source_shard_occupancy_report(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_two_sinks_atomic — all-or-nothing fan-out commit across TWO sinks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_two_sinks_atomic",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           TRUE AS sinks_agree
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_two_sinks_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic fan-out: one micro-batch lands in TWO sinks (a raw event
+    table and a per-batch rollup table) under a SINGLE commit marker —
+    the multi-table transaction every medallion pipeline fakes on top of
+    non-transactional storage. The failure mode this exists to kill is
+    the half-committed batch: sink A landed, sink B didn't, marker
+    absent, and a naive retry re-appends to A (double counts) or a naive
+    skip never writes B (the sinks drift apart forever).
+
+    Protocol per micro-batch (renames are the atomic commit points, in a
+    FIXED order, marker last):
+      (1) marker exists            -> fully committed redelivery: SKIP
+      (2) A landed, B landed       -> crashed before marker: backfill
+                                      marker, SKIP
+      (3) A landed, B missing      -> crashed mid-fanout: COMPLETE B from
+                                      the redelivered batch (foreachBatch
+                                      redelivers identical content), then
+                                      marker — the resume path, not a
+                                      retry of A
+      (4) nothing landed           -> stage both, rename A, rename B,
+                                      marker
+    The query then DELIBERATELY replays all three crash windows against a
+    committed batch and returns per-type aggregates computed from sink A
+    alongside a boolean proving sink B's rollup agrees row-for-row — a
+    drifted or double-applied sink breaks the oracle hash end to end.
+
+    Scale shape: the commit log is one empty marker per batch; both sinks
+    are partitioned by batch id so concurrent batches never collide, and
+    the rollup sink is the hash-agg of the in-flight batch (map-side
+    partials), not a re-read of A.
+
+    Reference parity: the at-least-once PutRecords retry discipline
+    (KinesisGraphStage.scala:99-124) upgraded to exactly-once-across-two-
+    sinks — the idempotence contract SURVEY §4 assigns the sink side."""
+    import uuid as _uuid
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    run = _uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"two_sinks_{run}")
+    raw_out = os.path.join(base, "raw")
+    roll_out = os.path.join(base, "rollup")
+    log = os.path.join(base, "commits")
+    ckpt = os.path.join(base, "ckpt")
+    for p in (raw_out, roll_out, log):
+        os.makedirs(p, exist_ok=True)
+
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=512)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(log, f"batch_{batch_id}")
+        a_dir = os.path.join(raw_out, f"batch_id={batch_id}")
+        b_dir = os.path.join(roll_out, f"batch_id={batch_id}")
+        if os.path.exists(marker):
+            return  # (1) fully committed
+        if os.path.exists(a_dir) and os.path.exists(b_dir):
+            with open(marker, "w") as f:  # (2) crashed before marker
+                f.write("committed")
+            return
+        rollup = batch.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        if not os.path.exists(a_dir):  # (4) fresh batch: land A first
+            staging_a = os.path.join(base, f"staging_a_{batch_id}")
+            batch.select("event_id", "ts", "event_type", "value").write.mode(
+                "overwrite"
+            ).parquet(staging_a)
+            os.rename(staging_a, a_dir)
+        # (3)+(4): complete B from the (re)delivered batch, marker last
+        staging_b = os.path.join(base, f"staging_b_{batch_id}")
+        rollup.write.mode("overwrite").parquet(staging_b)
+        os.rename(staging_b, b_dir)
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    q = (
+        events.writeStream.foreachBatch(_commit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    committed = sorted(
+        int(m.split("_", 1)[1]) for m in os.listdir(log) if m.startswith("batch_")
+    )
+    assert committed, "stream produced no committed batches"
+    rid = committed[0]
+    replay = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(os.path.join(raw_out, f"batch_id={rid}"))
+    # window (1): full redelivery of a committed batch
+    _commit(replay, rid)
+    # window (2): marker lost after both renames
+    os.remove(os.path.join(log, f"batch_{rid}"))
+    _commit(replay, rid)
+    # window (3): crashed between rename(A) and rename(B)
+    os.remove(os.path.join(log, f"batch_{rid}"))
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(roll_out, f"batch_id={rid}"))
+    _commit(replay, rid)
+    assert os.path.exists(os.path.join(log, f"batch_{rid}"))
+
+    raw = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(os.path.join(raw_out, "*"))
+    rollup = spark.read.schema("event_type string, n long, cents long").parquet(
+        os.path.join(roll_out, "*")
+    )
+    from_a = raw.groupBy("event_type").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+    from_b = rollup.groupBy("event_type").agg(
+        F.sum("n").alias("n_b"), F.sum("cents").alias("cents_b")
+    )
+    return (
+        from_a.join(from_b, "event_type", "full_outer")
+        .select(
+            "event_type",
+            "n_raw",
+            "total_cents",
+            (
+                (F.col("n_raw") == F.col("n_b"))
+                & (F.col("total_cents") == F.col("cents_b"))
+            ).alias("sinks_agree"),
+        )
+    )

@@ -273,6 +273,14 @@ HEADLINE = [
     "events_sliding_distinct_users",
     "scalar_decimal_money_arithmetic",
     "source_shard_occupancy_report",
+    # round 7
+    "curation_temperature_sampling",
+    "maintenance_delete_vectors_mor",
+    "graph_label_propagation_communities",
+    "dedup_split_leakage_audit",
+    "behavior_next_event_prediction",
+    "similarity_knn_label_eval",
+    "layout_partition_spec_evolution",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.
@@ -303,6 +311,7 @@ STREAM_SECTION = [
     "stream_exactly_once_sink",
     "stream_backfill_union_live",
     "stream_pattern_match_cep",
+    "stream_two_sinks_atomic",
 ]
 
 

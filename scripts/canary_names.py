@@ -210,6 +210,15 @@ SF1_CANARY = [
     "unpivot_nation_balances",           # stack/unpivot
     "window_first_last_nth",             # ordered frame navigation
     "window_percent_rank_cume",          # rank-family windows
+    # round-7 additions with data-dependent iteration/pair fan-out
+    "graph_label_propagation_communities",  # 3 checkpointed LPA rounds, |E| joins
+    "dedup_split_leakage_audit",         # banded LSH pair generation
+    "curation_temperature_sampling",     # corpus-wide hash-threshold filter
+    "maintenance_delete_vectors_mor",    # physical base+sidecar+compaction writes
+    "behavior_next_event_prediction",    # event-scale window + broadcast model
+    "similarity_knn_label_eval",         # IVF-bucket pair fan-out + vote windows
+    "layout_partition_spec_evolution",   # dual-spec partitioned writes
+    "stream_two_sinks_atomic",           # dual-sink commit protocol at volume
     "stream_exactly_once_sink",          # commit-log sink at volume
     "stream_merge_upsert_table",         # streaming merge at volume
 ]
