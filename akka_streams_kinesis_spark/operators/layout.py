@@ -634,3 +634,63 @@ def layout_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_dynamic_partition_pruning — runtime pruning from a filtered dim
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "layout_dynamic_partition_pruning",
+    oracle="""
+    WITH dated AS (
+        SELECT CAST(ts AS DATE) AS event_date, event_type, value FROM events
+    ), dim AS (
+        SELECT DISTINCT event_date,
+               EXTRACT(ISODOW FROM event_date) AS isodow
+        FROM dated
+    )
+    SELECT d.event_date, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM dated e JOIN dim d ON d.event_date = e.event_date
+    WHERE d.isodow >= 6
+    GROUP BY d.event_date, e.event_type
+    """,
+)
+def layout_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend activity via DYNAMIC partition pruning: the fact side is
+    the day-partitioned event table, the dim side is a calendar frame
+    filtered to weekends — a filter the fact scan cannot see statically
+    (it lives on the other join side). Catalyst inserts a
+    DynamicPruningExpression: the dim's qualifying dates are evaluated
+    first (broadcast reuse) and the fact table's directory listing is
+    pruned AT RUNTIME to the ~2/7 matching partitions. This is the star-
+    schema scan-reduction that makes 'fact JOIN filtered-dim' queries
+    feasible at 100 TB without hand-copying the dim filter onto the fact;
+    tests/test_round7_plans.py pins the DynamicPruning subtree in the
+    plan.
+
+    ISO day-of-week is derived engine-natively on both sides (DuckDB
+    ISODOW; Spark dayofweek remapped), integer compares only."""
+    path = partitioned_events_path(spark, sf_dir)
+    facts = spark.read.parquet(path)
+    # calendar dim: distinct days + ISO dow (Mon=1..Sun=7). Spark's
+    # dayofweek is Sun=1..Sat=7; (dow + 5) % 7 + 1 remaps to ISO.
+    dim = (
+        facts.select("event_date")
+        .distinct()
+        .select(
+            "event_date",
+            (((F.dayofweek("event_date") + 5) % 7) + 1).alias("isodow"),
+        )
+    )
+    j = facts.join(dim.filter(F.col("isodow") >= 6), "event_date")
+    return j.groupBy("event_date", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )

@@ -1532,3 +1532,81 @@ def stream_two_sinks_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sinks_agree"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_multi_source_union — two independent streams, one unioned pipeline
+# ---------------------------------------------------------------------------
+
+
+def _materialize_split_stream(
+    spark: SparkSession, sf_dir: str, flavor: str, keep_parity: int
+) -> SimStream:
+    """Half the event log (by event_id parity) onto its own fresh 2-shard
+    stream — two of these simulate independent regional streams."""
+    path = _stream_cache_dir(sf_dir, flavor)
+    marker = os.path.join(path, "_complete")
+    if os.path.exists(marker):
+        return SimStream(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    stream = SimStream.create(path, n_shards=2)
+    half = table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 2 == keep_parity
+    )
+    stream.put_records_distributed(_encode_events(half))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stream
+
+
+@query(
+    "stream_multi_source_union",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'region_a' ELSE 'region_b' END
+               AS region,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source ingestion: TWO independent streams (disjoint event
+    populations — e.g. per-region Kinesis streams) each read through its
+    own positioned source, tagged with provenance, and UNIONED into one
+    logical pipeline before a single rollup — the standard consolidation
+    topology when a product runs one stream per region/account and the
+    warehouse wants one table. Each source keeps its own shard DAG,
+    offsets, and checkpoint substream; the union is a streaming union of
+    two micro-batch sources draining in the same trigger.
+
+    The gate proves no cross-stream loss, duplication, or label bleed:
+    per-(region, type) counts and cent-sums must equal batch SQL over
+    the parity-split source — a record drained from the wrong stream or
+    counted twice breaks the region-labeled hash.
+
+    Scale shape: two parallel file-source scans (per-stream rate caps
+    compose additively), one map-side label literal each, and the rollup
+    is the same partial+final hash-agg as single-source ingest — the
+    union adds zero shuffles."""
+    a = _materialize_split_stream(spark, sf_dir, "union_a", 0)
+    b = _materialize_split_stream(spark, sf_dir, "union_b", 1)
+    ra = decode_json_payload(
+        a.read_stream(spark, TrimHorizon(), max_files_per_trigger=512),
+        _EVENT_SCHEMA,
+    ).withColumn("region", F.lit("region_a"))
+    rb = decode_json_payload(
+        b.read_stream(spark, TrimHorizon(), max_files_per_trigger=512),
+        _EVENT_SCHEMA,
+    ).withColumn("region", F.lit("region_b"))
+    unioned = ra.unionByName(rb)
+    rollup = unioned.groupBy("region", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+    return _run_available_now(rollup, spark, mode="complete")

@@ -58,7 +58,17 @@ def start_user_state_table(
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
         state = _latest_in_batch(batch_df)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        # dynamic partition overwrite never writes a root _SUCCESS marker
+        # (the rollup_sink lesson, re-learned the hard way: an _SUCCESS
+        # check here made every batch skip the merge, so each batch's
+        # dynamic overwrite silently dropped prior batches' users in its
+        # buckets — invisible at SFs where the drain is one micro-batch,
+        # caught by the widened sf1 canary). Table existence is "any
+        # bucket= directory present".
+        has_table = os.path.isdir(path) and any(
+            e.startswith("bucket=") for e in os.listdir(path)
+        )
+        if has_table:
             touched = state.select("bucket").distinct()
             existing = (
                 spark.read.option("basePath", path)

@@ -281,6 +281,7 @@ HEADLINE = [
     "behavior_next_event_prediction",
     "similarity_knn_label_eval",
     "layout_partition_spec_evolution",
+    "layout_dynamic_partition_pruning",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.
@@ -312,6 +313,7 @@ STREAM_SECTION = [
     "stream_backfill_union_live",
     "stream_pattern_match_cep",
     "stream_two_sinks_atomic",
+    "stream_multi_source_union",
 ]
 
 

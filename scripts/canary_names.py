@@ -218,6 +218,8 @@ SF1_CANARY = [
     "behavior_next_event_prediction",    # event-scale window + broadcast model
     "similarity_knn_label_eval",         # IVF-bucket pair fan-out + vote windows
     "layout_partition_spec_evolution",   # dual-spec partitioned writes
+    "layout_dynamic_partition_pruning",  # runtime-pruned star join
+    "stream_multi_source_union",         # two-source streaming union
     "stream_two_sinks_atomic",           # dual-sink commit protocol at volume
     "stream_exactly_once_sink",          # commit-log sink at volume
     "stream_merge_upsert_table",         # streaming merge at volume

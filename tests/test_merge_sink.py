@@ -44,3 +44,25 @@ def test_merge_sink_replay_is_idempotent(spark, sf_dir):
     assert first, "empty state table after first drain"
     _drain(spark, sf_dir, path)  # fresh checkpoint: full replay over existing
     assert _snapshot(spark, path) == first
+
+
+def test_merge_sink_multi_batch_drain_keeps_all_users(spark, sf_dir):
+    """Regression (round-7 sf1 canary catch): with a tiny trigger the
+    drain spans MANY micro-batches, and each batch's merge must carry the
+    existing table forward. The round-6 code gated the merge branch on a
+    root _SUCCESS marker that dynamic partition overwrite never writes,
+    so every batch skipped the merge and the final table held only the
+    LAST batch's users — invisible at SFs where the whole drain fits one
+    batch (sf0.1's 16 stream files < the 64-file trigger)."""
+    from akka_streams_kinesis_spark.io import table as load_table
+
+    stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=2)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    path = os.path.join(tempfile.gettempdir(), f"msink_mb_{uuid.uuid4().hex[:10]}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"msink_mbck_{uuid.uuid4().hex[:10]}")
+    q = start_user_state_table(events, path, ckpt)
+    q.awaitTermination()
+    got = spark.read.option("basePath", path).parquet(path).count()
+    want = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert got == want, f"merge sink dropped users across batches: {got} != {want}"

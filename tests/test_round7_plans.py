@@ -56,3 +56,9 @@ def test_split_leakage_audit_no_cartesian(spark, sf_dir):
     df = registry.QUERIES["dedup_split_leakage_audit"](spark, sf_dir)
     st = join_strategies(df)
     assert st["cartesian"] == 0
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    df = registry.QUERIES["layout_dynamic_partition_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
