@@ -648,3 +648,116 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_frequent_itemset_pairs — market-basket co-occurrence mining
+# ---------------------------------------------------------------------------
+
+# minimum number of baskets (orders) a part pair must co-occur in
+_FIS_MIN_SUPPORT = 3
+# basket-size bound: TPC-H orders hold ≤7 lines, but the cap is stated
+# (and enforced) so a pathological mega-basket can never square the pair
+# stage — the same Σ min(deg, cap)² discipline as the triangle counter
+_FIS_MAX_BASKET = 16
+
+
+@query(
+    "agg_frequent_itemset_pairs",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT l_orderkey, l_partkey
+        FROM lineitem
+        GROUP BY l_orderkey, l_partkey
+    ), sized AS (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsize
+        FROM baskets
+    ), kept AS (
+        SELECT l_orderkey, l_partkey FROM sized WHERE bsize <= {_FIS_MAX_BASKET}
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM kept a JOIN kept b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ), singles AS (
+        SELECT l_partkey, COUNT(*) AS n_baskets FROM kept GROUP BY l_partkey
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.support AS BIGINT) AS support,
+           FLOOR(p.support * 10000.0 / sa.n_baskets + 0.5) / 10000.0
+               AS confidence_a_to_b4,
+           FLOOR(p.support * 10000.0 / sb.n_baskets + 0.5) / 10000.0
+               AS confidence_b_to_a4
+    FROM pairs p
+    JOIN singles sa ON sa.l_partkey = p.part_a
+    JOIN singles sb ON sb.l_partkey = p.part_b
+    WHERE p.support >= {_FIS_MIN_SUPPORT}
+    """,
+)
+def agg_frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset PAIR mining (the 2-itemset A-Priori stage) over
+    order baskets: distinct (order, part) rows self-join within the
+    basket to candidate pairs, pairs below {_FIS_MIN_SUPPORT} baskets of
+    support are pruned, and each survivor carries both directed
+    confidences (support/|baskets containing A|) — the association-rule
+    readout. Baskets larger than {_FIS_MAX_BASKET} items are excluded
+    BEFORE pair generation, so pair work is Σ min(basket, cap)² — linear
+    in orders with a constant bound, never quadratic in a hub basket
+    (TPC-H baskets are ≤7 lines; the cap is armor for real data).
+
+    Scale shape: one shuffle on l_orderkey shared by the dedup, the size
+    window, and the equi-self-join; the pair aggregate shuffles pair keys
+    (output-sized); the confidence joins are against the
+    |parts|-bounded singles frame. This is the distributed A-Priori
+    candidate stage every market-basket / co-occurrence-embedding
+    pipeline starts from.
+
+    Determinism: integer supports, FLOOR-1e4 confidences."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey", "l_partkey").agg(F.lit(1).alias("_one"))
+    wsize = Window.partitionBy("l_orderkey")
+    kept = (
+        baskets.withColumn("bsize", F.count("*").over(wsize))
+        .filter(F.col("bsize") <= _FIS_MAX_BASKET)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = kept.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = kept.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_ok") == F.col("_ok2")) & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _FIS_MIN_SUPPORT)
+    )
+    singles = kept.groupBy("l_partkey").agg(F.count("*").alias("n_baskets"))
+    conf = lambda sup, n: F.floor(sup * 10000.0 / n + 0.5) / 10000.0  # noqa: E731
+    return (
+        pairs.join(
+            singles.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_baskets").alias("_na")
+            ),
+            "part_a",
+        )
+        .join(
+            singles.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_baskets").alias("_nb")
+            ),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            conf(F.col("support"), F.col("_na")).alias("confidence_a_to_b4"),
+            conf(F.col("support"), F.col("_nb")).alias("confidence_b_to_a4"),
+        )
+    )

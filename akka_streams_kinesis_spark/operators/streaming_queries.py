@@ -1610,3 +1610,83 @@ def stream_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _run_available_now(rollup, spark, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# source_checkpoint_restart_rollup — stop/restart exactly-once, end to end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_checkpoint_restart_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def source_checkpoint_restart_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed stop/restart as a hash gate (S8 nextIterator + S11
+    preStart bootstrap, KinesisSource.scala:59-63,186-200): half the
+    corpus is produced and FULLY drained by query #1 (availableNow, its
+    own offsets committed to the checkpoint); the second half is produced
+    AFTER query #1 terminated; query #2 restarts from the SAME checkpoint
+    into the SAME file sink and must process ONLY the new records —
+    resuming each shard from its committed sequence floor, never
+    re-emitting the first half (the file sink's manifest would happily
+    record duplicates as new files; only correct offset resume keeps the
+    table exact). The final table hash-matches plain SQL over the whole
+    log: a record lost at the restart boundary or double-read from a
+    pre-checkpoint offset breaks the gate.
+
+    This is the gated-query twin of the checkpoint-resume unit tests
+    (tests/test_pyds_source.py) — end to end through encode → shard →
+    two separate query lifetimes → manifest-committed parquet.
+
+    Scale shape: identical to stream_ingest_hourly_rollup per drain; the
+    restart costs one checkpoint read."""
+    import uuid as _uuid
+
+    run = _uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"ckrestart_{run}")
+    stream_path = os.path.join(base, "stream")
+    out = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(base, exist_ok=True)
+
+    ev = table(spark, sf_dir, "events")
+    stream = SimStream.create(stream_path, n_shards=2)
+    stream.put_records_distributed(_encode_events(ev.filter(F.col("event_id") % 2 == 0)))
+
+    def _drain() -> None:
+        records = stream.read_stream(
+            spark, TrimHorizon(), max_files_per_trigger=512
+        )
+        events = decode_json_payload(records, _EVENT_SCHEMA).select(
+            "event_id", "ts", "event_type", "value"
+        )
+        q = (
+            events.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drain()  # query lifetime #1: first half
+    stream.put_records_distributed(_encode_events(ev.filter(F.col("event_id") % 2 == 1)))
+    _drain()  # query lifetime #2: SAME checkpoint — must resume, not replay
+
+    landed = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(out)
+    return landed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )

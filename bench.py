@@ -282,6 +282,8 @@ HEADLINE = [
     "similarity_knn_label_eval",
     "layout_partition_spec_evolution",
     "layout_dynamic_partition_pruning",
+    "agg_frequent_itemset_pairs",
+    "source_checkpoint_restart_rollup",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

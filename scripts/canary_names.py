@@ -220,6 +220,8 @@ SF1_CANARY = [
     "layout_partition_spec_evolution",   # dual-spec partitioned writes
     "layout_dynamic_partition_pruning",  # runtime-pruned star join
     "stream_multi_source_union",         # two-source streaming union
+    "agg_frequent_itemset_pairs",        # capped within-basket pair self-join
+    "source_checkpoint_restart_rollup",  # two query lifetimes, offset resume
     "stream_two_sinks_atomic",           # dual-sink commit protocol at volume
     "stream_exactly_once_sink",          # commit-log sink at volume
     "stream_merge_upsert_table",         # streaming merge at volume
