@@ -995,3 +995,63 @@ def scalar_decimal_money_arithmetic(spark: SparkSession, sf_dir: str) -> DataFra
             == F.sum("cents").cast("decimal(28,0)")
         ).alias("decimal_exactness_holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar_variant_json_shredding — Spark 4 VARIANT ingestion of JSON props
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_variant_json_shredding",
+    oracle="""
+    WITH shredded AS (
+        SELECT event_type,
+               CAST(props -> '$.k' AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)         AS n,
+           CAST(COUNT(k) AS BIGINT)         AS n_with_k,
+           CAST(MIN(k) AS BIGINT)           AS min_k,
+           CAST(MAX(k) AS BIGINT)           AS max_k,
+           CAST(SUM(k) AS BIGINT)           AS sum_k,
+           FLOOR(SUM(k) * 10000.0 / COUNT(k) + 0.5) / 10000.0 AS avg_k4
+    FROM shredded
+    GROUP BY event_type
+    """,
+)
+def scalar_variant_json_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: the JSON
+    props payload is parsed ONCE into a binary variant (`parse_json`) and
+    fields are shredded out with typed `variant_get` paths — the
+    schema-on-read path that replaces per-query JSON string re-parsing
+    (get_json_object re-tokenizes the text on every extraction; variant
+    parses once and field access is a binary offset walk, the same
+    open-format design Parquet variant shredding standardizes). The
+    oracle is DuckDB's native JSON extraction over the same column —
+    typed field values must agree exactly.
+
+    Scale shape: parse + shred are row-local projections inside
+    whole-stage codegen; the rollup is one partial+final hash-agg. At
+    100 TB the variant parse happens at INGEST and the shredded column is
+    stored; this operator is that ingest step, gated.
+
+    Determinism: integer field sums; the mean rounds through the
+    FLOOR-1e4 idiom."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    shredded = e.select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        (F.floor(F.sum("k") * 10000.0 / F.count("k") + 0.5) / 10000.0).alias(
+            "avg_k4"
+        ),
+    )

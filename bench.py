@@ -284,6 +284,7 @@ HEADLINE = [
     "layout_dynamic_partition_pruning",
     "agg_frequent_itemset_pairs",
     "source_checkpoint_restart_rollup",
+    "scalar_variant_json_shredding",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -222,6 +222,7 @@ SF1_CANARY = [
     "stream_multi_source_union",         # two-source streaming union
     "agg_frequent_itemset_pairs",        # capped within-basket pair self-join
     "source_checkpoint_restart_rollup",  # two query lifetimes, offset resume
+    "scalar_variant_json_shredding",     # VARIANT parse + typed shredding
     "stream_two_sinks_atomic",           # dual-sink commit protocol at volume
     "stream_exactly_once_sink",          # commit-log sink at volume
     "stream_merge_upsert_table",         # streaming merge at volume
