@@ -206,6 +206,40 @@ SHOWCASE = [
      "(the Exchange carries values, not rows); one Window sort per group "
      "over the collapsed table; integer boundary filter + tiny final "
      "aggregate — no percentile UDAF, no full-table sort."),
+    # round 7
+    ("layout_dynamic_partition_pruning",
+     "DynamicPruningExpression under the fact scan: the weekend-filtered "
+     "calendar dim evaluates first (broadcast reuse) and prunes the "
+     "partitioned fact's directory listing AT RUNTIME to ~2/7 of days — "
+     "the dim filter is never hand-copied onto the fact."),
+    ("maintenance_delete_vectors_mor",
+     "Merge-on-read: the delete sidecar applies as a BroadcastHashJoin "
+     "LeftAnti under the scan — the base table is never shuffled to "
+     "subtract deleted keys; the compacted branch is a plain pruned "
+     "scan."),
+    ("curation_temperature_sampling",
+     "Per-domain keep rates are a dimension-sized aggregate broadcast "
+     "back onto the corpus scan; the α-tempered keep predicate is "
+     "map-side C-speed md5 — no shuffle touches kept rows."),
+    ("graph_label_propagation_communities",
+     "Each LPA round: one |E| hash join against the checkpointed label "
+     "frame + two hash-aggs (neighbor-label counts, per-node argmax "
+     "window partitioned by node); per-round state is |V| rows, lineage "
+     "truncated per round."),
+    ("agg_frequent_itemset_pairs",
+     "Basket dedup, size window, and the within-basket pair self-join "
+     "share ONE l_orderkey Exchange; pair counts shuffle output-sized "
+     "keys; confidence joins come back as BroadcastHashJoins on the "
+     "|parts|-bounded singles frame."),
+    ("similarity_knn_label_eval",
+     "Label-blind IVF sign-bucket equi-join bounds the pair space "
+     "(Σ bucket²); both the top-k cut and the vote argmax are Windows "
+     "partitioned by src — WindowGroupLimit keeps them per-bucket; no "
+     "all-pairs product anywhere."),
+    ("scalar_variant_json_shredding",
+     "parse_json + variant_get are row-local projections inside ONE "
+     "WholeStageCodegen span over the scan; the rollup is a single "
+     "partial+final HashAggregate pair."),
 ]
 
 
