@@ -727,8 +727,9 @@ def graph_label_propagation_communities(
 
     Scale shape: each round is one |E| hash join (edges against the
     |V|-row label frame, shuffled on the same dst key every round) plus
-    two hash-aggs (neighbor-label counts, per-node argmax via a window
-    over the count frame — partitioned by node, so no global sort). The
+    two hash-aggs (neighbor-label counts, then the per-node argmax as a
+    min_by over the (-cnt, label) struct — a partial+final aggregate,
+    no per-node sort window and no extra shuffle). The
     label frame is localCheckpointed per round: constant-depth lineage,
     one action per round, the same discipline as PageRank above.
     Per-round state is |V| rows regardless of |E| — the property that
@@ -750,17 +751,24 @@ def graph_label_propagation_communities(
     labels = dir_edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
     for _ in range(_LPA_ROUNDS):
         counts = (
             dir_edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("cnt"))
         )
+        # argmax(cnt desc, label asc) as ONE hash aggregate: min over the
+        # (-cnt, label) struct — no per-node sort window, so the
+        # per-round cut is partial+final agg instead of an extra
+        # shuffle+sort (the struct order is total: counts are ints,
+        # labels unique per (node, label) row)
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("label")
+            )
             .localCheckpoint(eager=True)
         )
     return (
