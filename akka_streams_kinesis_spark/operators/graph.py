@@ -267,7 +267,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("basket") <= _TRI_MAX_BASKET)
         .select("partkey")
     )
-    kept = baskets.join(sized, "partkey")
+    # kept feeds both self-join sides; the significance-filtered edge
+    # list feeds FIVE consumers (three closure aliases, the edge count,
+    # and stats); the triangle list feeds four — persist each so the
+    # upstream pipeline runs once per tier, not per consumer
+    kept = baskets.join(sized, "partkey").persist()
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(
@@ -293,6 +297,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (lift * lift > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
         )
         .select("u", "v")
+        .persist()
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
@@ -306,6 +311,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.v").alias("b"),
             F.col("e2.v").alias("c"),
         )
+        .persist()
     )
     per_node = (
         tri.select(F.col("a").alias("node"))
@@ -387,14 +393,18 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     (deg_u + deg_v − shared) — no float crosses the ranking, so the
     top-{_LP_TOPK} cut is bit-identical across engines and partition
     orders (ties broken by shared, then u, v)."""
-    edges = _purchase_edges(spark, sf_dir)
+    # edges feeds the basket filter AND the kept join; kept feeds THREE
+    # consumers (degrees + both self-join sides) — persist both so the
+    # lineitem ⋈ orders ⋈ distinct pipeline runs once, not four times
+    # (the dedup_minhash_lsh band-frame discipline)
+    edges = _purchase_edges(spark, sf_dir).persist()
     sized = (
         edges.groupBy("custkey")
         .agg(F.count("*").alias("basket"))
         .filter(F.col("basket") <= _LP_MAX_BASKET)
         .select("custkey")
     )
-    kept = edges.join(sized, "custkey")
+    kept = edges.join(sized, "custkey").persist()
     deg = kept.groupBy("suppkey").agg(F.count("*").alias("d"))
     a, b = kept.alias("a"), kept.alias("b")
     shared = (
