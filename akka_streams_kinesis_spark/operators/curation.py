@@ -1521,7 +1521,10 @@ def pipeline_incremental_corpus_refresh(
         )
 
     inc_sh = _sh(s1).persist()
-    stand_sh = _sh(standing)
+    # the standing-side shingle explode feeds BOTH the df counter and the
+    # containment join — persist it so the (big-side) normalize→shingle→
+    # distinct pipeline runs once, not twice
+    stand_sh = _sh(standing).persist()
     df_counts = (
         inc_sh.unionByName(stand_sh)
         .groupBy("h")
