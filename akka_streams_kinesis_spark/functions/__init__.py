@@ -109,3 +109,42 @@ def cents_to_decimal(cents: Column, precision: int = 18) -> Column:
 CENTS_TO_DECIMAL_DUCK = (
     "CAST(CAST(({cents}) AS DECIMAL(28,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL({p},2))"
 )
+
+
+def cents_to_money_str(cents: Column) -> Column:
+    """BIGINT cents → canonical money VARCHAR (``'123.45'``, ``'-0.07'``,
+    ``'0.00'``) by pure digit slicing — no division, no decimal type, no
+    rounding mode, so the bytes are identical in every engine/version.
+    This is the DRIVER-GATE rendering for money columns: the driver's
+    value hash is type/rendering-sensitive for DECIMAL the way it
+    provably was for HUGEINT, so gated projections carry money as BIGINT
+    cents + this VARCHAR; DECIMAL stays a pytest-audited semantic
+    (tests/test_money_cents.py), never a gated output type
+    (tests/test_oracle_types.py bans DecimalType registry-wide)."""
+    a = F.abs(cents)
+    raw = a.cast("string")
+    # left-pad to >= 3 digits WITHOUT lpad (lpad truncates longer input)
+    padded = F.concat(
+        F.when(a < 10, F.lit("00")).when(a < 100, F.lit("0")).otherwise(F.lit("")),
+        raw,
+    )
+    int_part = F.substring(padded, F.lit(1), F.length(padded) - F.lit(2))
+    frac = F.substring(padded, F.lit(-2), F.lit(2))
+    sign = F.when(cents < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(sign, int_part, F.lit("."), frac)
+
+
+def money_str_duck(cents_expr: str) -> str:
+    """DuckDB twin of cents_to_money_str over a cents SQL expression.
+
+    The expression is inlined several times, so pass a simple column
+    reference (derive cents in a CTE first)."""
+    a = f"ABS({cents_expr})"
+    p = (
+        f"CONCAT(CASE WHEN {a} < 10 THEN '00' WHEN {a} < 100 THEN '0' "
+        f"ELSE '' END, CAST({a} AS VARCHAR))"
+    )
+    return (
+        f"CONCAT(CASE WHEN ({cents_expr}) < 0 THEN '-' ELSE '' END, "
+        f"SUBSTR({p}, 1, LENGTH({p}) - 2), '.', SUBSTR({p}, -2, 2))"
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import CENTS_TO_DECIMAL_DUCK, MONEY_CENTS_DUCK, cents_to_decimal, money_cents
+from ..functions import MONEY_CENTS_DUCK, cents_to_money_str, money_cents, money_str_duck
 from ..io import table
 from ..registry import query
 
@@ -169,13 +169,12 @@ def asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH labeled AS (
         SELECT event_id, user_id, ts,
-               {CENTS_TO_DECIMAL_DUCK.format(
-                   cents=MONEY_CENTS_DUCK.format(col="value"), p=18)}
-                   AS label_value
+               {MONEY_CENTS_DUCK.format(col="value")} AS label_cents
         FROM events WHERE event_type = 'purchase'
     )
     SELECT l.event_id, l.user_id,
-           l.label_value,
+           l.label_cents AS label_value_cents,
+           {money_str_duck("l.label_cents")} AS label_value,
            (SELECT COUNT(*) FROM events e
              WHERE e.user_id = l.user_id
                AND (e.ts < l.ts OR (e.ts = l.ts AND e.event_id < l.event_id)))
@@ -203,6 +202,10 @@ def asof_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strictly-before semantics as correlated subqueries, so any
     off-by-one in the frame breaks the hash.
 
+    The label money value is gated as BIGINT cents + the canonical
+    VARCHAR rendering (cents_to_money_str) — DecimalType is banned from
+    gated schemas (tests/test_oracle_types.py; VERDICT r07 ask #2).
+
     Plan: NO correlated subqueries and NO as-of self-join per feature —
     one per-user ordered window pass (rowsBetween unbounded-preceding →
     -1) computes all three features in the same frame, then the label
@@ -220,7 +223,8 @@ def asof_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        cents_to_decimal(cents, 18).alias("label_value"),
+        cents.alias("label_value_cents"),
+        cents_to_money_str(cents).alias("label_value"),
         F.count("*").over(w).alias("f_n_prior_events"),
         (
             F.coalesce(
@@ -238,6 +242,7 @@ def asof_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
+        "label_value_cents",
         "label_value",
         F.coalesce("f_n_prior_events", F.lit(0)).alias("f_n_prior_events"),
         "f_prior_spend",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import DIV_ROUND4_DUCK, MONEY_CENTS_DUCK, div_round4, money_cents
 from ..io import table
 from ..registry import query
+from ..shared import transient_persist
 
 
 @query(
@@ -147,9 +148,9 @@ def behavior_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(7·days·users) for a per-day band self-join. Same shape at any
     window length; the fan-out constant IS the window."""
     e = table(spark, sf_dir, "events")
-    user_days = e.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct().persist()
+    user_days = transient_persist(
+        e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
     dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
     contrib = (
         user_days.select(

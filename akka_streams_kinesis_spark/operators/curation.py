@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import NORM_TEXT_DUCK, div_round4, normalize_text, word_shingles
 from ..io import fanout, table
 from ..registry import query
-from .dedup import _band_cap_ctes, _minhash_ctes, dedup_minhash
+from ..shared import shared_frame, transient_persist
+from .dedup import _band_cap_ctes, _minhash_ctes, minhash_pairs_shared
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
@@ -131,6 +132,25 @@ def connected_components(undirected_edges: DataFrame, max_rounds: int = 20) -> D
     return labels
 
 
+def cc_labels_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components labels over the MinHash-LSH candidate pairs,
+    cached once per (session, sf_dir) via shared.py: four registry
+    queries (cluster components, size histogram, keep-best, leakage-safe
+    split) consume this identical fixpoint and previously each rebuilt
+    the whole minhash→CC chain cold (VERDICT r07 ask #4)."""
+
+    def build() -> DataFrame:
+        pairs = minhash_pairs_shared(spark, sf_dir)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        return connected_components(edges)
+
+    return shared_frame(spark, "minhash_cc_labels", sf_dir, build)
+
+
 @query("dedup_cluster_components", oracle=_CC_ORACLE)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over MinHash-LSH candidate pairs: the step that
@@ -144,14 +164,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the candidate pairs, not just the edge union: the two union
     # branches would otherwise each re-run the whole minhash pipeline
     # (shingle → sign → band → self-join) inside the first action
-    pairs = dedup_minhash(spark, sf_dir).persist()
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = connected_components(edges)
-    pairs.unpersist()
+    labels = cc_labels_shared(spark, sf_dir)
 
     sizes = labels.groupBy("rep").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "rep").select(
@@ -644,7 +657,9 @@ def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bcum = bsums.withColumn(
         "cum_before", F.coalesce(F.sum("b_tok").over(w_before), F.lit(0))
-    ).persist()  # feeds the per-lang boundary AND the refine join
+    )
+    # feeds the per-lang boundary AND the refine join
+    bcum = transient_persist(bcum)
     # buckets whose prefix already meets the budget can't contribute a row
     active = bcum.filter(F.col("cum_before") < _TOKEN_BUDGET)
     bounds = active.groupBy("lang").agg(F.max("bucket").alias("max_b"))
@@ -727,14 +742,7 @@ def curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     already has; the survivor pick is a per-cluster window whose
     partitions are near-dup clusters (bounded by the band cap upstream).
     """
-    pairs = dedup_minhash(spark, sf_dir).persist()
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = connected_components(edges)
-    pairs.unpersist()
+    labels = cc_labels_shared(spark, sf_dir)
 
     d = table(spark, sf_dir, "documents")
     quality = (
@@ -864,7 +872,7 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical", F.col("doc_id") == F.min("doc_id").over(wmin)
         )
     )
-    survivors = deduped.filter("is_canonical").select("doc_id", "w").persist()
+    survivors = transient_persist(deduped.filter("is_canonical").select("doc_id", "w"))
     split = table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
     )
@@ -971,8 +979,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.md5("g").alias("h"))
         .distinct()
-        .persist()
     )
+    sh = transient_persist(sh)
     df = sh.groupBy("h").agg(F.count("*").alias("df"))
     return (
         sh.join(df, "h")
@@ -1095,14 +1103,7 @@ def split_leakage_safe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     as split_train_valid_test, now keyed on the rep. The DuckDB oracle
     replays the whole pipeline (recursive-CTE components → split CASE),
     so the no-leakage property is hash-gated end to end."""
-    pairs = dedup_minhash(spark, sf_dir).persist()
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = connected_components(edges)
-    pairs.unpersist()
+    labels = cc_labels_shared(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id")
     assigned = (
         docs.join(
@@ -1497,13 +1498,14 @@ def pipeline_incremental_corpus_refresh(
         "source",
         normalize_text(F.col("text")).alias("t"),
         (F.col("doc_id") % 5 == 4).alias("incoming"),
-    ).withColumn("dg", F.md5("t")).persist()
+    ).withColumn("dg", F.md5("t"))
+    tagged = transient_persist(tagged)
     standing = tagged.filter(~F.col("incoming"))
     incoming = tagged.filter(F.col("incoming"))
 
-    s1 = incoming.join(
-        standing.select("dg").distinct(), "dg", "left_anti"
-    ).persist()
+    s1 = transient_persist(
+        incoming.join(standing.select("dg").distinct(), "dg", "left_anti")
+    )
 
     def _sh(df: DataFrame) -> DataFrame:
         return (
@@ -1520,11 +1522,11 @@ def pipeline_incremental_corpus_refresh(
             .distinct()
         )
 
-    inc_sh = _sh(s1).persist()
+    inc_sh = transient_persist(_sh(s1))
     # the standing-side shingle explode feeds BOTH the df counter and the
     # containment join — persist it so the (big-side) normalize→shingle→
     # distinct pipeline runs once, not twice
-    stand_sh = _sh(standing).persist()
+    stand_sh = transient_persist(_sh(standing))
     df_counts = (
         inc_sh.unionByName(stand_sh)
         .groupBy("h")
@@ -1552,8 +1554,8 @@ def pipeline_incremental_corpus_refresh(
             2 * F.coalesce(F.col("best_common"), F.lit(0)) < F.col("n_sh")
         )
         .select(*s1.columns)
-        .persist()
     )
+    s2 = transient_persist(s2)
     quality = (
         s2.select("doc_id", F.explode(F.split("t", " ")).alias("wd"))
         .groupBy("doc_id", "wd")
@@ -1630,14 +1632,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the bin is the binary digit count of an exact integer
     cluster size (no float log2); every column is an integer count."""
-    pairs = dedup_minhash(spark, sf_dir).persist()
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    members = connected_components(edges)
-    pairs.unpersist()
+    members = cc_labels_shared(spark, sf_dir)
     sizes = members.groupBy("rep").agg(F.count("*").alias("cluster_size"))
     binned = (
         sizes.groupBy(

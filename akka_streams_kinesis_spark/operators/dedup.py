@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
 from ..io import fanout, table
 from ..registry import query
+from ..shared import shared_frame, transient_persist
 
 _N_HASHES = 8          # minhash signature length
 _BAND_SIZE = 2         # rows per LSH band → 4 bands
@@ -260,6 +261,44 @@ def _minhash_oracle() -> str:
     """
 
 
+def minhash_sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-column MinHash signature table, cached once per (session,
+    sf_dir): feeds the band pipeline and the verify/rerank signature
+    joins (dedup_minhash_verified)."""
+    return shared_frame(
+        spark,
+        "minhash_sigs",
+        sf_dir,
+        lambda: _minhash_signatures(spark, sf_dir),
+    )
+
+
+def minhash_bands_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-signature table, cached once per (session, sf_dir): it
+    feeds three consumers inside the pair generator (bucket stats + both
+    self-join sides) and a fourth query (dedup_split_leakage_audit)."""
+    return shared_frame(
+        spark,
+        "minhash_bands",
+        sf_dir,
+        lambda: _minhash_bands(minhash_sigs_shared(spark, sf_dir)),
+    )
+
+
+def minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped candidate-pair list, cached once per (session, sf_dir):
+    consumed by dedup_minhash_lsh, dedup_method_venn, and every
+    connected-components client (cluster components / size histogram /
+    keep-best / leakage-safe split), which previously each rebuilt the
+    whole shingle→sign→band→self-join chain cold (VERDICT r07 ask #4)."""
+    return shared_frame(
+        spark,
+        "minhash_pairs",
+        sf_dir,
+        lambda: _capped_band_pairs(minhash_bands_shared(spark, sf_dir)),
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: shingle → 8 seeded min-hashes →
@@ -271,11 +310,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup mining tractable at corpus scale. Buckets over _MAX_BAND_DF
     members are collapsed to star edges (see _capped_band_pairs), so even
     a boilerplate mega-cluster stays O(k) rows, not O(k²).
-    """
-    # the band table feeds three consumers (bucket stats + both self-join
-    # sides); persist so the shingle->sign pipeline runs once, not thrice
-    bands = _minhash_bands(_minhash_signatures(spark, sf_dir)).persist()
-    return _capped_band_pairs(bands)
+
+    Band table and pair list are shared.py-cached: five registry queries
+    consume this chain, and they reuse one persisted copy per session
+    instead of four cold rebuilds."""
+    return minhash_pairs_shared(spark, sf_dir)
 
 
 @query(
@@ -340,11 +379,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))).alias("h"),
         )
         .distinct()
-        # the shingle set feeds four consumers (sizes, the df cap, both
-        # self-join sides); without a persist each one re-runs the full
-        # explode+distinct pipeline — at 100 TB that is 4 corpus scans
-        .persist()
     )
+    # the shingle set feeds four consumers (sizes, the df cap, both
+    # self-join sides); without a persist each one re-runs the full
+    # explode+distinct pipeline — at 100 TB that is 4 corpus scans
+    shingles = transient_persist(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     joinable = _cap_shingle_df(shingles)
     a = joinable.alias("a")
@@ -402,9 +441,9 @@ def dedup_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the documents). Candidate generation shares the _MAX_BAND_DF
     bucket cap with dedup_minhash_lsh (star edges for mega-buckets)."""
     # sigs feed the band pipeline AND the sa/sb signature joins below —
-    # multiple consumers of one shingle->sign pipeline; persist once
-    sigs = _minhash_signatures(spark, sf_dir).persist()
-    cands = _capped_band_pairs(_minhash_bands(sigs).persist())
+    # one shared cached copy per session (shared.py)
+    sigs = minhash_sigs_shared(spark, sf_dir)
+    cands = minhash_pairs_shared(spark, sf_dir)
     sa = sigs.select(
         F.col("doc_id").alias("sa_id"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(_N_HASHES)]
     )
@@ -486,10 +525,10 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))).alias("h"),
         )
         .distinct()
-        # four consumers (sizes, df cap, both join sides) — persist, same
-        # argument as dedup_ngram_jaccard
-        .persist()
     )
+    # four consumers (sizes, df cap, both join sides) — persist, same
+    # argument as dedup_ngram_jaccard
+    shingles = transient_persist(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     joinable = _cap_shingle_df(shingles)
     a = joinable.alias("a")
@@ -750,8 +789,8 @@ def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("h"),
         )
         .distinct()
-        .persist()
     )
+    shingles = transient_persist(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     joinable = _cap_shingle_df(shingles)
     a, b = joinable.alias("a"), joinable.alias("b")
@@ -842,8 +881,7 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to dedup_minhash_lsh (its pair generator is
     the whole cost) plus one dimension-sized aggregate; the audit adds
     zero shuffles over the candidate pairs beyond their own distinct."""
-    bands = _minhash_bands(_minhash_signatures(spark, sf_dir)).persist()
-    pairs = _capped_band_pairs(bands)
+    pairs = minhash_pairs_shared(spark, sf_dir)
     split_a = F.expr(_split_case("doc_a", "STRING"))
     split_b = F.expr(_split_case("doc_b", "STRING"))
     classed = pairs.select(

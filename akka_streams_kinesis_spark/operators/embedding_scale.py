@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 
 from ..io import fanout, table
 from ..registry import query
+from ..shared import transient_persist
 
 _DIM = 64
 _PCA_K = 8
@@ -639,7 +640,7 @@ def _ann_recall_gate(
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     gt = _exact_rerank(spark, e, all_pairs, qrows, _PQ_TOPK)
-    ann = ann.persist()  # feeds the completeness agg AND the recall join
+    ann = transient_persist(ann)  # feeds the completeness agg AND the recall join
     per_q = ann.groupBy("query_id").agg(F.count("*").alias("n_res"))
     hits = (
         ann.select("query_id", "vec_id")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import NORM_TEXT_DUCK, normalize_text
 from ..io import fanout, table
 from ..registry import query
+from ..shared import transient_persist
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
@@ -248,9 +249,11 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch to the (bounded) candidate set. At 100 TB nothing here
     shuffles more than depth·width rows."""
     d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    ).persist()
+    toks = transient_persist(
+        d.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+        )
+    )
     seeds = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
     sketch = (
         toks.select("tok", F.explode(seeds).alias("seed"))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import table
 from ..registry import query
+from ..shared import shared_frame, transient_persist
 
 # total rank mass in integer units; 1e12 spreads comfortably over any
 # realistic node count while keeping per-edge contributions well above 0
@@ -45,17 +46,24 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle each side on the join key; the DISTINCT collapses the
     fact-table multiplicity down to |customers|×avg-basket edges before
-    any iterative work sees them."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_suppkey").alias("suppkey"),
+    any iterative work sees them. shared.py-cached once per (session,
+    sf_dir): five graph queries (pagerank, jaccard link prediction,
+    degree distribution, core peel, LPA) consume this identical edge
+    list."""
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("l_suppkey").alias("suppkey"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
+    return shared_frame(spark, "purchase_edges", sf_dir, build)
 
 
 @query(
@@ -271,7 +279,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list feeds FIVE consumers (three closure aliases, the edge count,
     # and stats); the triangle list feeds four — persist each so the
     # upstream pipeline runs once per tier, not per consumer
-    kept = baskets.join(sized, "partkey").persist()
+    kept = transient_persist(baskets.join(sized, "partkey"))
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(
@@ -297,8 +305,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (lift * lift > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
         )
         .select("u", "v")
-        .persist()
     )
+    pairs = transient_persist(pairs)
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -311,8 +319,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.v").alias("b"),
             F.col("e2.v").alias("c"),
         )
-        .persist()
     )
+    tri = transient_persist(tri)
     per_node = (
         tri.select(F.col("a").alias("node"))
         .unionByName(tri.select(F.col("b").alias("node")))
@@ -397,14 +405,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     # consumers (degrees + both self-join sides) — persist both so the
     # lineitem ⋈ orders ⋈ distinct pipeline runs once, not four times
     # (the dedup_minhash_lsh band-frame discipline)
-    edges = _purchase_edges(spark, sf_dir).persist()
+    edges = _purchase_edges(spark, sf_dir)  # shared-cached
     sized = (
         edges.groupBy("custkey")
         .agg(F.count("*").alias("basket"))
         .filter(F.col("basket") <= _LP_MAX_BASKET)
         .select("custkey")
     )
-    kept = edges.join(sized, "custkey").persist()
+    kept = transient_persist(edges.join(sized, "custkey"))
     deg = kept.groupBy("suppkey").agg(F.count("*").alias("d"))
     a, b = kept.alias("a"), kept.alias("b")
     shared = (

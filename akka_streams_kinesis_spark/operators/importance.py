@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
 from ..io import fanout, table
 from ..registry import query
+from ..shared import transient_persist
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
@@ -108,8 +109,8 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "lang", F.substring(F.md5("g"), 1, 3).alias("bucket")
         )
-        .persist()
     )
+    grams = transient_persist(grams)
     tgt = (
         grams.filter(F.col("lang") == _TARGET_LANG)
         .groupBy("bucket")
@@ -233,8 +234,8 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(word_shingles("w", _BLOOM_N)).alias("s")
         )
         .distinct()
-        .persist()
     )
+    sh = transient_persist(sh)
     split = table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
     )

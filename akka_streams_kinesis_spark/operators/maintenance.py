@@ -936,7 +936,10 @@ def maintenance_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> Da
                AS total_cents
     FROM events e
     CROSS JOIN (VALUES ('mor'), ('compacted')) AS p(read_path)
-    WHERE e.event_type <> 'error'
+    -- IS DISTINCT FROM: the engine's anti-join deletes only rows whose
+    -- event_type = 'error'; NULL-typed rows are KEPT on both sides
+    -- (a bare <> would silently drop them from the oracle only)
+    WHERE e.event_type IS DISTINCT FROM 'error'
     GROUP BY p.read_path, e.event_type
     """,
 )

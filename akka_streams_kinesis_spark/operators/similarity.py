@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..io import fanout, table
 from ..registry import query
+from ..shared import transient_persist
 
 _TOPK = 5
 _N_QUERIES = 10   # query set = vec_id < 10
@@ -709,8 +710,8 @@ def similarity_paired_retrieval_eval(
                 )
             ),
         )
-        .persist()
     )
+    ranked = transient_persist(ranked)
     same = ranked.filter(F.col("q_label") == F.col("v_label"))
     best = same.groupBy("query_id").agg(F.min("rnk").alias("best_rnk"))
     target = (

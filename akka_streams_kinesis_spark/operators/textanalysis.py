@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import NORM_TEXT_DUCK, normalize_text
 from ..io import fanout, table
 from ..registry import query
+from ..shared import transient_persist
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
@@ -485,7 +486,8 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "p",
         F.md5(F.expr(f"substring(text, p, {_SPAN_K})")).alias("dig"),
-    ).persist()  # two consumers: the df aggregate and the mark-join
+    )
+    grams = transient_persist(grams)  # two consumers: the df aggregate and the mark-join
     dupdig = (
         grams.groupBy("dig")
         .agg(F.countDistinct("doc_id").alias("df"))

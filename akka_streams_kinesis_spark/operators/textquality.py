@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
 from ..io import fanout, table
 from ..registry import query
+from ..shared import transient_persist
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
@@ -385,8 +386,8 @@ def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("bg", " ")[0].alias("w1"),
             F.split("bg", " ")[1].alias("w2"),
         )
-        .persist()
     )
+    bigrams = transient_persist(bigrams)
     cb = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     cu = cb.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count("*").alias("n1_fwd")

@@ -40,8 +40,10 @@ def _reused(df: DataFrame) -> DataFrame:
     not. The persisted relations here are post-aggregation (≤ |part| ×
     |supplier-in-filter| rows), orders of magnitude under the fact table,
     so MEMORY_AND_DISK is safe at any SF while the scan happens exactly
-    once."""
-    return df.persist()
+    once. Registered with shared.py so release_shared() bounds memory."""
+    from ..shared import transient_persist
+
+    return transient_persist(df)
 
 
 # --------------------------------------------------------------------------

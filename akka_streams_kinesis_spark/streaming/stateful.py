@@ -218,7 +218,7 @@ _CEP_OUTPUT_SCHEMA = (
 _CEP_STATE_SCHEMA = (
     "ts_us array<long>, event_id array<long>, sym array<string>, "
     "n_closed long, n_closed_conv long, n_closed_matches long, "
-    "open_syms string, last_ts long, last_eid long"
+    "open_syms string, last_ts long, last_eid long, has_cursor boolean"
 )
 _CEP_GAP_US = 1800 * 1000 * 1000  # 30-minute session gap, integer µs
 _CEP_PATTERN = "v[ce]*p"  # view → (clicks/errors)* → purchase
@@ -260,8 +260,12 @@ def _update_cep(
         ts_us, eid, sym = list(st[0]), list(st[1]), list(st[2])
         n_closed, n_conv, n_matches = st[3], st[4], st[5]
         open_syms = st[6]
-        last_ts = None if st[7] is None or st[7] < 0 else int(st[7])
-        last_eid = None if st[8] is None or st[8] < 0 else int(st[8])
+        # explicit has_cursor boolean — a negative-sentinel remap would
+        # silently decode any legitimate pre-epoch (negative) timestamp
+        # as "no cursor" and skip the gap check against prior history
+        has_cursor = bool(st[9])
+        last_ts = int(st[7]) if has_cursor else None
+        last_eid = int(st[8]) if has_cursor else None
     else:
         ts_us, eid, sym = [], [], []
         n_closed = n_conv = n_matches = 0
@@ -312,8 +316,9 @@ def _update_cep(
             ts_us, eid, sym,
             n_closed, n_conv, n_matches,
             open_syms,
-            -1 if last_ts is None else last_ts,
-            -1 if last_eid is None else last_eid,
+            0 if last_ts is None else last_ts,
+            0 if last_eid is None else last_eid,
+            last_ts is not None,
         )
     )
 

@@ -285,6 +285,10 @@ HEADLINE = [
     "agg_frequent_itemset_pairs",
     "source_checkpoint_restart_rollup",
     "scalar_variant_json_shredding",
+    # round 8
+    "scalar_decimal_money_dbg_n",
+    "scalar_decimal_money_dbg_total_cents",
+    "scalar_decimal_money_dbg_total_money",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.
@@ -412,6 +416,14 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    # one documented cache lifecycle (shared.py): every cross-query shared
+    # frame (minhash bands/pairs/CC labels, purchase edges) and every
+    # registered intra-query persist is released here, before the stream
+    # drains, instead of each operator guessing when its last consumer ran
+    from akka_streams_kinesis_spark.shared import release_shared
+
+    release_shared()
 
     # Streaming throughput: every STREAM_SECTION query drains its stream
     # end-to-end (availableNow trigger, fresh checkpoint per call) and is

@@ -226,6 +226,15 @@ SF1_CANARY = [
     "stream_two_sinks_atomic",           # dual-sink commit protocol at volume
     "stream_exactly_once_sink",          # commit-log sink at volume
     "stream_merge_upsert_table",         # streaming merge at volume
+    # round-8 additions
+    "scalar_decimal_money_dbg_n",        # money-gate debug twin (count)
+    "scalar_decimal_money_dbg_total_cents",  # money-gate debug twin (BIGINT sum)
+    "scalar_decimal_money_dbg_total_money",  # money-gate debug twin (VARCHAR render)
+    # round-8 (verdict ask #5): the three slowest stream drains, so the
+    # scaling canary times them at sf1 and flags super-linear degradation
+    "stream_stream_interval_join",       # watermarked interval self-join state
+    "stream_rollup_table_maintenance",   # foreachBatch rollup-table rewrite
+    "stream_dedup_counts",               # watermark-bounded dedup state
 ]
 
 # Oracle-infeasible at sf1: a query lands here when its deliberately-

@@ -159,3 +159,24 @@ def test_random_batching_equals_single_batch():
         outs = _run(batches)
         for col in ("n_events", "n_sessions", "n_converted_sessions", "n_matches"):
             assert outs[-1][col][0] == ref[col][0], (trial, col)
+
+
+def test_pre_epoch_cursor_is_not_a_sentinel():
+    # regression (round-8 ADVICE): the state used -1 as the "no cursor"
+    # sentinel, so a legitimate pre-epoch (negative) timestamp cursor was
+    # decoded as "no cursor" and the next batch's fold skipped the gap
+    # check against prior history. With the explicit has_cursor boolean,
+    # pre-epoch histories fold identically to single-batch arrival.
+    rows = [
+        (-2 * _CEP_GAP_US, 1, "view"),
+        (-2 * _CEP_GAP_US + MIN_US, 2, "purchase"),
+        # > 30-min gap, still pre-epoch: must open a NEW session
+        (-_CEP_GAP_US // 2, 3, "view"),
+        (-_CEP_GAP_US // 2 + MIN_US, 4, "purchase"),
+    ]
+    outs = _run([_batch(rows[:2]), _batch(rows[2:])])
+    (ref,) = _run([_batch(rows)])
+    for col in ("n_events", "n_sessions", "n_converted_sessions", "n_matches"):
+        assert outs[-1][col][0] == ref[col][0], col
+    assert outs[-1]["n_sessions"][0] == 2
+    assert outs[-1]["n_matches"][0] == 2

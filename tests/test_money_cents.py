@@ -72,3 +72,49 @@ def test_roundtrip_for_exact_2dp_values(spark):
     assert [r["dec"] for r in rows] == [
         Decimal(str(v)).quantize(Decimal("0.01")) for v in vals
     ]
+
+
+# ---------------------------------------------------------------------------
+# cents_to_money_str / money_str_duck — the round-8 driver-gate rendering
+# ---------------------------------------------------------------------------
+
+CENTS = [0, 1, 5, 7, 9, 10, 99, 100, 101, 12345, -1, -7, -99, -100, -12345,
+         987654321098765, -987654321098765]
+
+
+def test_money_str_bit_identical_across_engines(spark):
+    from akka_streams_kinesis_spark.functions import (
+        cents_to_money_str,
+        money_str_duck,
+    )
+
+    df = spark.createDataFrame([(c,) for c in CENTS], "c long")
+    got = [
+        r["s"]
+        for r in df.select(cents_to_money_str(F.col("c")).alias("s"))
+        .orderBy("c")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(c BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(c,) for c in CENTS])
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {money_str_duck('c')} FROM t ORDER BY c"
+        ).fetchall()
+    ]
+    assert got == duck
+
+
+def test_money_str_is_canonical_decimal_rendering(spark):
+    from akka_streams_kinesis_spark.functions import cents_to_money_str
+
+    df = spark.createDataFrame([(c,) for c in CENTS], "c long")
+    rows = df.select("c", cents_to_money_str(F.col("c")).alias("s")).collect()
+    for r in rows:
+        sign = "-" if r["c"] < 0 else ""
+        a = abs(r["c"])
+        assert r["s"] == f"{sign}{a // 100}.{a % 100:02d}", r
+        # and it round-trips through Decimal exactly
+        assert Decimal(r["s"]) * 100 == r["c"]

@@ -18,7 +18,13 @@ from akka_streams_kinesis_spark.io import TABLES
 
 registry.load_all()
 
-FORBIDDEN = ("HUGEINT", "TIMESTAMP_NS", "UHUGEINT")
+# DECIMAL joined the ban list in round 8: scalar_decimal_money_arithmetic
+# was driver-red for two rounds with locally-green values — the driver's
+# value hash is type/rendering-sensitive for DECIMAL the way it provably
+# was for HUGEINT. Money crosses the gate as BIGINT cents + canonical
+# VARCHAR (functions.cents_to_money_str / money_str_duck); DECIMAL
+# semantics stay audited in tests/test_money_cents.py.
+FORBIDDEN = ("HUGEINT", "TIMESTAMP_NS", "UHUGEINT", "DECIMAL")
 
 
 @pytest.fixture(scope="module")
@@ -40,4 +46,25 @@ def test_oracle_output_types_hashable(duck, name):
     assert not bad, (
         f"oracle for {name!r} emits driver-hash-unsafe types {bad}; "
         f"CAST the offending columns (e.g. CAST(SUM(...) AS BIGINT))"
+    )
+
+
+def test_no_decimal_in_spark_gated_schemas(spark, sf_dir):
+    """Spark-side twin of the DECIMAL ban: no registry query's result
+    schema may contain a DecimalType (VERDICT r07 ask #2). Streaming
+    queries are skipped here (building them runs drains); their oracle
+    side is still DESCRIBE-checked above."""
+    from pyspark.sql.types import DecimalType
+
+    bad = []
+    for name in sorted(registry.QUERIES):
+        if name.startswith("stream_"):
+            continue
+        schema = registry.QUERIES[name](spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                bad.append((name, f.name, str(f.dataType)))
+    assert not bad, (
+        f"DecimalType in gated output schemas {bad}; gate BIGINT cents + "
+        f"canonical VARCHAR (cents_to_money_str) instead"
     )

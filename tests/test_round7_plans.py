@@ -62,3 +62,13 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
     df = registry.QUERIES["layout_dynamic_partition_pruning"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_frequent_itemset_pairs_join_is_hash_not_nested_loop(spark, sf_dir):
+    # round-8 ADVICE: the one mixed equi/non-equi self-join (_ok equality
+    # AND part_a < part_b) — a regression in equi-key extraction would
+    # silently degrade it to a nested-loop join
+    df = registry.QUERIES["agg_frequent_itemset_pairs"](spark, sf_dir)
+    st = join_strategies(df)
+    assert st["cartesian"] == 0
+    assert st["broadcast_nested_loop"] == 0
