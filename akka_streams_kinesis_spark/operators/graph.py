@@ -795,3 +795,140 @@ def graph_label_propagation_communities(
         .orderBy(F.col("n_members").desc(), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_personalized_pagerank — PPR from a deterministic seed set
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 100  # seed customers: custkey % 100 == 0
+
+
+def _ppr_round_sql(prev: str) -> str:
+    """One PPR round as a DuckDB CTE body: teleport mass goes ONLY to
+    seeds; propagation term identical to global PageRank."""
+    return f"""
+        SELECT n.node,
+               (CASE WHEN n.is_seed THEN
+                    (({_PR_D_DEN} - {_PR_D_NUM}) * {_PR_SCALE})
+                        // ({_PR_D_DEN} * (SELECT ns FROM meta))
+                ELSE 0 END)
+               + ({_PR_D_NUM} * COALESCE(SUM(r.rank_u // d.out_deg), 0)) // {_PR_D_DEN}
+                 AS rank_u
+        FROM nodes n
+        LEFT JOIN dir_edges e ON e.dst = n.node
+        LEFT JOIN {prev} r ON r.node = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY n.node, n.is_seed
+    """
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), nodes AS (
+        SELECT 'c' || custkey AS node, custkey % {_PPR_SEED_MOD} = 0 AS is_seed
+        FROM (SELECT DISTINCT custkey FROM edges)
+        UNION ALL
+        SELECT 's' || suppkey AS node, FALSE AS is_seed
+        FROM (SELECT DISTINCT suppkey FROM edges)
+    ), dir_edges AS (
+        SELECT 'c' || custkey AS src, 's' || suppkey AS dst FROM edges
+        UNION ALL
+        SELECT 's' || suppkey AS src, 'c' || custkey AS dst FROM edges
+    ), deg AS (
+        SELECT src, COUNT(*) AS out_deg FROM dir_edges GROUP BY src
+    ), meta AS (
+        SELECT COUNT(*) FILTER (WHERE is_seed) AS ns FROM nodes
+    ), r0 AS (
+        SELECT node, CASE WHEN is_seed
+                          THEN {_PR_SCALE} // (SELECT ns FROM meta)
+                          ELSE 0 END AS rank_u
+        FROM nodes
+    ), r1 AS ({_ppr_round_sql("r0")}
+    ), r2 AS ({_ppr_round_sql("r1")}
+    ), r3 AS ({_ppr_round_sql("r2")}
+    )
+    SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM r3
+    WHERE node LIKE 's%'
+    ORDER BY rank_u DESC, node
+    LIMIT 25
+    """,
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random-walk-with-restart where the teleport
+    mass returns ONLY to a seed set (customers with custkey %
+    {_PPR_SEED_MOD} == 0) instead of uniformly to all nodes — 'which
+    suppliers matter *to this cohort*', the recommendation/trust primitive
+    global PageRank cannot express (its answer is cohort-independent).
+    {_PR_ITERS} fixed rounds, damping 85/100, top-25 suppliers.
+
+    Scale shape: identical to graph_pagerank_purchases — the shared
+    purchase edge list (shared.py-cached) is localCheckpointed once,
+    every round is one |E| hash join + hash agg; the ONLY difference is
+    the teleport term, a row-local CASE on a precomputed is_seed flag.
+    The seed set is a predicate, never a driver-collected list, so
+    personalization costs nothing extra at 100 TB.
+
+    Determinism: same integer rank units + FLOOR-div contributions as
+    global PageRank — bit-identical across engines and partition orders.
+
+    Reference parity: none (connector has no graph surface); SURVEY §2.D
+    north-star extension alongside graph_pagerank_purchases."""
+    edges = _purchase_edges(spark, sf_dir)
+    dir_edges = (
+        edges.select(
+            F.concat(F.lit("c"), F.col("custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("suppkey")).alias("dst"),
+        )
+        .unionByName(
+            edges.select(
+                F.concat(F.lit("s"), F.col("suppkey")).alias("src"),
+                F.concat(F.lit("c"), F.col("custkey")).alias("dst"),
+            )
+        )
+    )
+    dir_edges = dir_edges.localCheckpoint(eager=True)
+    nodes = dir_edges.select(F.col("src").alias("node")).distinct().select(
+        "node",
+        (
+            F.col("node").startswith("c")
+            & (F.expr("CAST(substring(node, 2) AS BIGINT)") % _PPR_SEED_MOD == 0)
+        ).alias("is_seed"),
+    )
+    n_seeds = nodes.filter("is_seed").count()  # scalar metadata collect
+    deg = dir_edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    seed_base = ((_PR_D_DEN - _PR_D_NUM) * _PR_SCALE) // (_PR_D_DEN * n_seeds)
+
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(_PR_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .alias("rank_u"),
+    )
+    contrib_edges = dir_edges.join(deg, "src")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            contrib_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_u DIV out_deg").alias("c_u"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c_u").alias("in_u"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.when(F.col("is_seed"), F.lit(seed_base)).otherwise(F.lit(0))
+                + F.expr(f"({_PR_D_NUM} * coalesce(in_u, 0L)) DIV {_PR_D_DEN}")
+            ).alias("rank_u"),
+        )
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .orderBy(F.col("rank_u").desc(), "node")
+        .limit(25)
+    )

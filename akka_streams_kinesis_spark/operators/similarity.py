@@ -1322,3 +1322,244 @@ def similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy4"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_binary_quantization — sign-bit codes + Hamming shortlist + rerank
+# ---------------------------------------------------------------------------
+
+_BQ_SHORTLIST = 50  # Hamming candidates per query before the exact rerank
+
+
+def _bq_code_spark(lo_bit: int, hi_bit: int) -> Column:
+    """Pack sign bits [lo_bit, hi_bit) of the embedding into one BIGINT."""
+    return sum(
+        (
+            F.when(F.expr(f"embedding[{i}]") > 0, F.lit(1 << (i - lo_bit)))
+            .otherwise(F.lit(0))
+            for i in range(lo_bit, hi_bit)
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def _bq_code_duck(lo_bit: int, hi_bit: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (i - lo_bit)} ELSE 0 END)"
+        for i in range(lo_bit, hi_bit)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "similarity_binary_quantization",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, embedding,
+               {_bq_code_duck(0, 32)} AS lo,
+               {_bq_code_duck(32, 64)} AS hi
+        FROM embeddings
+    ), q AS (SELECT * FROM coded WHERE vec_id < {_N_QUERIES}),
+    ham AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               bit_count(xor(q.lo, v.lo)) + bit_count(xor(q.hi, v.hi)) AS hamming
+        FROM q JOIN coded v ON q.vec_id <> v.vec_id
+    ), short AS (
+        SELECT query_id, vec_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, vec_id) AS hrnk
+        FROM ham
+    ), cand AS (
+        SELECT query_id, vec_id, hamming FROM short WHERE hrnk <= {_BQ_SHORTLIST}
+    ), sims AS (
+        SELECT c.query_id, c.vec_id, c.hamming,
+               ROUND({_DUCK_SIM}, 6) AS sim
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings v ON v.vec_id = c.vec_id
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY c.query_id, c.vec_id, c.hamming
+    ), ranked AS (
+        SELECT query_id, vec_id, CAST(hamming AS BIGINT) AS hamming, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    )
+    SELECT query_id, vec_id, hamming, sim, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """,
+)
+def similarity_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization ANN: each 64-dim float vector is
+    packed into TWO BIGINT words of sign bits (32× smaller than the
+    floats); candidate generation is a Hamming-distance scan over the
+    packed words — two XOR + two POPCOUNT per comparison instead of 64
+    multiply-adds — and only the top-{_BQ_SHORTLIST} Hamming candidates
+    per query pay the exact cosine rerank. This is the modern
+    binary-quantization retrieval shape (sign-bit codes are the 1-bit
+    extreme of the PQ family): the compressed-domain scan is memory-
+    bandwidth-bound at 1/32nd the bytes, which is the whole win at
+    100 TB of vectors.
+
+    Plan: the corpus is coded in one row-local projection (whole-stage
+    codegen — the 64 CASE terms fold into two long sums); queries
+    broadcast against the coded scan; Hamming is two `bit_count(a ^ b)`
+    JVM intrinsics; per-query shortlist via top-k window; exact rerank
+    touches {_BQ_SHORTLIST} rows/query. No corpus shuffle anywhere.
+
+    Determinism: Hamming is exact integer; the rerank orders by
+    6dp-rounded cosine with vec_id tie-break (house convention); the
+    shortlist cut orders by (hamming, vec_id) — bit-identical across
+    engines.
+
+    Reference parity: none (SURVEY §2.D north-star ANN extension, the
+    1-bit sibling of similarity_ann_pq)."""
+    e = table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        "embedding",
+        _bq_code_spark(0, 32).alias("lo"),
+        _bq_code_spark(32, 64).alias("hi"),
+    )
+    q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    v = fanout(coded).select(
+        "vec_id",
+        F.col("embedding").alias("v_emb"),
+        F.col("lo").alias("v_lo"),
+        F.col("hi").alias("v_hi"),
+    )
+    ham = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "q_emb",
+            "v_emb",
+            (
+                F.expr("bit_count(q_lo ^ v_lo)") + F.expr("bit_count(q_hi ^ v_hi)")
+            ).cast("long").alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    cand = ham.withColumn("hrnk", F.row_number().over(wh)).filter(
+        F.col("hrnk") <= _BQ_SHORTLIST
+    )
+    sims = cand.select(
+        "query_id",
+        "vec_id",
+        "hamming",
+        F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "vec_id", "hamming", "sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_mips_norm_augment — max-inner-product via the norm-augment trick
+# ---------------------------------------------------------------------------
+
+# DuckDB raw inner product over unnested index range (aliases q, v)
+_DUCK_IP = "SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))"
+
+
+@query(
+    "similarity_mips_norm_augment",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id,
+               SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS sq
+        FROM embeddings CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY vec_id
+    ), m AS (SELECT MAX(sq) AS max_sq FROM norms),
+    q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               ROUND({_DUCK_IP}, 6) AS ip
+        FROM q
+        JOIN embeddings v ON q.vec_id <> v.vec_id
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY q.vec_id, v.vec_id
+    ), augmented AS (
+        SELECT s.query_id, s.vec_id, s.ip,
+               -- augmented-space cosine: <q,x> / (||q||·M); the extra
+               -- coordinate sqrt(M²−||x||²) makes every corpus vector
+               -- norm-M, so cosine ranking == inner-product ranking
+               ROUND(s.ip / SQRT((SELECT max_sq FROM m)), 6) AS aug
+        FROM scored s
+    ), ranked AS (
+        SELECT query_id, vec_id, ip,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ip DESC, vec_id) AS rnk_ip,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY aug DESC, vec_id) AS rnk_aug
+        FROM augmented
+    )
+    SELECT query_id, vec_id, ip, rnk_ip,
+           rnk_ip = rnk_aug AS aug_rank_agrees
+    FROM ranked WHERE rnk_ip <= {_TOPK}
+    """,
+)
+def similarity_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-inner-product search (MIPS) and the norm-augmentation
+    reduction (Bachrach et al. / Shrivastava-Li): MIPS cannot be served
+    by a cosine/L2 ANN index directly (inner product is not a metric),
+    but appending one coordinate sqrt(M²−‖x‖²) to every corpus vector —
+    M = max corpus norm — makes all vectors norm-M, and cosine ranking in
+    the augmented space equals inner-product ranking in the original.
+    That reduction is what lets the recommendation-scoring workload
+    (user·item dot products) reuse the whole cosine-ANN stack above
+    (IVF/LSH/PQ/binary) unchanged.
+
+    The gate returns the top-{_TOPK} by raw inner product per query AND a
+    per-row boolean that the augmented-space cosine ranking agrees — the
+    reduction's correctness claim, checked inside each engine and
+    hash-compared across them.
+
+    Plan: one corpus pass for the max-norm scalar (broadcast), one
+    broadcast-queries × corpus scan for scores, two rank windows over the
+    same tiny per-query partitions. No corpus shuffle; the augmentation
+    adds ZERO per-row cost at serve time (the divisor is a constant).
+
+    Determinism: both rankings order by 6dp-rounded scores with vec_id
+    tie-break; ip and aug differ by a constant positive factor, so the
+    rankings agree wherever rounding does not manufacture a tie."""
+    e = table(spark, sf_dir, "embeddings")
+    norms = e.select(_fold("embedding", "embedding").alias("sq"))
+    max_sq = norms.agg(F.max("sq")).first()[0]  # scalar model parameter
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    v = fanout(e).select("vec_id", F.col("embedding").alias("v_emb"))
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_fold("q_emb", "v_emb"), 6).alias("ip"),
+        )
+        .withColumn(
+            "aug", F.round(F.col("ip") / float(max_sq) ** 0.5, 6)
+        )
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), "vec_id")
+    w_aug = Window.partitionBy("query_id").orderBy(F.col("aug").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk_ip", F.row_number().over(w_ip))
+        .withColumn("rnk_aug", F.row_number().over(w_aug))
+        .filter(F.col("rnk_ip") <= _TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            "ip",
+            "rnk_ip",
+            (F.col("rnk_ip") == F.col("rnk_aug")).alias("aug_rank_agrees"),
+        )
+    )

@@ -806,3 +806,103 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regr_slope(ln(cum_vocab), ln(cum_tokens))").over(w_all), 4
         ).alias("heaps_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_dedup_rate — sub-document dedup measurement per source
+# ---------------------------------------------------------------------------
+
+_DCHUNK = 16  # non-overlapping chunk length for the dedup grain
+
+
+@query(
+    "text_chunk_dedup_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, STRING_SPLIT({_NORM}, ' ') AS w FROM documents
+    ), chunks AS (
+        SELECT doc_id, source,
+               MD5(ARRAY_TO_STRING(
+                   w[chunk_idx * {_DCHUNK} + 1 : chunk_idx * {_DCHUNK} + {_DCHUNK}],
+                   ' ')) AS dg
+        FROM (
+            SELECT doc_id, source, w,
+                   UNNEST(RANGE(0, CAST(FLOOR(LEN(w) / {_DCHUNK}.0) AS BIGINT)))
+                       AS chunk_idx
+            FROM toks
+        )
+    ), df AS (
+        SELECT dg, COUNT(*) AS n FROM chunks GROUP BY dg
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated,
+           FLOOR(SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) * 10000.0
+                 / COUNT(*) + 0.5) / 10000.0 AS dup_rate4
+    FROM chunks c JOIN df d ON d.dg = c.dg
+    GROUP BY c.source
+    """,
+)
+def text_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication measurement: documents are cut into
+    NON-overlapping {_DCHUNK}-token chunks, each chunk is hashed, and a
+    chunk is 'duplicated' when its digest occurs more than once anywhere
+    in the corpus. Per-source duplicated-chunk rate is the C4/RefinedWeb
+    measurement that motivates dedup below document granularity —
+    boilerplate headers/footers duplicate at chunk level while their host
+    documents stay unique, so doc-level dedup alone misses them (the
+    document-level twin is dedup_exact; the char-gram extreme is
+    text_duplicate_spans; this is the budget-relevant middle grain).
+
+    Plan: explode to (chunk digest) rows — linear in corpus tokens; one
+    hash-agg for global digest frequencies; the mark-join back to chunks
+    shuffles on the digest the frequency agg already grouped by; the
+    per-source rollup is dimension-sized. No pairwise joins anywhere.
+
+    Determinism: counts + FLOOR-1e4 rate; only full {_DCHUNK}-token
+    chunks count (FLOOR of len/chunk), so no ragged-tail ambiguity."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    n_chunks = F.floor(F.size("w") / float(_DCHUNK)).cast("long")
+    chunks = (
+        toks.filter(n_chunks > 0)
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "w", (F.col("chunk_idx") * _DCHUNK + 1).cast("int"), _DCHUNK
+                    ),
+                    " ",
+                )
+            ).alias("dg"),
+        )
+    )
+    chunks = transient_persist(chunks)  # feeds the df agg AND the mark-join
+    freq = chunks.groupBy("dg").agg(F.count("*").alias("n"))
+    marked = chunks.join(freq, "dg")
+    return marked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_duplicated"
+        ),
+        (
+            F.floor(
+                F.sum(F.when(F.col("n") > 1, 1).otherwise(0)) * 10000.0
+                / F.count("*")
+                + 0.5
+            )
+            / 10000.0
+        ).alias("dup_rate4"),
+    )

@@ -289,6 +289,11 @@ HEADLINE = [
     "scalar_decimal_money_dbg_n",
     "scalar_decimal_money_dbg_total_cents",
     "scalar_decimal_money_dbg_total_money",
+    "graph_personalized_pagerank",
+    "similarity_binary_quantization",
+    "agg_bitmap_exact_distinct_rollup",
+    "similarity_mips_norm_augment",
+    "text_chunk_dedup_rate",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -235,6 +235,105 @@ SF1_CANARY = [
     "stream_stream_interval_join",       # watermarked interval self-join state
     "stream_rollup_table_maintenance",   # foreachBatch rollup-table rewrite
     "stream_dedup_counts",               # watermark-bounded dedup state
+    # round-8 new operators
+    "graph_personalized_pagerank",       # seed-teleport PPR, 3 |E|-join rounds
+    "similarity_binary_quantization",    # sign-bit codes, Hamming shortlist
+    "agg_bitmap_exact_distinct_rollup",  # mergeable-bitmap exact distinct
+    "similarity_mips_norm_augment",      # MIPS reduction rank agreement
+    "text_chunk_dedup_rate",             # sub-document chunk dedup grain
+    # --- round-8 widening (verdict ask #6): every remaining registry
+    # name, so the sf1 canary covers the full surface ---
+    "agg_approx_distinct_users",
+    "agg_argmin_argmax_by",
+    "agg_corr_covar_price_qty",
+    "agg_cube_status_priority",
+    "agg_distinct_users_per_type",
+    "agg_exact_percentiles",
+    "agg_grouping_sets",
+    "agg_median_countif_bool",
+    "agg_mode_per_group",
+    "agg_rollup_region_nation",
+    "agg_stats_variance",
+    "asof_forward_time_to_purchase",
+    "asof_join_last_login",
+    "behavior_funnel_view_click_purchase",
+    "behavior_longest_streak",
+    "behavior_weekly_retention",
+    "curation_dataset_card",
+    "curation_quality_prune",
+    "egress_pyds_batch_write",
+    "embedding_quantize_int8",
+    "events_burst_detection",
+    "events_ewma_value",
+    "events_gap_fill_resample",
+    "events_hourly_rollup",
+    "events_inter_arrival_stats",
+    "events_robust_outliers_mad",
+    "events_session_conversion_by_depth",
+    "events_zscore_outliers",
+    "join_anti_inactive_customers",
+    "join_band_lookup_nested_loop",
+    "join_full_outer_nation_wealth",
+    "join_left_outer_order_counts",
+    "join_range_price_bands",
+    "join_right_outer_sampled_customers",
+    "join_semi_big_spenders",
+    "layout_compact_small_files",
+    "layout_manifest_zonemap",
+    "layout_partition_pruning",
+    "maintenance_compaction_planner",
+    "maintenance_retention_vacuum",
+    "multimodal_audio_features",
+    "multimodal_binary_features",
+    "multimodal_resize_thumbnails",
+    "sample_reproducible",
+    "sample_stratified_by_language",
+    "scalar_array_functions",
+    "scalar_bitwise_functions",
+    "scalar_date_functions",
+    "scalar_json_extraction",
+    "scalar_map_json_keys",
+    "scalar_math_case_tiers",
+    "scalar_null_handling",
+    "setops_segment_overlap",
+    "sort_limit_top_orders",
+    "source_at_timestamp_tail",
+    "source_reshard_replay_rollup",
+    "split_train_valid_test",
+    "stream_backfill_union_live",
+    "stream_dedup_within_watermark",
+    "stream_distinct_users_hll",
+    "stream_egress_pyds_relay",
+    "stream_heavy_hitters_mg",
+    "stream_incremental_dedup_store",
+    "stream_ingest_hourly_rollup",
+    "stream_observed_ingest_metrics",
+    "stream_session_windows",
+    "stream_stateful_running_totals",
+    "stream_windowed_topk",
+    "subquery_scalar_above_avg",
+    "text_language_id",
+    "text_quality_linear_classifier",
+    "text_quality_scores",
+    "text_stopword_ratio",
+    "text_top_tokens",
+    "tpch_q10_returned_items",
+    "tpch_q12_ship_speed_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q3_top_orders",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "udf_pandas_scalar_shannon",
+    "window_rank_dense_ntile",
+    "window_rows_frame_moving_avg",
+    "window_running_totals",
+    "window_topk_orders_per_customer",
 ]
 
 # Oracle-infeasible at sf1: a query lands here when its deliberately-
