@@ -240,6 +240,28 @@ SHOWCASE = [
      "parse_json + variant_get are row-local projections inside ONE "
      "WholeStageCodegen span over the scan; the rollup is a single "
      "partial+final HashAggregate pair."),
+    ("graph_personalized_pagerank",
+     "Identical plan to global PageRank (checkpointed edge list, 3 "
+     "unrolled |E| hash-join rounds); personalization is a row-local "
+     "CASE on the precomputed is_seed flag — no extra shuffle, no "
+     "collected seed list."),
+    ("similarity_binary_quantization",
+     "Corpus coded in ONE WholeStageCodegen projection (64 sign CASEs "
+     "fold into two long sums); Hamming is two bit_count(xor) "
+     "intrinsics against broadcast queries; shortlist and rerank are "
+     "per-query Windows — the corpus never shuffles."),
+    ("agg_bitmap_exact_distinct_rollup",
+     "Two HashAggregate pairs: ids collapse into fixed-size bucket "
+     "bitmaps map-side, the final count is a popcount SUM — shuffle "
+     "bytes bounded by buckets x 32 KiB per group, not row count."),
+    ("similarity_mips_norm_augment",
+     "Max-norm is one scalar aggregate; scoring is the broadcast-"
+     "queries x corpus scan; both rank Windows share the same tiny "
+     "per-query partitions — augmentation costs zero per-row work."),
+    ("text_chunk_dedup_rate",
+     "Chunk explode is linear in corpus tokens; digest frequencies and "
+     "the mark-join share the dg key (one Exchange reused); the "
+     "per-source rollup is dimension-sized."),
 ]
 
 
