@@ -720,29 +720,44 @@ def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_argmin_argmax_by",
     oracle="""
-    SELECT o_orderpriority,
-           ARG_MAX(o_orderkey, o_totalprice) AS biggest_order,
-           ROUND(MAX(o_totalprice), 2)       AS biggest_price,
-           ARG_MIN(o_orderkey, o_totalprice) AS smallest_order,
-           ROUND(MIN(o_totalprice), 2)       AS smallest_price
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH ext AS (
+        SELECT o_orderpriority,
+               MAX(o_totalprice) AS maxp,
+               MIN(o_totalprice) AS minp
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT e.o_orderpriority,
+           (SELECT MIN(o.o_orderkey) FROM orders o
+             WHERE o.o_orderpriority = e.o_orderpriority
+               AND o.o_totalprice = e.maxp)   AS biggest_order,
+           ROUND(e.maxp, 2)                   AS biggest_price,
+           (SELECT MIN(o.o_orderkey) FROM orders o
+             WHERE o.o_orderpriority = e.o_orderpriority
+               AND o.o_totalprice = e.minp)   AS smallest_order,
+           ROUND(e.minp, 2)                   AS smallest_price
+    FROM ext e
     """,
 )
 def agg_argmin_argmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmin/argmax aggregates (``max_by``/``min_by``): per priority
     class, WHICH order carries the extreme price, not just the extreme —
     the single-pass answer to the classic "row of the max" question that
-    otherwise costs a join-back or a window. Ties are impossible here
-    (o_totalprice is effectively continuous), keeping the picked key
-    engine-deterministic; with tie-prone data the struct-min idiom
-    (min(struct(price, key))) pins the tiebreak explicitly, as
-    tpch_q2_min_cost_supplier does."""
+    otherwise costs a join-back or a window. The pick is tie-PINNED with
+    the struct-ordering idiom (max_by over (price, -key) / min_by over
+    (price, key) → smallest orderkey among the extreme rows): the round-8
+    sf1 canary proved bare arg_max engine-dependent the moment the data
+    carried duplicate prices (sf1 is 10 key-shifted payload-verbatim
+    copies, so every price ties 10 ways). The oracle states the same
+    tiebreak as correlated MIN-where-extreme subqueries."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+        ).alias("biggest_order"),
         F.round(F.max("o_totalprice"), 2).alias("biggest_price"),
-        F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+        F.expr(
+            "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("smallest_order"),
         F.round(F.min("o_totalprice"), 2).alias("smallest_price"),
     )
 
