@@ -17,6 +17,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from ..functions import MONEY_CENTS_DUCK, money_cents
 from ..io import fanout, table
 from ..registry import query
+from ..shared import transient_persist
 from .similarity import cosine_sim
 
 
@@ -846,4 +847,104 @@ def agg_bitmap_exact_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         buckets.groupBy("event_type", "day")
         .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("distinct_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_exact_intersection — exact pairwise set overlap via bitmap merge
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_exact_intersection",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type FROM events),
+    p AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM t a JOIN t b ON a.event_type < b.event_type
+    ),
+    u AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           CAST((SELECT COUNT(*) FROM u WHERE u.event_type = p.ta)
+                AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM u WHERE u.event_type = p.tb)
+                AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM u x JOIN u y ON x.user_id = y.user_id
+                  WHERE x.event_type = p.ta AND y.event_type = p.tb)
+                AS BIGINT) AS n_common
+    FROM p
+    """,
+)
+def agg_bitmap_exact_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap between every pair of event types
+    via mergeable bitmaps and inclusion-exclusion — the exact twin of
+    agg_hll_intersection_estimate: |A∩B| = |A| + |B| − |A∪B|, where
+    |A∪B| is a popcount over bitmap_or_agg-merged bucket bitmaps. The
+    raw user ids are bucketed and bitmapped ONCE (one pass over events);
+    every pair's union then merges the SAME fixed-size bucket bitmaps —
+    adding a segment pair costs bitmap-OR work, never another scan or
+    shuffle of raw ids. This is how a 100 TB metrics store answers 'how
+    much do these audiences overlap, exactly' for many segment pairs.
+
+    Plan: one hash-agg builds (type, bucket)→bitmap partials; the pair
+    fan-out joins those partials against a |types|²-row broadcast pair
+    list; per-pair union is a second hash-agg over (pair, bucket) with
+    bitmap_or_agg; per-type sizes come from the same cached partials.
+    Shuffle bytes are types × buckets × 4 KiB, independent of row count.
+
+    Determinism: every output is an exact integer count."""
+    e = table(spark, sf_dir, "events")
+    bm = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    bm = transient_persist(bm)  # feeds per-type sizes AND both pair sides
+    sizes = bm.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n")
+    )
+    types = bm.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    contrib = (
+        F.broadcast(pairs)
+        .join(bm, F.col("event_type") == F.col("type_a"))
+        .select("type_a", "type_b", "bucket", "bm")
+        .unionByName(
+            F.broadcast(pairs)
+            .join(bm, F.col("event_type") == F.col("type_b"))
+            .select("type_a", "type_b", "bucket", "bm")
+        )
+    )
+    union_n = (
+        contrib.groupBy("type_a", "type_b", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("u"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.expr("bitmap_count(u)")).cast("long").alias("n_union"))
+    )
+    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        union_n.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_common"),
+        )
     )

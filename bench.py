@@ -294,6 +294,7 @@ HEADLINE = [
     "agg_bitmap_exact_distinct_rollup",
     "similarity_mips_norm_augment",
     "text_chunk_dedup_rate",
+    "agg_bitmap_exact_intersection",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -241,6 +241,7 @@ SF1_CANARY = [
     "agg_bitmap_exact_distinct_rollup",  # mergeable-bitmap exact distinct
     "similarity_mips_norm_augment",      # MIPS reduction rank agreement
     "text_chunk_dedup_rate",             # sub-document chunk dedup grain
+    "agg_bitmap_exact_intersection",     # bitmap merge pair fan-out
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",
