@@ -131,7 +131,13 @@ def cents_to_money_str(cents: Column) -> Column:
     int_part = F.substring(padded, F.lit(1), F.length(padded) - F.lit(2))
     frac = F.substring(padded, F.lit(-2), F.lit(2))
     sign = F.when(cents < 0, F.lit("-")).otherwise(F.lit(""))
-    return F.concat(sign, int_part, F.lit("."), frac)
+    # Explicit NULL pin: NULL cents → NULL string. Spark's concat already
+    # null-propagates, but DuckDB's CONCAT *skips* NULL arguments (yields
+    # '.'), so the twin below needs a CASE guard — make the contract
+    # visible on both sides rather than relying on one engine's default.
+    return F.when(cents.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(sign, int_part, F.lit("."), frac)
+    )
 
 
 def money_str_duck(cents_expr: str) -> str:
@@ -144,7 +150,11 @@ def money_str_duck(cents_expr: str) -> str:
         f"CONCAT(CASE WHEN {a} < 10 THEN '00' WHEN {a} < 100 THEN '0' "
         f"ELSE '' END, CAST({a} AS VARCHAR))"
     )
-    return (
+    body = (
         f"CONCAT(CASE WHEN ({cents_expr}) < 0 THEN '-' ELSE '' END, "
         f"SUBSTR({p}, 1, LENGTH({p}) - 2), '.', SUBSTR({p}, -2, 2))"
     )
+    # NULL pin (see cents_to_money_str): DuckDB's CONCAT skips NULL args
+    # (a NULL cents would render as '.'), Spark's null-propagates — guard
+    # so both engines agree on NULL → NULL.
+    return f"CASE WHEN ({cents_expr}) IS NULL THEN NULL ELSE {body} END"

@@ -906,3 +906,159 @@ def text_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("dup_rate4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_ranked_retrieval — BM25 lexical ranking (query-by-document)
+# ---------------------------------------------------------------------------
+
+_BM25_N_QUERIES = 3    # query documents: doc_id < 3 ("more like this")
+_BM25_MAX_TERMS = 16   # rarest-first term budget per query
+_BM25_MIN_TOK = 4      # drop short/stopword-ish query tokens
+_BM25_TOPK = 5
+_BM25_K1 = "1.2"       # literal strings → the same double in both engines
+_BM25_B = "0.75"
+_BM25_SCALE = 1_000_000  # per-term contribution → integer micro-units
+
+
+@query(
+    "text_bm25_ranked_retrieval",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok FROM norm
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), meta AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), qterms AS (
+        SELECT query_id, tok, df FROM (
+            SELECT tf.doc_id AS query_id, tf.tok, df.df,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY df.df, tf.tok) AS trnk
+            FROM tf JOIN df ON df.tok = tf.tok
+            WHERE tf.doc_id < {_BM25_N_QUERIES}
+              AND LENGTH(tf.tok) >= {_BM25_MIN_TOK}
+        ) WHERE trnk <= {_BM25_MAX_TERMS}
+    ), contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(FLOOR({_BM25_SCALE} *
+                   LN(1 + (CAST(m.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * dl.dl
+                          / (CAST(m.total_len AS DOUBLE) / m.n_docs)))
+               ) AS BIGINT) AS c_u
+        FROM qterms q
+        JOIN tf ON tf.tok = q.tok AND tf.doc_id >= {_BM25_N_QUERIES}
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN meta m
+    ), scored AS (
+        SELECT query_id, doc_id, CAST(SUM(c_u) AS BIGINT) AS score_u
+        FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_u, rnk FROM (
+        SELECT query_id, doc_id, score_u,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_u DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval, query-by-document ("more like this"): each
+    query document's {_BM25_MAX_TERMS} RAREST distinct tokens (≥
+    {_BM25_MIN_TOK} chars, df-ascending — the classic rare-term relevance
+    budget) retrieve the top-{_BM25_TOPK} corpus documents by
+    Okapi BM25 with k1={_BM25_K1}, b={_BM25_B} and the Lucene
+    ln(1 + (N − df + 0.5)/(df + 0.5)) idf. The lexical twin of the
+    embedding retrieval stack (similarity_paired_retrieval_eval measures
+    the dense side; this is the sparse side every RAG/eval harness ranks
+    against first).
+
+    Scale shape: tf / dl / df are the three canonical one-pass token
+    aggregates; the query-term frame is bounded by queries ×
+    {_BM25_MAX_TERMS} and BROADCASTS into the posting join, so corpus
+    work is one hash join on token over tf — never a corpus×corpus
+    product; corpus-wide constants (N, total length) ride a one-row
+    broadcast. The per-(query, doc) score aggregate shuffles only
+    candidate postings (docs sharing ≥1 rare query term).
+
+    Determinism (house FLOOR-integer discipline, see money_cents): each
+    per-term contribution is floored to BIGINT micro-units row-locally —
+    tf, dl, df, N are exact integers, and the only doubles (one LN, one
+    ratio) are identical row-local IEEE expressions in both engines — and
+    the per-(query, doc) score is an exact BIGINT SUM, so aggregation
+    ORDER can never move the score; ranking ties break on doc_id.
+
+    Reference parity: none (SURVEY §2.D north-star; round-8 VERDICT ask
+    #8's 'one new capability')."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    toks = transient_persist(toks)  # feeds tf AND dl
+    tf = transient_persist(
+        toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    meta = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    wq = Window.partitionBy("query_id").orderBy("df", "tok")
+    qterms = (
+        tf.filter(
+            (F.col("doc_id") < _BM25_N_QUERIES)
+            & (F.char_length("tok") >= _BM25_MIN_TOK)
+        )
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .join(df, "tok")
+        .withColumn("trnk", F.row_number().over(wq))
+        .filter(F.col("trnk") <= _BM25_MAX_TERMS)
+        .select("query_id", "tok", "df")
+    )
+    contrib = (
+        tf.filter(F.col("doc_id") >= _BM25_N_QUERIES)
+        .join(F.broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(meta))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.lit(_BM25_SCALE)
+                * F.log(
+                    1
+                    + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (F.expr(_BM25_K1) + 1))
+                / (
+                    F.col("tf")
+                    + F.expr(_BM25_K1)
+                    * (
+                        1
+                        - F.expr(_BM25_B)
+                        + F.expr(_BM25_B)
+                        * F.col("dl")
+                        / (F.col("total_len").cast("double") / F.col("n_docs"))
+                    )
+                )
+            ).cast("long").alias("c_u"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_u").alias("score_u")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("score_u").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_u", "rnk")
+    )

@@ -80,3 +80,65 @@ def assert_scales(df: DataFrame, forbid_cartesian: bool = True) -> None:
     """Cheap guardrail for registry queries: no cartesian products."""
     if forbid_cartesian and join_strategies(df)["cartesian"]:
         raise AssertionError(f"cartesian product in plan:\n{physical_plan(df)}")
+
+
+def _jplan_children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def unbounded_bnlj_builds(df: DataFrame) -> list[str]:
+    """Broadcast-nested-loop joins whose BUILD side is NOT provably
+    constant-bounded — the registry-wide scale pin (round-9 VERDICT ask
+    #5 sharpened: 40+ queries legitimately broadcast a ONE-ROW stats
+    aggregate via crossJoin(broadcast(agg)), which is a
+    BroadcastNestedLoopJoin in name only; the scale-killer variant is a
+    BNLJ whose broadcast side can grow with the data, e.g. an equi join
+    that silently lost its keys).
+
+    Walks the physical plan tree; for every BroadcastNestedLoopJoin node,
+    the child rooted at a BroadcastExchange / ReusedExchange is the build
+    side, and it counts as BOUNDED when its subtree contains a
+    grouping-key-less aggregate (``HashAggregate(keys=[]`` /
+    ``SortAggregate(key=[]`` / ``ObjectHashAggregate(keys=[]`` — exactly
+    one output row) or a literal one-row Range/LocalTableScan, or a
+    row_number-limited window shortlist (WindowGroupLimit: ≤ k rows per
+    key over a bounded key set, the ANN rerank pattern). Returns the
+    build-side subtree strings that match NEITHER — the test asserts the
+    list is empty for every non-allowlisted query."""
+    import re
+
+    out: list[str] = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            # the AQE wrapper hides its tree from children(); descend into
+            # the initial plan (pre-execution static check)
+            walk(node.initialPlan())
+            return
+        if "BroadcastNestedLoopJoin" in name:
+            for child in _jplan_children(node):
+                sub = child.toString()
+                root = sub.lstrip("*() ")
+                if not (
+                    root.startswith("BroadcastExchange")
+                    or root.startswith("ReusedExchange")
+                    or root.startswith("BroadcastQueryStage")
+                ):
+                    continue
+                bounded = (
+                    "HashAggregate(keys=[]" in sub
+                    or "SortAggregate(key=[]" in sub
+                    or "ObjectHashAggregate(keys=[]" in sub
+                    or "WindowGroupLimit" in sub
+                    or re.search(r"Range \(0, 1,", sub) is not None
+                    or "LocalTableScan" in sub
+                )
+                if not bounded:
+                    out.append(sub)
+        for child in _jplan_children(node):
+            walk(child)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -6,13 +6,13 @@ frames were accumulating with no owner, relying silently on LRU eviction):
 ``shared_frame(spark, name, sf_dir, build)``
     Build-once, reuse-everywhere frames consumed by SEVERAL registry
     queries in the same process — the minhash band table, the candidate
-    pairs, the connected-components labels. The first consumer pays the
-    build; every later consumer (bench, driver correctness loop, tests)
-    hits the cache, so a bench run stops paying ~4 cold rebuilds of the
-    same minhash→CC chain (VERDICT r07 ask #4; the standing-shingle
-    persist pattern from commit 2ca4063, generalized). Keyed by
-    ``(spark, name, sf_dir)`` — a new session or a different scale factor
-    builds fresh.
+    pairs, the connected-components labels, the directed purchase-graph
+    edge/degree frames. The first consumer pays the build; every later
+    consumer (bench, driver correctness loop, tests) hits the cache, so a
+    bench run stops paying ~4 cold rebuilds of the same minhash→CC chain
+    (VERDICT r07 ask #4; the standing-shingle persist pattern from commit
+    2ca4063, generalized). Keyed by ``(session id, name, sf_dir)`` — a new
+    session or a different scale factor builds fresh.
 
 ``transient_persist(df)``
     Intra-query multi-consumer frames (a triangle list feeding four
@@ -26,49 +26,93 @@ frames were accumulating with no owner, relying silently on LRU eviction):
     fall back to Spark's LRU block eviction (persist() is
     MEMORY_AND_DISK — eviction is safe, never wrong), which is the
     documented, deliberate fallback rather than an accident.
+
+Round-9 ADVICE hardening: a module lock serializes the build-and-insert
+path (two threads racing the same key no longer double-build and leak one
+persisted copy), and entries whose owning session has been stopped are
+swept on every ``shared_frame`` call — a long-lived multi-session process
+(pytest spinning sessions up and down) no longer accumulates DataFrame
+plan references for dead sessions. Keys hold the session's id() plus a
+weakref, never a strong session reference.
 """
 
 from __future__ import annotations
 
+import threading
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_SHARED: dict[tuple, DataFrame] = {}
+# key: (id(session), name, sf_dir) → (session_weakref, DataFrame)
+_SHARED: dict[tuple, tuple[weakref.ref, DataFrame]] = {}
 _TRANSIENT: list[DataFrame] = []
+_LOCK = threading.RLock()
+
+
+def _session_stopped(spark: SparkSession | None) -> bool:
+    """True when the session is gone or its SparkContext was stopped
+    (SparkContext.stop() nulls the JVM handle)."""
+    if spark is None:
+        return True
+    try:
+        return spark._sc._jsc is None  # noqa: SLF001 — documented stop signal
+    except Exception:
+        return True
+
+
+def _sweep_dead_locked() -> None:
+    """Drop entries owned by stopped/collected sessions (lock held).
+
+    No unpersist call: a stopped context's blocks are already released
+    by the JVM, and unpersist on a dead session raises."""
+    dead = [k for k, (ref, _) in _SHARED.items() if _session_stopped(ref())]
+    for k in dead:
+        del _SHARED[k]
 
 
 def shared_frame(
     spark: SparkSession, name: str, sf_dir: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    """Return the cached frame for (spark, name, sf_dir), building and
-    persisting it on first use."""
-    key = (spark, name, sf_dir)
-    df = _SHARED.get(key)
-    if df is None:
+    """Return the cached frame for (session, name, sf_dir), building and
+    persisting it on first use. Thread-safe: the lock covers the whole
+    build-and-insert so concurrent first-callers build exactly once (the
+    build is plan construction — lazy — so holding the lock is cheap;
+    builds that must run jobs, e.g. the CC fixpoint, serialize, which is
+    the correct trade against leaking a second persisted copy)."""
+    key = (id(spark), name, sf_dir)
+    with _LOCK:
+        _sweep_dead_locked()
+        hit = _SHARED.get(key)
+        if hit is not None:
+            return hit[1]
         df = build().persist()
-        _SHARED[key] = df
-    return df
+        _SHARED[key] = (weakref.ref(spark), df)
+        return df
 
 
 def transient_persist(df: DataFrame) -> DataFrame:
     """persist() + register for a later release_shared()."""
     df = df.persist()
-    _TRANSIENT.append(df)
+    with _LOCK:
+        _TRANSIENT.append(df)
     return df
 
 
 def release_shared() -> None:
     """Unpersist every registered frame (both tiers) and forget them."""
-    for df in _SHARED.values():
+    with _LOCK:
+        entries = list(_SHARED.values())
+        _SHARED.clear()
+        transient = list(_TRANSIENT)
+        _TRANSIENT.clear()
+    for _, df in entries:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — blocks are gone anyway
-    _SHARED.clear()
-    for df in _TRANSIENT:
+    for df in transient:
         try:
             df.unpersist()
         except Exception:
             pass
-    _TRANSIENT.clear()

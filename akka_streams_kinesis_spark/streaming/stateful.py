@@ -262,14 +262,22 @@ def _update_cep(
         open_syms = st[6]
         # explicit has_cursor boolean — a negative-sentinel remap would
         # silently decode any legitimate pre-epoch (negative) timestamp
-        # as "no cursor" and skip the gap check against prior history
-        has_cursor = bool(st[9])
+        # as "no cursor" and skip the gap check against prior history.
+        # Defensive length check: pre-round-8 checkpoints carry a 9-field
+        # state (no has_cursor). Decode those as "no cursor" AND force the
+        # repair path below: the full event history is retained in state,
+        # so one re-sort + replay reconstructs exact totals — a restart
+        # from an old checkpoint migrates losslessly instead of crashing
+        # on st[9] (round-9 ADVICE; checkpoint-format compatibility).
+        has_cursor = bool(st[9]) if len(st) > 9 else False
+        migrated = len(st) <= 9
         last_ts = int(st[7]) if has_cursor else None
         last_eid = int(st[8]) if has_cursor else None
     else:
         ts_us, eid, sym = [], [], []
         n_closed = n_conv = n_matches = 0
         open_syms, last_ts, last_eid = "", None, None
+        migrated = False
 
     new_ts: list[int] = []
     new_eid: list[int] = []
@@ -285,7 +293,14 @@ def _update_cep(
     eid.extend(new_eid)
     sym.extend(new_sym)
 
-    if batch and last_ts is not None and (batch[0][0], batch[0][1]) <= (last_ts, last_eid):
+    if ts_us and (
+        migrated
+        or (
+            batch
+            and last_ts is not None
+            and (batch[0][0], batch[0][1]) <= (last_ts, last_eid)
+        )
+    ):
         # REPAIR: a late event sorts before the fold cursor (it may merge
         # two already-counted sessions or break a match) — re-sort and
         # replay the full history. Arbitrary lateness is this drain's

@@ -295,6 +295,9 @@ HEADLINE = [
     "similarity_mips_norm_augment",
     "text_chunk_dedup_rate",
     "agg_bitmap_exact_intersection",
+    # Round 9
+    "graph_triangle_census_selfcheck",
+    "text_bm25_ranked_retrieval",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

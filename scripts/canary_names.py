@@ -11,7 +11,8 @@ per-doc gram-array OOM, caught only at sf1).
 
 Consumed by:
 - correctness: ``python scripts/driver_sim.py /root/repo/.scale/sf1
-  --engine-session --names "$(python scripts/canary_names.py)"
+  --engine-session --names "$(python scripts/canary_names.py --correctness)"
+  --rows-only "$(python scripts/canary_names.py --rows-only)"
   --json CORRECTNESS_SF1_canary.json``
 - timing:      ``python scripts/scaling_canary.py`` (sf0.1 vs sf1 wall
   time per query → BENCH_SCALING.json, flags ratio > 15×)
@@ -242,6 +243,9 @@ SF1_CANARY = [
     "similarity_mips_norm_augment",      # MIPS reduction rank agreement
     "text_chunk_dedup_rate",             # sub-document chunk dedup grain
     "agg_bitmap_exact_intersection",     # bitmap merge pair fan-out
+    # --- round 9 ---
+    "graph_triangle_census_selfcheck",   # dual-plan closure (rows-only at sf1)
+    "text_bm25_ranked_retrieval",        # posting join + rare-term budget
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",
@@ -347,12 +351,27 @@ SF1_CANARY = [
 # temp spill exceeded the VM's disk (ENOSPC at ~70 GB) while the engine
 # side finishes the same shape distributed in ~2 min. The ENGINE is
 # still timed at sf1 by scaling_canary.py (no oracle there).
-SF1_ORACLE_INFEASIBLE: set[str] = {"graph_triangle_count_cosupply"}
+# graph_triangle_census_selfcheck shares the same naive-closure oracle
+# shape — same infeasibility. Round 9: these names are no longer EXCLUDED
+# from the sf1 correctness canary; they run in driver_sim's --rows-only
+# mode (rows-only row in CORRECTNESS_SF1_canary.json). For the selfcheck
+# that row is a REAL gate — the query raises unless its two independent
+# triangle plans agree exactly — which closes the registry's last sf1
+# blind spot (round-8 VERDICT ask #2).
+SF1_ORACLE_INFEASIBLE: set[str] = {
+    "graph_triangle_count_cosupply",
+    "graph_triangle_census_selfcheck",
+}
 
 if __name__ == "__main__":
     import sys
 
-    names = SF1_CANARY
-    if "--correctness" in sys.argv:
-        names = [n for n in SF1_CANARY if n not in SF1_ORACLE_INFEASIBLE]
-    print(",".join(names))
+    if "--rows-only" in sys.argv:
+        # the names the sf1 canary must pass to driver_sim --rows-only
+        print(",".join(sorted(SF1_ORACLE_INFEASIBLE)))
+    elif "--correctness" in sys.argv:
+        # full registry: oracle-infeasible names are included (the canary
+        # pairs this with --rows-only so driver_sim skips their oracles)
+        print(",".join(SF1_CANARY))
+    else:
+        print(",".join(SF1_CANARY))

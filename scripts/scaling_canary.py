@@ -90,11 +90,14 @@ def main() -> None:
     t_small = time_all(SF01_DIR, names)
     t_big = time_all(SF1_DIR, names)
     extra_keys: dict = {}
-    if merge:
+    # ALWAYS preserve side-car sections (e.g. sf3_spot) when the artifact
+    # already exists — round-8 lesson: the full sweep ran without --merge
+    # and silently dropped the committed sf3_spot data (the exact
+    # artifact-lifecycle bug class test_artifact_currency.py exists for;
+    # now also pinned by its test_scaling_artifact_has_sf3_spot).
+    if os.path.exists(out_path):
         with open(out_path) as f:
             prior_doc = json.load(f)
-        prior = prior_doc["queries"]
-        # preserve side-car sections (e.g. sf3_spot) across a merge
         extra_keys = {
             k: v
             for k, v in prior_doc.items()
@@ -104,11 +107,13 @@ def main() -> None:
                 "total_sf01_sec", "total_sf1_sec", "queries",
             )
         }
-        for n, rec in prior.items():
-            if n not in names:
-                t_small[n] = rec["sf01_sec"]
-                t_big[n] = rec["sf1_sec"]
-        names = sorted(set(names) | set(prior))
+        if merge:
+            prior = prior_doc["queries"]
+            for n, rec in prior.items():
+                if n not in names:
+                    t_small[n] = rec["sf01_sec"]
+                    t_big[n] = rec["sf1_sec"]
+            names = sorted(set(names) | set(prior))
     queries: dict[str, dict] = {}
     flagged: list[str] = []
     for name in names:

@@ -60,3 +60,35 @@ def test_full_artifact_is_green(artifact):
         if v.get("err") or not (v.get("hash_match") or v.get("rows_match"))
     )
     assert not red, f"{artifact} has red rows: {red[:10]}"
+
+
+def test_scaling_artifact_has_sf3_spot():
+    """Round-9 VERDICT ask #1: the 30x scaling spot (sf3_spot) must never
+    again vanish from BENCH_SCALING.json — round 8's full sweep rewrote
+    the file without --merge and dropped the round-6 spot data. Pins:
+    the section exists, covers the round-8/9 flagship operators, every
+    exponent is recorded, and nothing is flagged super-linear."""
+    path = os.path.join(_REPO, "BENCH_SCALING.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALING.json not generated yet")
+    with open(path) as f:
+        doc = json.load(f)
+    assert "sf3_spot" in doc, (
+        "sf3_spot dropped from BENCH_SCALING.json — scaling_canary.py must "
+        "preserve side-car sections; re-run scripts/scaling_spot_sf3.py"
+    )
+    spot = doc["sf3_spot"]
+    must_cover = {
+        # round-8 flagships (VERDICT r08 ask #1)
+        "agg_bitmap_exact_intersection",
+        "similarity_binary_quantization",
+        "graph_personalized_pagerank",
+        "text_chunk_dedup_rate",
+        "similarity_mips_norm_augment",
+        # round-9 additions
+        "graph_triangle_census_selfcheck",
+        "text_bm25_ranked_retrieval",
+    }
+    missing = sorted(must_cover - set(spot["queries"]))
+    assert not missing, f"sf3_spot missing flagship names: {missing}"
+    assert spot["n_flagged"] == 0, f"super-linear at 30x: {spot['flagged']}"

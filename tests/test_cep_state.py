@@ -180,3 +180,28 @@ def test_pre_epoch_cursor_is_not_a_sentinel():
         assert outs[-1][col][0] == ref[col][0], col
     assert outs[-1]["n_sessions"][0] == 2
     assert outs[-1]["n_matches"][0] == 2
+
+
+def test_nine_field_checkpoint_state_migrates():
+    # regression (round-9 ADVICE): round 8 appended a 10th state field
+    # (has_cursor); _update_cep read st[9] unconditionally, so a restart
+    # from a pre-round-8 checkpoint (9-field state) crashed with an index
+    # error instead of migrating. The defensive read decodes old state as
+    # has_cursor=False and keeps processing.
+    state = FakeState()
+    out1 = next(_update_cep((42,), iter([_batch(EVENTS[:3])]), state))
+    # rewrite the stored state as the OLD 9-field tuple (drop has_cursor)
+    state._v = tuple(state._v)[:9]
+    out2 = next(_update_cep((42,), iter([_batch(EVENTS[3:])]), state))
+    assert out2["n_events"][0] == len(EVENTS)
+    # totals EXACT after migration: the old cursor is discarded and the
+    # retained full history is replayed (repair path), so the migrated
+    # run equals a single-batch run bit-for-bit
+    (ref,) = _run([_batch(EVENTS)])
+    for col in ("n_events", "n_sessions", "n_converted_sessions", "n_matches"):
+        assert out2[col][0] == ref[col][0], col
+    assert out1["n_sessions"][0] == 1
+    assert out2["n_sessions"][0] == 2
+    assert out2["n_matches"][0] == 2
+    # and the updated state is back on the 10-field round-8 schema
+    assert len(state._v) == 10 and state._v[9] is True

@@ -120,3 +120,19 @@ def test_compaction_planner_partitions_files(spark, sf_dir):
             assert cum >= (g.group_id + 1) * _COMPACT_TARGET - 0, (
                 "group closed before reaching its quota"
             )
+
+
+def test_triangle_selfcheck_agrees_with_census(spark, sf_dir):
+    # round-9: the dual-plan self-check's totals must equal the census's
+    # oracle-gated total_triangles at small SF — ties the sf1 rows-only
+    # invariant back to the hash-gated number
+    from akka_streams_kinesis_spark.operators.graph import (
+        graph_triangle_census_selfcheck,
+        graph_triangle_count,
+    )
+
+    census = graph_triangle_count(spark, sf_dir).collect()[0]
+    check = graph_triangle_census_selfcheck(spark, sf_dir).collect()[0]
+    assert check["totals_agree"] is True
+    assert check["total_triangles"] == census["total_triangles"]
+    assert check["total_degree_oriented"] == census["total_triangles"]

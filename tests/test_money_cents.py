@@ -107,6 +107,33 @@ def test_money_str_bit_identical_across_engines(spark):
     assert got == duck
 
 
+def test_money_str_null_pins_to_null_in_both_engines(spark):
+    """Round-9 ADVICE pin: NULL cents must render NULL in BOTH engines.
+
+    Without the explicit guards, Spark's concat null-propagates (NULL)
+    while DuckDB's CONCAT skips NULL arguments (renders '.') — a silent
+    driver-gate divergence on any future nullable money column (e.g. an
+    outer-join label)."""
+    from akka_streams_kinesis_spark.functions import (
+        cents_to_money_str,
+        money_str_duck,
+    )
+
+    df = spark.createDataFrame([(None,), (123,)], "c long")
+    got = {
+        r["c"]: r["s"]
+        for r in df.select("c", cents_to_money_str(F.col("c")).alias("s")).collect()
+    }
+    assert got[None] is None and got[123] == "1.23"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(c BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(None,), (123,)])
+    duck = dict(
+        con.execute(f"SELECT c, {money_str_duck('c')} FROM t").fetchall()
+    )
+    assert duck[None] is None and duck[123] == "1.23"
+
+
 def test_money_str_is_canonical_decimal_rendering(spark):
     from akka_streams_kinesis_spark.functions import cents_to_money_str
 

@@ -66,10 +66,43 @@ def test_range_join_has_equi_component(spark, sf_dir):
     assert st["broadcast_nested_loop"] == 0 and st["cartesian"] == 0
 
 
+# Round-9 VERDICT ask #5: registry-wide broadcast-nested-loop pin.
+# unbounded_bnlj_builds() already accepts the benign scalar-broadcast BNLJ
+# (crossJoin(broadcast(keys=[] aggregate)) — one build row by construction,
+# ~40 queries use it for corpus constants); what it flags is a BNLJ whose
+# broadcast side could grow with the data — e.g. an equi join that silently
+# lost its keys and degraded to a nested loop. Every name below carries a
+# build side that IS constant-bounded, just not provably so from the plan:
+BNLJ_ALLOWLIST: dict[str, str] = {
+    "agg_bitmap_exact_intersection": "broadcasts DISTINCT event_type (domain-bounded dim, 5 values) for the type-pair expansion",
+    "embedding_matryoshka_truncation_qa": "broadcasts the constant query set (vec_id < N_QUERIES literal scan filter) against the corpus",
+    "events_gap_fill_resample": "broadcasts DISTINCT event_type (domain-bounded dim) to build the per-type time grid",
+    "graph_core_peel_quantile": "broadcasts localCheckpointed ONE-ROW quantile-threshold scalars (ExistingRDD hides the agg)",
+    "join_band_lookup_nested_loop": "deliberately a nested-loop band lookup against a literal band table (the operator under test)",
+    "layout_sorted_write_clustering": "broadcasts per-FILE min/max stats (bounded by file count, a layout-metadata frame)",
+    "similarity_ann_ivf_pq": "broadcasts the constant query set (vec_id < N_QUERIES) against the corpus scan",
+    "similarity_ann_pq": "broadcasts the constant query set against the corpus scan",
+    "similarity_binary_quantization": "broadcasts the constant coded query set for the Hamming scan",
+    "similarity_cosine_topk": "broadcasts the constant query set against the corpus scan",
+    "similarity_diversified_topk": "broadcasts the constant query set against the corpus scan",
+    "similarity_hard_negative_mining": "broadcasts the constant query/positive set against the corpus scan",
+    "similarity_mips_norm_augment": "broadcasts the constant query set against the corpus scan",
+    "similarity_multiprobe_recall_sweep": "broadcasts the constant query set at each probe width",
+}
+
+
 @pytest.mark.parametrize("name", PLAN_CHECKED)
-def test_no_cartesian_products_anywhere(spark, sf_dir, name):
+def test_no_cartesian_and_no_unbounded_bnlj_anywhere(spark, sf_dir, name):
+    from akka_streams_kinesis_spark.plans import unbounded_bnlj_builds
+
     df = registry.QUERIES[name](spark, sf_dir)
     assert join_strategies(df)["cartesian"] == 0, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWLIST:
+        bad = unbounded_bnlj_builds(df)
+        assert not bad, (
+            f"{name} plans a BroadcastNestedLoopJoin with a non-constant-"
+            f"bounded build side (equi keys lost?):\n{bad[0][:2000]}"
+        )
 
 
 def test_q10_takeordered_and_broadcast_nation(spark, sf_dir):

@@ -78,3 +78,56 @@ def test_release_tolerates_double_release(spark):
     df.unpersist()  # consumer released it early
     release_shared()  # must not raise
     release_shared()  # idempotent
+
+
+def test_concurrent_first_callers_build_once(spark):
+    # round-9 ADVICE: two threads racing the same key must not
+    # double-build and leak one persisted copy — the lock covers the
+    # whole build-and-insert path
+    import threading
+
+    release_shared()
+    calls = {"n": 0}
+    results = []
+    barrier = threading.Barrier(4)
+
+    def build():
+        calls["n"] += 1
+        return spark.range(7)
+
+    def worker():
+        barrier.wait()
+        results.append(shared_frame(spark, "t_race", "/k1", build))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert calls["n"] == 1
+    assert all(r is results[0] for r in results)
+    assert len(shared._SHARED) == 1
+    release_shared()
+
+
+def test_dead_session_entries_are_swept(spark):
+    # round-9 ADVICE: entries keyed by a stopped/collected session must
+    # not accumulate — swept on the next shared_frame call
+    import weakref
+
+    release_shared()
+    shared_frame(spark, "t_sweep_live", "/k1", lambda: spark.range(2))
+    # forge an entry owned by a "stopped" session: a dead weakref
+    class _Gone:  # noqa: N801 — weakref-able stand-in
+        pass
+
+    victim = _Gone()
+    dead_ref = weakref.ref(victim)
+    del victim
+    assert dead_ref() is None
+    shared._SHARED[(0, "t_sweep_dead", "/k1")] = (dead_ref, spark.range(1))
+    shared_frame(spark, "t_sweep_live2", "/k1", lambda: spark.range(2))
+    assert (0, "t_sweep_dead", "/k1") not in shared._SHARED
+    # the live session's entries survive the sweep
+    assert any(k[1] == "t_sweep_live" for k in shared._SHARED)
+    release_shared()
