@@ -96,6 +96,22 @@ def _purchase_dir_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame(spark, "purchase_dir_edges", sf_dir, build)
 
 
+def _purchase_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct labeled node list over _purchase_dir_edges (every node
+    appears as a src because edges carry both orientations). shared.py-
+    cached: pagerank, PPR, and LPA each need it as the left spine of
+    every iteration's outer join."""
+
+    def build() -> DataFrame:
+        return (
+            _purchase_dir_edges(spark, sf_dir)
+            .select(F.col("src").alias("node"))
+            .distinct()
+        )
+
+    return shared_frame(spark, "purchase_nodes", sf_dir, build)
+
+
 def _purchase_out_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree per labeled node over _purchase_dir_edges — the |V|-row
     divisor frame both PageRank variants join per round. shared.py-cached
@@ -189,7 +205,7 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared, lineage-truncated edge/degree frames (round-9: the three
     # iterative consumers — pagerank, PPR, LPA — build these ONCE)
     dir_edges = _purchase_dir_edges(spark, sf_dir)
-    nodes = dir_edges.select(F.col("src").alias("node")).distinct()
+    nodes = _purchase_nodes(spark, sf_dir)
     n_nodes = nodes.count()  # scalar graph metadata (bounded collect)
     deg = _purchase_out_deg(spark, sf_dir)
     base_u = ((_PR_D_DEN - _PR_D_NUM) * _PR_SCALE) // (_PR_D_DEN * n_nodes)
@@ -928,7 +944,7 @@ def graph_label_propagation_communities(
     Per-round state is |V| rows regardless of |E| — the property that
     lets LPA run where modularity solvers can't."""
     dir_edges = _purchase_dir_edges(spark, sf_dir)  # shared, checkpointed
-    labels = dir_edges.select(F.col("src").alias("node")).distinct().select(
+    labels = _purchase_nodes(spark, sf_dir).select(
         "node", F.col("node").alias("label")
     )
     for _ in range(_LPA_ROUNDS):
@@ -1041,7 +1057,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (connector has no graph surface); SURVEY §2.D
     north-star extension alongside graph_pagerank_purchases."""
     dir_edges = _purchase_dir_edges(spark, sf_dir)  # shared, checkpointed
-    nodes = dir_edges.select(F.col("src").alias("node")).distinct().select(
+    nodes = _purchase_nodes(spark, sf_dir).select(
         "node",
         (
             F.col("node").startswith("c")
