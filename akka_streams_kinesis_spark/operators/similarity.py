@@ -1609,3 +1609,137 @@ def similarity_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk_ip") == F.col("rnk_aug")).alias("aug_rank_agrees"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_hybrid_rrf — BM25 ⊕ dense-cosine fusion via Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60            # the canonical RRF smoothing constant (Cormack et al.)
+_RRF_N = 20            # per-side list depth feeding the fusion
+_RRF_SCALE = 1_000_000_000  # 1/(k+r) → integer units via exact int division
+_RRF_TOPK = 5
+
+_DUCK_COS_QV = """
+    SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))
+      / (SQRT(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+       * SQRT(SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+"""
+
+
+def _rrf_oracle() -> str:
+    from .textanalysis import _BM25_CTES, _BM25_N_QUERIES
+
+    return f"""{_BM25_CTES}, lex_top AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_u DESC, doc_id) AS r
+        FROM scored
+    ), lex_c AS (
+        SELECT query_id, doc_id, {_RRF_SCALE} // ({_RRF_K} + r) AS c_u
+        FROM lex_top WHERE r <= {_RRF_N}
+    ), dense AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+               ROUND({_DUCK_COS_QV}, 6) AS sim
+        FROM embeddings q
+        JOIN embeddings v ON v.vec_id >= {_BM25_N_QUERIES}
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        WHERE q.vec_id < {_BM25_N_QUERIES}
+        GROUP BY 1, 2
+    ), dense_top AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS r
+        FROM dense
+    ), dense_c AS (
+        SELECT query_id, doc_id, {_RRF_SCALE} // ({_RRF_K} + r) AS c_u
+        FROM dense_top WHERE r <= {_RRF_N}
+    ), fused AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(c_u) AS BIGINT) AS rrf_u,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM (SELECT * FROM lex_c UNION ALL SELECT * FROM dense_c)
+        GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_u, n_lists, rnk FROM (
+        SELECT query_id, doc_id, rrf_u, n_lists,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_u DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= {_RRF_TOPK}
+    """
+
+
+@query("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    ranking (text_bm25_ranked_retrieval's scoring pipeline, SHARED code
+    and shared oracle CTEs) and the dense cosine ranking over the
+    embeddings table are each cut to their top-{_RRF_N}, and candidates
+    are fused by rrf(d) = Σ_lists 1/({_RRF_K} + rank) — the standard
+    score-free fusion (Cormack/Clarke/Buettcher '09) every hybrid RAG
+    stack runs, robust to the two sides' incomparable score scales.
+    Returns the top-{_RRF_TOPK} fused docs per query with how many lists
+    surfaced each (n_lists = 2 ⇒ lexical AND semantic agreement).
+
+    Scale shape: each side is its own already-audited bounded plan (BM25:
+    broadcast rare-term posting join; dense: broadcast-query corpus scan);
+    the fusion itself touches only 2 × {_RRF_N} rows per query — a
+    queries×depth-bounded union + one tiny hash aggregate. Nothing new
+    shuffles at corpus scale.
+
+    Determinism: ranks are exact integers from already-deterministic
+    orderings (integer BM25 micro-units; 6dp-rounded cosine; doc_id
+    tiebreaks), and each 1/(k+r) contribution is the exact integer
+    {_RRF_SCALE} DIV (k+r), so fused scores are order-independent BIGINT
+    sums — no float ever crosses the gate.
+
+    Reference parity: none (SURVEY §2.D north-star; composes the round-9
+    BM25 lexical side with the dense retrieval stack)."""
+    from .textanalysis import _BM25_N_QUERIES, _bm25_scores
+
+    lex = _bm25_scores(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy(F.col("score_u").desc(), "doc_id")
+    lex_c = (
+        lex.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= _RRF_N)
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + r)").alias("c_u"),
+        )
+    )
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _BM25_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    v = fanout(e).filter(F.col("vec_id") >= _BM25_N_QUERIES).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v_emb")
+    )
+    dense = v.join(F.broadcast(q)).select(
+        "query_id", "doc_id", F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim")
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
+    dense_c = (
+        dense.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= _RRF_N)
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + r)").alias("c_u"),
+        )
+    )
+    fused = (
+        lex_c.unionByName(dense_c)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c_u").alias("rrf_u"),
+            F.count("*").alias("n_lists"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("rrf_u").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "rrf_u", "n_lists", "rnk")
+    )

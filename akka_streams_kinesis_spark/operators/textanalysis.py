@@ -921,9 +921,11 @@ _BM25_B = "0.75"
 _BM25_SCALE = 1_000_000  # per-term contribution → integer micro-units
 
 
-@query(
-    "text_bm25_ranked_retrieval",
-    oracle=f"""
+# Shared BM25 CTE chain (norm -> toks -> tf -> dl -> df -> meta -> qterms
+# -> contrib -> scored): consumed by text_bm25_ranked_retrieval's oracle
+# and by the hybrid-RRF oracle (similarity.py), kept as ONE constant so
+# the two gates can never desync on the scoring definition.
+_BM25_CTES = f"""
     WITH norm AS (
         SELECT doc_id, {_NORM} AS t FROM documents
     ), toks AS (
@@ -961,43 +963,16 @@ _BM25_SCALE = 1_000_000  # per-term contribution → integer micro-units
     ), scored AS (
         SELECT query_id, doc_id, CAST(SUM(c_u) AS BIGINT) AS score_u
         FROM contrib GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id, score_u, rnk FROM (
-        SELECT query_id, doc_id, score_u,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY score_u DESC, doc_id) AS rnk
-        FROM scored
-    ) WHERE rnk <= {_BM25_TOPK}
-    """,
-)
-def text_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval, query-by-document ("more like this"): each
-    query document's {_BM25_MAX_TERMS} RAREST distinct tokens (≥
-    {_BM25_MIN_TOK} chars, df-ascending — the classic rare-term relevance
-    budget) retrieve the top-{_BM25_TOPK} corpus documents by
-    Okapi BM25 with k1={_BM25_K1}, b={_BM25_B} and the Lucene
-    ln(1 + (N − df + 0.5)/(df + 0.5)) idf. The lexical twin of the
-    embedding retrieval stack (similarity_paired_retrieval_eval measures
-    the dense side; this is the sparse side every RAG/eval harness ranks
-    against first).
+    )"""
 
-    Scale shape: tf / dl / df are the three canonical one-pass token
-    aggregates; the query-term frame is bounded by queries ×
-    {_BM25_MAX_TERMS} and BROADCASTS into the posting join, so corpus
-    work is one hash join on token over tf — never a corpus×corpus
-    product; corpus-wide constants (N, total length) ride a one-row
-    broadcast. The per-(query, doc) score aggregate shuffles only
-    candidate postings (docs sharing ≥1 rare query term).
 
-    Determinism (house FLOOR-integer discipline, see money_cents): each
-    per-term contribution is floored to BIGINT micro-units row-locally —
-    tf, dl, df, N are exact integers, and the only doubles (one LN, one
-    ratio) are identical row-local IEEE expressions in both engines — and
-    the per-(query, doc) score is an exact BIGINT SUM, so aggregation
-    ORDER can never move the score; ranking ties break on doc_id.
-
-    Reference parity: none (SURVEY §2.D north-star; round-8 VERDICT ask
-    #8's 'one new capability')."""
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BM25 scoring pipeline -> (query_id, doc_id, score_u),
+    pre-top-k. Shared by text_bm25_ranked_retrieval and the hybrid-RRF
+    fusion (similarity.py) so the lexical side of hybrid retrieval is
+    the SAME scoring definition the BM25 gate hashes. See
+    text_bm25_ranked_retrieval's docstring for plan shape and the
+    integer-micro-unit determinism discipline."""
     d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
@@ -1053,12 +1028,55 @@ def text_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("c_u"),
         )
     )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c_u").alias("score_u")
     )
+
+
+@query(
+    "text_bm25_ranked_retrieval",
+    oracle=f"""{_BM25_CTES}
+    SELECT query_id, doc_id, score_u, rnk FROM (
+        SELECT query_id, doc_id, score_u,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_u DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval, query-by-document ("more like this"): each
+    query document's {_BM25_MAX_TERMS} RAREST distinct tokens (≥
+    {_BM25_MIN_TOK} chars, df-ascending — the classic rare-term relevance
+    budget) retrieve the top-{_BM25_TOPK} corpus documents by
+    Okapi BM25 with k1={_BM25_K1}, b={_BM25_B} and the Lucene
+    ln(1 + (N − df + 0.5)/(df + 0.5)) idf. The lexical twin of the
+    embedding retrieval stack (similarity_paired_retrieval_eval measures
+    the dense side; this is the sparse side every RAG/eval harness ranks
+    against first).
+
+    Scale shape: tf / dl / df are the three canonical one-pass token
+    aggregates; the query-term frame is bounded by queries ×
+    {_BM25_MAX_TERMS} and BROADCASTS into the posting join, so corpus
+    work is one hash join on token over tf — never a corpus×corpus
+    product; corpus-wide constants (N, total length) ride a one-row
+    broadcast. The per-(query, doc) score aggregate shuffles only
+    candidate postings (docs sharing ≥1 rare query term).
+
+    Determinism (house FLOOR-integer discipline, see money_cents): each
+    per-term contribution is floored to BIGINT micro-units row-locally —
+    tf, dl, df, N are exact integers, and the only doubles (one LN, one
+    ratio) are identical row-local IEEE expressions in both engines — and
+    the per-(query, doc) score is an exact BIGINT SUM, so aggregation
+    ORDER can never move the score; ranking ties break on doc_id.
+
+    Reference parity: none (SURVEY §2.D north-star; round-8 VERDICT ask
+    #8's 'one new capability')."""
+    scored = _bm25_scores(spark, sf_dir)
     wr = Window.partitionBy("query_id").orderBy(F.col("score_u").desc(), "doc_id")
     return (
         scored.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= _BM25_TOPK)
         .select("query_id", "doc_id", "score_u", "rnk")
     )
+

@@ -298,6 +298,7 @@ HEADLINE = [
     # Round 9
     "graph_triangle_census_selfcheck",
     "text_bm25_ranked_retrieval",
+    "retrieval_hybrid_rrf",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -80,6 +80,13 @@ def main() -> None:
         if rec["flagged"]:
             flagged.append(name)
 
+    # MERGE into any existing spot section (same lifecycle rule as
+    # scaling_canary's side-car preservation): a targeted --names re-run
+    # must never drop previously-spotted queries
+    prior = scaling.get("sf3_spot", {}).get("queries", {})
+    prior.update(spot)
+    spot = dict(sorted(prior.items()))
+    flagged = sorted(n for n, rec in spot.items() if rec.get("flagged"))
     scaling["sf3_spot"] = {
         "metric": "sf3_over_sf1_wall_ratio (data ratio 3.0)",
         "exponent_flag_threshold": EXPONENT_FLAG,

@@ -88,6 +88,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "similarity_hard_negative_mining": "broadcasts the constant query/positive set against the corpus scan",
     "similarity_mips_norm_augment": "broadcasts the constant query set against the corpus scan",
     "similarity_multiprobe_recall_sweep": "broadcasts the constant query set at each probe width",
+    "retrieval_hybrid_rrf": "dense side broadcasts the constant query set (vec_id < N_QUERIES) against the corpus scan",
 }
 
 
