@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..io import fanout, table
 from ..registry import query
-from ..shared import transient_persist
+from ..shared import shared_frame, transient_persist
 
 _TOPK = 5
 _N_QUERIES = 10   # query set = vec_id < 10
@@ -1670,6 +1670,33 @@ def _rrf_oracle() -> str:
     """
 
 
+def _dense_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-cosine retrieval scores for the shared query set (vec_id <
+    _BM25_N_QUERIES) against the full corpus → (query_id, doc_id, sim),
+    6dp-rounded, shared_frame-cached. Consumed by the hybrid-RRF fusion
+    and the retrieval system-comparison eval: the corpus scan + JVM
+    cosine fold runs once per (session, sf_dir); the cached frame is
+    (queries × corpus) rows of THREE SCALARS — the embedding arrays never
+    persist, so memory is bounded by corpus row count, not vector bytes."""
+    from .textanalysis import _BM25_N_QUERIES
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < _BM25_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        v = fanout(e).filter(F.col("vec_id") >= _BM25_N_QUERIES).select(
+            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v_emb")
+        )
+        return v.join(F.broadcast(q)).select(
+            "query_id",
+            "doc_id",
+            F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim"),
+        )
+
+    return shared_frame(spark, "retrieval_dense_scores", sf_dir, build)
+
+
 @query("retrieval_hybrid_rrf", oracle=_rrf_oracle())
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
@@ -1696,7 +1723,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (SURVEY §2.D north-star; composes the round-9
     BM25 lexical side with the dense retrieval stack)."""
-    from .textanalysis import _BM25_N_QUERIES, _bm25_scores
+    from .textanalysis import _bm25_scores
 
     lex = _bm25_scores(spark, sf_dir)
     wl = Window.partitionBy("query_id").orderBy(F.col("score_u").desc(), "doc_id")
@@ -1709,16 +1736,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + r)").alias("c_u"),
         )
     )
-    e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _BM25_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    v = fanout(e).filter(F.col("vec_id") >= _BM25_N_QUERIES).select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v_emb")
-    )
-    dense = v.join(F.broadcast(q)).select(
-        "query_id", "doc_id", F.round(cosine_sim("q_emb", "v_emb"), 6).alias("sim")
-    )
+    dense = _dense_retrieval_scores(spark, sf_dir)
     wd = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
     dense_c = (
         dense.withColumn("r", F.row_number().over(wd))
@@ -1742,4 +1760,194 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= _RRF_TOPK)
         .select("query_id", "doc_id", "rrf_u", "n_lists", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval_system_comparison — MRR / hits@1 / P@k across the three
+# retrieval systems (BM25 lexical, dense cosine, RRF hybrid)
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 10               # evaluation list depth (metrics @10)
+_MRR_SCALE = 1_000_000     # 1/first_rel_rank → exact integer micro-units
+
+
+def _retrieval_eval_oracle() -> str:
+    from .textanalysis import _BM25_CTES, _BM25_N_QUERIES
+
+    return f"""{_BM25_CTES}, lex_rank AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_u DESC, doc_id) AS rnk
+        FROM scored
+    ), dense AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+               ROUND({_DUCK_COS_QV}, 6) AS sim
+        FROM embeddings q
+        JOIN embeddings v ON v.vec_id >= {_BM25_N_QUERIES}
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        WHERE q.vec_id < {_BM25_N_QUERIES}
+        GROUP BY 1, 2
+    ), dense_rank AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS rnk
+        FROM dense
+    ), lex_c AS (
+        SELECT query_id, doc_id, {_RRF_SCALE} // ({_RRF_K} + rnk) AS c_u
+        FROM lex_rank WHERE rnk <= {_RRF_N}
+    ), dense_c AS (
+        SELECT query_id, doc_id, {_RRF_SCALE} // ({_RRF_K} + rnk) AS c_u
+        FROM dense_rank WHERE rnk <= {_RRF_N}
+    ), fused AS (
+        SELECT query_id, doc_id, SUM(c_u) AS rrf_u
+        FROM (SELECT * FROM lex_c UNION ALL SELECT * FROM dense_c)
+        GROUP BY query_id, doc_id
+    ), rrf_rank AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_u DESC, doc_id) AS rnk
+        FROM fused
+    ), ranked AS (
+        SELECT 'bm25' AS system, query_id, doc_id, rnk
+        FROM lex_rank WHERE rnk <= {_EVAL_K}
+        UNION ALL
+        SELECT 'dense', query_id, doc_id, rnk
+        FROM dense_rank WHERE rnk <= {_EVAL_K}
+        UNION ALL
+        SELECT 'rrf', query_id, doc_id, rnk
+        FROM rrf_rank WHERE rnk <= {_EVAL_K}
+    ), labeled AS (
+        SELECT r.system, r.query_id, r.rnk,
+               CASE WHEN ql.label = vl.label THEN 1 ELSE 0 END AS rel
+        FROM ranked r
+        JOIN embeddings ql ON ql.vec_id = r.query_id
+        JOIN embeddings vl ON vl.vec_id = r.doc_id
+    ), per_query AS (
+        SELECT system, query_id,
+               MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+               MAX(CASE WHEN rnk = 1 THEN rel ELSE 0 END) AS hit1,
+               SUM(rel) AS rel_topk
+        FROM labeled GROUP BY system, query_id
+    )
+    SELECT system,
+           CAST(COUNT(*) AS BIGINT)                                 AS n_queries,
+           CAST(SUM(COALESCE({_MRR_SCALE} // first_rel, 0)) AS BIGINT) AS sum_rr_u,
+           CAST(SUM(hit1) AS BIGINT)                                AS hits_at_1,
+           CAST(SUM(rel_topk) AS BIGINT)                            AS rel_in_topk
+    FROM per_query
+    GROUP BY system
+    ORDER BY system
+    """
+
+
+@query("retrieval_eval_system_comparison", oracle=_retrieval_eval_oracle())
+def retrieval_eval_system_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Side-by-side IR-metric evaluation of the three retrieval systems
+    the engine ships — BM25 lexical, dense cosine, and their RRF hybrid —
+    against a shared relevance standard (corpus doc shares the query
+    document's embedding label, the same ground truth
+    similarity_paired_retrieval_eval uses). Per system: query count,
+    MRR@{_EVAL_K} in exact integer micro-units (Σ {_MRR_SCALE} DIV
+    first-relevant-rank), hits@1, and the P@{_EVAL_K} numerator (relevant
+    docs in the top {_EVAL_K}). This is the comparison table every hybrid
+    RAG deployment reads before picking a retriever — and the eval
+    harness that will gate any future scoring change to either side.
+
+    Scale shape: both scoring sides are the already-audited bounded plans
+    (BM25: broadcast rare-term posting join; dense: broadcast-query corpus
+    scan) and arrive via shared_frame, so a session that already ran the
+    BM25 or RRF gates pays NOTHING new for scoring here; ranking windows
+    are per-query (queries × corpus-candidates rows, WindowGroupLimit
+    bounds the sort); everything after the @{_EVAL_K} cut is
+    queries × systems × {_EVAL_K} rows — label joins broadcast that
+    90-row frame against the label dimension, never the reverse.
+
+    Determinism: ranks come from the exact orderings already gated
+    (integer BM25 micro-units / 6dp cosine / integer RRF units, doc_id
+    tiebreaks); reciprocal ranks are exact integer DIV; every metric is
+    an integer SUM — order-independent, float-free gates.
+
+    Reference parity: none (SURVEY §2.D north-star; composes the round-9
+    retrieval stack into its evaluation harness)."""
+    from .textanalysis import _bm25_scores
+
+    lex = _bm25_scores(spark, sf_dir)
+    dense = _dense_retrieval_scores(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy(F.col("score_u").desc(), "doc_id")
+    wd = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
+    lex_rank = lex.select(
+        "query_id", "doc_id", F.row_number().over(wl).alias("rnk")
+    )
+    dense_rank = dense.select(
+        "query_id", "doc_id", F.row_number().over(wd).alias("rnk")
+    )
+
+    def contrib(ranked: DataFrame) -> DataFrame:
+        return ranked.filter(F.col("rnk") <= _RRF_N).select(
+            "query_id",
+            "doc_id",
+            F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + rnk)").alias("c_u"),
+        )
+
+    fused = (
+        contrib(lex_rank)
+        .unionByName(contrib(dense_rank))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_u").alias("rrf_u"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("rrf_u").desc(), "doc_id")
+    rrf_rank = fused.select(
+        "query_id", "doc_id", F.row_number().over(wr).alias("rnk")
+    )
+    ranked = (
+        lex_rank.filter(F.col("rnk") <= _EVAL_K)
+        .withColumn("system", F.lit("bm25"))
+        .unionByName(
+            dense_rank.filter(F.col("rnk") <= _EVAL_K)
+            .withColumn("system", F.lit("dense"))
+        )
+        .unionByName(
+            rrf_rank.filter(F.col("rnk") <= _EVAL_K)
+            .withColumn("system", F.lit("rrf"))
+        )
+    )
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ql = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    vl = lab.select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("v_label")
+    )
+    # ranked is systems × queries × K rows — broadcast it against the
+    # corpus-sized label dimension, never the reverse
+    labeled = vl.join(
+        F.broadcast(ranked.join(F.broadcast(ql), "query_id")), "doc_id"
+    ).select(
+        "system",
+        "query_id",
+        "rnk",
+        (F.col("q_label") == F.col("v_label")).cast("long").alias("rel"),
+    )
+    per_query = labeled.groupBy("system", "query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.max(F.when(F.col("rnk") == 1, F.col("rel")).otherwise(0)).alias("hit1"),
+        F.sum("rel").alias("rel_topk"),
+    )
+    return (
+        per_query.groupBy("system")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.coalesce(
+                    F.expr(f"{_MRR_SCALE} DIV first_rel"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("sum_rr_u"),
+            F.sum("hit1").alias("hits_at_1"),
+            F.sum("rel_topk").alias("rel_in_topk"),
+        )
+        .orderBy("system")
     )

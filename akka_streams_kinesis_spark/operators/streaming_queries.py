@@ -115,19 +115,40 @@ def _materialize_phased_stream(
     return stream
 
 
-def _run_available_now(sdf: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+def _run_available_now(
+    sdf: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink and
-    return the final result as a batch DataFrame."""
+    return the final result as a batch DataFrame.
+
+    ``state_partitions`` caps ``spark.sql.shuffle.partitions`` for the
+    drain (restored afterwards): a stateful operator materializes one
+    state store per shuffle partition per micro-batch, so a
+    200-partition default session pays 200 store commits × batches ×
+    stateful stages for a query whose state fits in a handful — pure
+    fixed overhead, no result change (state partitioning is internal;
+    the drain is complete either way). Production sizing would RAISE it
+    with state volume; the knob is the same one."""
     name = f"q_{uuid.uuid4().hex[:10]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{name}"))
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{name}"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -271,6 +292,133 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = _run_available_now(pairs, spark, mode="append")
     return drained.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count("*").alias("n_view_purchase_pairs")
+    )
+
+
+def _materialize_sliced_stream(
+    spark: SparkSession, sf_dir: str, flavor: str, n_slices: int = 12
+) -> SimStream:
+    """Produce the events table onto a fresh 2-shard SimStream in
+    ``n_slices`` SEQUENTIAL event-time slices (put i covers the i-th
+    span/n_slices window), so the file source's oldest-first discovery
+    order tracks event time slice-by-slice. This is the arrival model a
+    real deployment has — records arrive roughly in event-time order with
+    bounded skew (here: one slice width) — and it is what lets a
+    watermark actually ADVANCE during the drain, bounding join/window
+    state to O(delay × rate) instead of the whole stream. Each put is the
+    distributed produce path (no corpus collect); the only driver-side
+    values are the min/max event timestamps (scalar metadata)."""
+    path = _stream_cache_dir(sf_dir, flavor)
+    marker = os.path.join(path, "_complete")
+    if os.path.exists(marker):
+        return SimStream(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    stream = SimStream.create(path, n_shards=2)
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    for i in range(n_slices):
+        a = lo + span * i / n_slices
+        cond = F.col("ts") >= F.lit(a)
+        if i < n_slices - 1:
+            cond = cond & (F.col("ts") < F.lit(lo + span * (i + 1) / n_slices))
+        stream.put_records_distributed(_encode_events(e.filter(cond)))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stream
+
+
+@query(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH bounds AS (
+        SELECT EPOCH_US(MIN(ts)) AS lo, EPOCH_US(MAX(ts)) AS hi FROM events
+    ), views AS (
+        SELECT user_id, ts FROM events
+        WHERE event_type = 'view'
+          AND EPOCH_US(ts) <= (SELECT hi - (hi - lo) // 4 FROM bounds)
+    ), purch AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT v.user_id, p.ts AS p_ts
+        FROM views v LEFT JOIN purch p
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(p_ts) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_views
+    FROM pairs GROUP BY user_id
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    variant (stream_stream_interval_join) cannot express: views with NO
+    purchase inside their 2-hour window must still emit, exactly once,
+    with a NULL purchase side. In Structured Streaming that null row is
+    produced by WATERMARK-DRIVEN STATE EVICTION: a buffered view emits
+    its outer null only when the watermark proves no future purchase can
+    match it. This query exercises that machinery end-to-end — sliced
+    event-time-ordered produce (see _materialize_sliced_stream), a real
+    finite watermark delay (span/8, vs the inner variant's replay-horizon
+    delay), per-slice micro-batches during which the watermark advances
+    and state is continuously evicted, and the availableNow-final no-data
+    batch that flushes the last eligible orphans.
+
+    The gate: views whose outer-null eligibility the final watermark
+    provably covers are those with v_ts ≤ hi − delay − window; the
+    compared window is cut at the conservative, PURE-SQL boundary
+    hi − (hi − lo)/4 (integer epoch-microsecond arithmetic in both
+    engines, and delay + window = span/8 + 2h < span/4 for any span over
+    ~9 hours), so every compared view has either its matches or its
+    orphan row in the drain — the batch LEFT JOIN oracle must then match
+    exactly, null-emission bugs included.
+
+    Scale shape: join state is O(watermark delay × arrival rate), NOT
+    O(stream length) — the sliced arrival order is what makes that true,
+    and is the production argument for this plan at 100 TB/day rates.
+
+    Reference parity: none for the join itself (SURVEY §2.D north-star);
+    the produce path is the reference's put pipeline (W2/W9)."""
+    stream = _materialize_sliced_stream(spark, sf_dir, flavor="sliced12")
+    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=4)
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    # scalar event-time bounds from the batch table (driver metadata only);
+    # all arithmetic in exact integer microseconds — mirrors the oracle
+    batch = table(spark, sf_dir, "events")
+    lo_us, hi_us = batch.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span_us = hi_us - lo_us
+    delay = f"{span_us // 8} microseconds"
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", delay)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", delay)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    )
+    drained = _run_available_now(joined, spark, mode="append", state_partitions=16)
+    cutoff_us = hi_us - span_us // 4
+    return (
+        drained.filter(F.unix_micros("v_ts") <= cutoff_us)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("p_ts").alias("n_pairs"),
+            F.sum(F.col("p_ts").isNull().cast("long")).alias("n_orphan_views"),
+        )
     )
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import NORM_TEXT_DUCK, normalize_text
 from ..io import fanout, table
 from ..registry import query
-from ..shared import transient_persist
+from ..shared import shared_frame, transient_persist
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
@@ -968,11 +968,23 @@ _BM25_CTES = f"""
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BM25 scoring pipeline -> (query_id, doc_id, score_u),
-    pre-top-k. Shared by text_bm25_ranked_retrieval and the hybrid-RRF
-    fusion (similarity.py) so the lexical side of hybrid retrieval is
-    the SAME scoring definition the BM25 gate hashes. See
-    text_bm25_ranked_retrieval's docstring for plan shape and the
-    integer-micro-unit determinism discipline."""
+    pre-top-k, shared_frame-cached: text_bm25_ranked_retrieval, the
+    hybrid-RRF fusion, and the retrieval system-comparison eval (all in
+    similarity.py) consume the SAME scoring definition, so the three
+    gates can never desync — and the corpus-side token aggregates run
+    once per (session, sf_dir), not once per consumer. The cached frame
+    is (queries x candidate docs) rows of three integers — bounded by
+    corpus size, never by corpus bytes. See text_bm25_ranked_retrieval's
+    docstring for plan shape and the integer-micro-unit determinism
+    discipline."""
+
+    def build() -> DataFrame:
+        return _bm25_scores_build(spark, sf_dir)
+
+    return shared_frame(spark, "bm25_scored", sf_dir, build)
+
+
+def _bm25_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")

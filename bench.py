@@ -299,6 +299,7 @@ HEADLINE = [
     "graph_triangle_census_selfcheck",
     "text_bm25_ranked_retrieval",
     "retrieval_hybrid_rrf",
+    "retrieval_eval_system_comparison",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.
@@ -331,6 +332,7 @@ STREAM_SECTION = [
     "stream_pattern_match_cep",
     "stream_two_sinks_atomic",
     "stream_multi_source_union",
+    "stream_stream_left_outer_join",
 ]
 
 

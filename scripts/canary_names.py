@@ -247,6 +247,8 @@ SF1_CANARY = [
     "graph_triangle_census_selfcheck",   # dual-plan closure (rows-only at sf1)
     "text_bm25_ranked_retrieval",        # posting join + rare-term budget
     "retrieval_hybrid_rrf",              # BM25 + dense RRF fusion
+    "retrieval_eval_system_comparison",  # three-system IR-metric eval
+    "stream_stream_left_outer_join",     # watermark-driven outer-null emission
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",

@@ -262,6 +262,11 @@ SHOWCASE = [
      "Chunk explode is linear in corpus tokens; digest frequencies and "
      "the mark-join share the dg key (one Exchange reused); the "
      "per-source rollup is dimension-sized."),
+    ("retrieval_eval_system_comparison",
+     "Both scoring sides arrive via shared_frame (InMemoryTableScan when "
+     "a sibling retrieval gate already ran); ranking Windows are "
+     "per-query; everything after the @10 cut is a systems x queries x "
+     "10-row frame that BROADCASTS into the label-dimension joins."),
 ]
 
 

@@ -89,6 +89,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "similarity_mips_norm_augment": "broadcasts the constant query set against the corpus scan",
     "similarity_multiprobe_recall_sweep": "broadcasts the constant query set at each probe width",
     "retrieval_hybrid_rrf": "dense side broadcasts the constant query set (vec_id < N_QUERIES) against the corpus scan",
+    "retrieval_eval_system_comparison": "dense side broadcasts the constant query set against the corpus scan (shared with retrieval_hybrid_rrf)",
 }
 
 
