@@ -460,3 +460,163 @@ def asof_join_nearest_frame(
         .when(F.col("next_ts").isNotNull(), F.lit("forward"))
         .alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap_surge — interval×interval overlap join (banded)
+# ---------------------------------------------------------------------------
+
+_IOV_GAP_US = 1_800_000_000        # 30-min sessionization gap (house rule)
+_IOV_MAX_SESSION_US = 172_800_000_000  # 48 h cap bounds the bucket explode
+_IOV_HOUR_US = 3_600_000_000
+
+
+@query(
+    "join_interval_overlap_surge",
+    oracle=f"""
+    WITH ses AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > {_IOV_GAP_US} THEN 1
+                    ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM ses
+    ), sessions AS (
+        SELECT user_id, session_id,
+               EPOCH_US(MIN(ts)) AS s_us, EPOCH_US(MAX(ts)) AS e_us
+        FROM sid GROUP BY 1, 2
+        HAVING EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) <= {_IOV_MAX_SESSION_US}
+    ), hours AS (
+        SELECT DATE_TRUNC('hour', ts) AS h, COUNT(*) AS cnt FROM events GROUP BY 1
+    ), meta AS (
+        SELECT COUNT(*) AS n_hours, SUM(cnt) AS total FROM hours
+    ), hot AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM hours, meta WHERE 4 * cnt * n_hours > 5 * total
+    ), surges AS (
+        SELECT MIN(EPOCH_US(h)) AS a_us,
+               MAX(EPOCH_US(h)) + {_IOV_HOUR_US} AS b_us
+        FROM (SELECT h, rn, EPOCH_US(h) // {_IOV_HOUR_US} - rn AS grp FROM hot)
+        GROUP BY grp
+    ), pairs AS (
+        SELECT s.user_id, s.session_id,
+               LEAST(s.e_us + 1, g.b_us) - GREATEST(s.s_us, g.a_us) AS ov_us
+        FROM sessions s JOIN surges g
+          ON s.s_us < g.b_us AND s.e_us >= g.a_us
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_surge_sessions,
+           CAST(COUNT(*) AS BIGINT)                   AS n_pairs,
+           CAST(SUM(ov_us) // 1000000 AS BIGINT)      AS total_overlap_sec
+    FROM pairs GROUP BY user_id
+    """,
+)
+def join_interval_overlap_surge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join — the join class the family still
+    lacked (as-of = point×interval; range bands = value×interval): user
+    sessions (30-min-gap sessionization, ≤48 h) against global traffic
+    surge windows (maximal runs of consecutive hours whose event count
+    exceeds 1.25× the hourly mean — the strict integer cross-multiplied
+    compare 4·cnt·n_hours > 5·total, no float threshold). Per user:
+    sessions that hit a surge, overlapping (session, surge) pairs, and
+    the exact total overlap seconds — "how much of each user's activity
+    happened inside platform-wide load peaks".
+
+    Scale shape — the generic interval-overlap recipe: a naive overlap
+    join is an inequality-only theta join (BNLJ / cartesian at corpus
+    scale). Here both sides are BANDED to hour buckets: sessions explode
+    to ≤49 covered hours each (the 48 h cap makes the fan-out constant;
+    longer sessions are excluded in BOTH engines), surge windows are
+    already unions of whole hot hours, so the join is a plain EQUI join
+    on hour index followed by a (session, surge) dedup — linear in
+    covered hours, never pairs×pairs. The hot-hour ranking window is
+    unpartitioned but CALENDAR-bounded (|hours|, 720 at any SF — time,
+    not rows, is its scale axis), and overlap lengths are exact integer
+    microsecond arithmetic (half-open surge [a,b), closed session
+    [s,e] ⇒ min(e+1,b) − max(s,a)); seconds via integer DIV. Bucket-join
+    equivalence to the oracle's interval predicate holds because surges
+    are hour-aligned runs: two hour-aligned ranges overlap iff they
+    share an hour bucket.
+
+    Reference parity: none (SURVEY §2.D north-star; completes the
+    point/value/interval join triad)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    new_s = (
+        F.when(lag_us.isNull(), 1)
+        .when(F.unix_micros("ts") - lag_us > _IOV_GAP_US, 1)
+        .otherwise(0)
+    )
+    sid = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    sessions = (
+        sid.groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+        .filter(F.col("e_us") - F.col("s_us") <= _IOV_MAX_SESSION_US)
+    )
+    hours = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("cnt")
+    )
+    meta = hours.agg(F.count("*").alias("n_hours"), F.sum("cnt").alias("total"))
+    # |hours| is calendar-bounded, so the unpartitioned ranking window and
+    # the surge islands frame are dimension-sized at every data scale
+    hot = (
+        hours.crossJoin(F.broadcast(meta))
+        .filter(4 * F.col("cnt") * F.col("n_hours") > 5 * F.col("total"))
+        .select("h", F.row_number().over(Window.orderBy("h")).alias("rn"))
+        .select(
+            "h",
+            "rn",
+            F.expr(f"unix_micros(h) DIV {_IOV_HOUR_US}").alias("h_idx"),
+        )
+        .withColumn("grp", F.col("h_idx") - F.col("rn"))
+    )
+    surges = hot.groupBy("grp").agg(
+        F.min(F.unix_micros("h")).alias("a_us"),
+        (F.max(F.unix_micros("h")) + _IOV_HOUR_US).alias("b_us"),
+    )
+    hot_map = hot.join(surges, "grp").select("h_idx", "grp", "a_us", "b_us")
+    ses_hours = sessions.select(
+        "user_id",
+        "session_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us DIV {_IOV_HOUR_US}"),
+                F.expr(f"e_us DIV {_IOV_HOUR_US}"),
+            )
+        ).alias("h_idx"),
+    )
+    pairs = (
+        ses_hours.join(F.broadcast(hot_map), "h_idx")
+        .dropDuplicates(["user_id", "session_id", "grp"])
+        .select(
+            "user_id",
+            "session_id",
+            (
+                F.least(F.col("e_us") + 1, F.col("b_us"))
+                - F.greatest(F.col("s_us"), F.col("a_us"))
+            ).alias("ov_us"),
+        )
+    )
+    return pairs.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_surge_sessions"),
+        F.count("*").alias("n_pairs"),
+        F.expr("CAST(sum(ov_us) DIV 1000000 AS BIGINT)").alias("total_overlap_sec"),
+    )

@@ -119,7 +119,7 @@ def _run_available_now(
     sdf: DataFrame,
     spark: SparkSession,
     mode: str,
-    state_partitions: int | None = None,
+    state_partitions: int | None = 16,
 ) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink and
     return the final result as a batch DataFrame.
@@ -130,8 +130,12 @@ def _run_available_now(
     200-partition default session pays 200 store commits × batches ×
     stateful stages for a query whose state fits in a handful — pure
     fixed overhead, no result change (state partitioning is internal;
-    the drain is complete either way). Production sizing would RAISE it
-    with state volume; the knob is the same one."""
+    the drain is complete either way; the shuffle-256 canary pins
+    partition-count independence for the batch plans, and the drained
+    RESULT here is independent of the store count by the same argument).
+    The default 16 is sized for these drains' state (≤ a few hundred
+    thousand keys); production sizing would RAISE it with state volume —
+    the knob is the same one, explicitly surfaced per drain."""
     name = f"q_{uuid.uuid4().hex[:10]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:

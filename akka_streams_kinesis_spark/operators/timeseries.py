@@ -1088,3 +1088,118 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("dau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_holt_linear_forecast — Holt's double exponential smoothing
+# ---------------------------------------------------------------------------
+
+# smoothing constants as literal STRINGS so both engines parse the same
+# double (the BM25/EWMA discipline); every recurrence subexpression below
+# is textually identical in the Spark fold and the DuckDB recursive CTE,
+# so the IEEE arithmetic is bit-identical step by step.
+_HOLT_A = "0.3"   # level smoothing α
+_HOLT_B = "0.1"   # trend smoothing β
+
+_HOLT_L_STEP = (
+    f"CAST({_HOLT_A} AS DOUBLE) * {{x}} "
+    f"+ (1 - CAST({_HOLT_A} AS DOUBLE)) * ({{l}} + {{b}})"
+)
+_HOLT_B_STEP = (
+    f"CAST({_HOLT_B} AS DOUBLE) * (({_HOLT_L_STEP}) - {{l}}) "
+    f"+ (1 - CAST({_HOLT_B} AS DOUBLE)) * {{b}}"
+)
+
+
+@query(
+    "events_holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, DATE_TRUNC('day', ts) AS d,
+               ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ), holt AS (
+        SELECT event_type, i, v AS l, CAST(0 AS DOUBLE) AS b
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT h.event_type, s.i,
+               {_HOLT_L_STEP.format(x="s.v", l="h.l", b="h.b")},
+               {_HOLT_B_STEP.format(x="s.v", l="h.l", b="h.b")}
+        FROM holt h
+        JOIN seq s ON s.event_type = h.event_type AND s.i = h.i + 1
+    ), last AS (
+        SELECT h.event_type, h.i AS n_days, h.l, h.b
+        FROM holt h
+        JOIN (SELECT event_type, MAX(i) AS n FROM seq GROUP BY 1) m
+          ON m.event_type = h.event_type AND m.n = h.i
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(l, 4)            AS level4,
+           ROUND(b, 4)            AS trend4,
+           ROUND(l + 1 * b, 4)    AS fc_1,
+           ROUND(l + 3 * b, 4)    AS fc_3,
+           ROUND(l + 7 * b, 4)    AS fc_7
+    FROM last
+    """,
+)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + linear trend) over the
+    per-type daily value series, with 1/3/7-day-ahead forecasts — the
+    classic capacity-planning forecaster, and the missing member of the
+    events family next to EWMA (level only) and the seasonality profile
+    (no trend): l_i = αx_i + (1−α)(l₋+b₋); b_i = β(l_i−l₋) + (1−β)b₋;
+    f_h = l_n + h·b_n, α={_HOLT_A}, β={_HOLT_B}.
+
+    Plan shape: the daily aggregate is one map-side-combinable pass over
+    the facts; the recurrence then folds a DAYS-BOUNDED array per type
+    (sort_array + aggregate(), a JVM lambda inside codegen — no Python,
+    no driver loop, no iteration over jobs). At 100 TB the fold input is
+    still |types| × |days| — the collect_list is calendar-bounded, never
+    row-bounded. A linear recurrence cannot be a window cumulative sum
+    (the EWMA rescaling trick has no stable 2-state analog: the state
+    matrix's eigenvalues are complex for most α/β), so the fold IS the
+    scale-correct formulation.
+
+    Determinism: daily inputs are the repo-standard ROUND(SUM,2); the
+    fold and the oracle's recursive CTE evaluate TEXTUALLY IDENTICAL
+    double expressions in the same order (shared format strings, see
+    _HOLT_L_STEP/_HOLT_B_STEP), so every step is IEEE-bit-identical
+    across engines; 4-dp rounding at the end only.
+
+    Reference parity: none (SURVEY §2.D north-star; forecasting gap in
+    the events family)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "v"))).alias("dv")
+    )
+    l_step = _HOLT_L_STEP.format(x="x.v", l="acc.l", b="acc.b")
+    b_step = _HOLT_B_STEP.format(x="x.v", l="acc.l", b="acc.b")
+    fold = F.expr(
+        f"""
+        aggregate(
+          dv,
+          named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE), 'i', 0),
+          (acc, x) -> IF(acc.i = 0,
+              named_struct('l', x.v, 'b', CAST(0 AS DOUBLE), 'i', 1),
+              named_struct('l', {l_step},
+                           'b', {b_step},
+                           'i', acc.i + 1))
+        )"""
+    ).alias("st")
+    return arr.select("event_type", fold).select(
+        "event_type",
+        F.col("st.i").cast("long").alias("n_days"),
+        F.expr("round(st.l, 4)").alias("level4"),
+        F.expr("round(st.b, 4)").alias("trend4"),
+        F.expr("round(st.l + 1 * st.b, 4)").alias("fc_1"),
+        F.expr("round(st.l + 3 * st.b, 4)").alias("fc_3"),
+        F.expr("round(st.l + 7 * st.b, 4)").alias("fc_7"),
+    )

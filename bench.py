@@ -300,6 +300,8 @@ HEADLINE = [
     "text_bm25_ranked_retrieval",
     "retrieval_hybrid_rrf",
     "retrieval_eval_system_comparison",
+    "events_holt_linear_forecast",
+    "join_interval_overlap_surge",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

@@ -249,6 +249,8 @@ SF1_CANARY = [
     "retrieval_hybrid_rrf",              # BM25 + dense RRF fusion
     "retrieval_eval_system_comparison",  # three-system IR-metric eval
     "stream_stream_left_outer_join",     # watermark-driven outer-null emission
+    "events_holt_linear_forecast",       # days-bounded recurrence fold
+    "join_interval_overlap_surge",       # banded interval-overlap join (hour-bucket explode)
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",

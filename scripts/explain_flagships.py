@@ -267,6 +267,15 @@ SHOWCASE = [
      "a sibling retrieval gate already ran); ranking Windows are "
      "per-query; everything after the @10 cut is a systems x queries x "
      "10-row frame that BROADCASTS into the label-dimension joins."),
+    ("join_interval_overlap_surge",
+     "Interval-overlap join WITHOUT a nested loop: sessions explode to "
+     "<=49 hour buckets (48h cap), surge windows broadcast as an "
+     "hour->surge map, and the join is a BroadcastHashJoin on h_idx + "
+     "dedup — never an inequality-only theta join."),
+    ("events_holt_linear_forecast",
+     "One map-side-combinable daily aggregate, then aggregate() folds a "
+     "days-bounded array per type INSIDE codegen — no Python boundary, "
+     "no per-iteration jobs; collect_list is calendar-bounded."),
 ]
 
 
