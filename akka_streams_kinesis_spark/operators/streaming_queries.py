@@ -387,7 +387,24 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     Reference parity: none for the join itself (SURVEY §2.D north-star);
     the produce path is the reference's put pipeline (W2/W9)."""
     stream = _materialize_sliced_stream(spark, sf_dir, flavor="sliced12")
-    records = stream.read_stream(spark, TrimHorizon(), max_files_per_trigger=4)
+    # one micro-batch per time slice at EVERY scale: the produce writes one
+    # file per Arrow batch, so file count grows with the data — a FIXED
+    # maxFilesPerTrigger would make micro-batch count grow linearly too,
+    # and since each batch's state commit costs O(state) the drain would
+    # pick up an SF² term (caught by the sf3 30× spot at exponent 1.53).
+    # Pinning the batch COUNT keeps commits × state linear. Batches ≥ one
+    # slice stay drop-safe: watermark lags one batch, and cross-batch
+    # lateness stays ≤ one slice width < the delay.
+    n_files = sum(
+        1
+        for _, _, files in os.walk(stream.data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    per_trigger = max(4, -(-n_files // 12))
+    records = stream.read_stream(
+        spark, TrimHorizon(), max_files_per_trigger=per_trigger
+    )
     events = decode_json_payload(records, _EVENT_SCHEMA)
     # scalar event-time bounds from the batch table (driver metadata only);
     # all arithmetic in exact integer microseconds — mirrors the oracle
@@ -1841,4 +1858,85 @@ def source_checkpoint_restart_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
             "total_cents"
         ),
+    )
+
+
+@query(
+    "stream_session_timeout_eviction",
+    oracle="""
+    WITH bounds AS (
+        SELECT EPOCH_US(MIN(ts)) AS lo, EPOCH_US(MAX(ts)) AS hi FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           DATE_TRUNC('milliseconds', MIN(ts)) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, session_id
+    HAVING EPOCH_US(MAX(ts)) <= (SELECT hi - (hi - lo) // 4 FROM bounds)
+    """,
+)
+def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via RAW event-time timeout machinery
+    (GroupStateTimeout.EventTimeTimeout + setTimeoutTimestamp +
+    hasTimedOut) — the third way to sessionize in this engine, after the
+    batch lag+cumsum and F.session_window, and the only one where the
+    WATERMARK-PROOF eviction that closes a session is user-visible code
+    (streaming/stateful.py: sessions_by_timeout). Every closed session
+    emits exactly once in append mode when the watermark proves no
+    future arrival can extend or bridge it.
+
+    Gate: the drain replays the sliced event-time-ordered produce
+    (arrival skew ≤ one slice < the span/8 watermark delay — the
+    premise of the closure proof); a session is provably emitted by the
+    availableNow-final no-data batch when last + gap < hi − delay, so
+    the compared window cuts at the conservative pure-SQL boundary
+    hi − (hi − lo)/4 used by the left-outer-join gate. Timestamps are
+    ms-quantized by the JSON wire format (same note as
+    stream_session_windows) — the oracle truncates to match.
+
+    Scale shape: keyed state holds only not-yet-provable events
+    (O(delay × per-user rate), not O(history)); each watermark advance
+    revisits active keys once via their re-armed timeout — the canonical
+    timer wheel a production stateful operator runs on.
+
+    Reference parity: none (SURVEY §2.D stateful-ops north-star; closes
+    the 'live deployments evict with a timeout' deferral in the CEP
+    operator's docstring)."""
+    from ..streaming.stateful import sessions_by_timeout
+
+    stream = _materialize_sliced_stream(spark, sf_dir, flavor="sliced12")
+    n_files = sum(
+        1
+        for _, _, files in os.walk(stream.data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    records = stream.read_stream(
+        spark, TrimHorizon(), max_files_per_trigger=max(4, -(-n_files // 12))
+    )
+    events = decode_json_payload(records, _EVENT_SCHEMA)
+    batch = table(spark, sf_dir, "events")
+    lo_us, hi_us = batch.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span_us = hi_us - lo_us
+    sessions = sessions_by_timeout(events, delay=f"{span_us // 8} microseconds")
+    drained = _run_available_now(sessions, spark, mode="append")
+    cutoff_us = hi_us - span_us // 4
+    return drained.filter(F.col("last_us") <= cutoff_us).select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        "n_events",
     )

@@ -384,3 +384,129 @@ def streaming_session_cep(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven session eviction (GroupStateTimeout.EventTimeTimeout)
+# ---------------------------------------------------------------------------
+
+_SEVICT_GAP_US = 1_800_000_000  # 30-min session gap (house sessionization rule)
+_SEVICT_OUTPUT_SCHEMA = "user_id long, start_us long, last_us long, n_events long"
+_SEVICT_STATE_SCHEMA = "ts_us array<long>, eid array<long>"
+
+
+def _sevict_sessions(evs_sorted: list) -> list:
+    """[(ts_us, eid)] sorted → [(start, last, n, events)] under the 30-min
+    gap rule — the same fold the batch oracle's lag+cumsum computes."""
+    out = []
+    start, last, n, ev = evs_sorted[0][0], evs_sorted[0][0], 1, [evs_sorted[0]]
+    for ts, eid in evs_sorted[1:]:
+        if ts - last > _SEVICT_GAP_US:
+            out.append((start, last, n, ev))
+            start, last, n, ev = ts, ts, 1, [(ts, eid)]
+        else:
+            last, n = ts, n + 1
+            ev.append((ts, eid))
+    out.append((start, last, n, ev))
+    return out
+
+
+def _update_session_evict(key, pdfs, state):
+    """Keyed update for sessions_by_timeout — see its docstring for the
+    protocol. Two paths:
+
+    input: buffer the batch's (ts, eid) rows into state (NOTHING is
+    emitted here — closure can never be proven by in-hand data alone,
+    because a not-yet-arrived event with ts ≥ wm could still bridge two
+    buffered sessions whose gap exceeds 30 min), then arm the event-time
+    timeout at wm+1 so the key is revisited as soon as the watermark
+    moves.
+
+    timeout: sort the buffer, sessionize, emit every session whose
+    last + gap < wm — the watermark proves no future event can extend or
+    bridge it (arrivals carry ts ≥ wm) — keep the rest, re-arm at wm+1.
+
+    Each session emits exactly once: emitted events leave the buffer, and
+    post-emission arrivals have ts ≥ wm > last + gap, starting a new
+    session by definition.
+    """
+    import pandas as pd
+
+    user = int(key[0])
+    wm_ms = state.getCurrentWatermarkMs()
+    if state.hasTimedOut:
+        ts_arr, eid_arr = state.get
+        evs = sorted(zip(ts_arr, eid_arr))
+        emit, keep = [], []
+        for s, l, n, ev in _sevict_sessions(evs):
+            if l + _SEVICT_GAP_US < wm_ms * 1000:
+                emit.append((user, s, l, n))
+            else:
+                keep.extend(ev)
+        if keep:
+            state.update(
+                ([int(t) for t, _ in keep], [int(e) for _, e in keep])
+            )
+            state.setTimeoutTimestamp(wm_ms + 1)
+        else:
+            state.remove()
+        if emit:
+            yield pd.DataFrame(
+                {
+                    "user_id": [e[0] for e in emit],
+                    "start_us": [e[1] for e in emit],
+                    "last_us": [e[2] for e in emit],
+                    "n_events": [e[3] for e in emit],
+                }
+            )
+        return
+    ts_new, eid_new = [], []
+    for pdf in pdfs:
+        # JSON-decoded timestamps arrive as pandas datetime64; normalize to
+        # exact integer MICROseconds (datetime64[ns].astype(int64) would
+        # silently yield nanos — a 1000× unit bug this line pins away)
+        ts_new.extend(
+            int(t) for t in pdf["ts"].astype("datetime64[us]").astype("int64")
+        )
+        eid_new.extend(int(e) for e in pdf["event_id"])
+    if state.exists:
+        ts_arr, eid_arr = state.get
+        ts_new.extend(int(t) for t in ts_arr)
+        eid_new.extend(int(e) for e in eid_arr)
+    state.update((ts_new, eid_new))
+    state.setTimeoutTimestamp(wm_ms + 1)
+    return
+    yield  # makes the input path a generator too (consistent laziness)
+
+
+def sessions_by_timeout(events: DataFrame, delay: str) -> DataFrame:
+    """Gap-based session windows rebuilt on RAW GroupStateTimeout
+    machinery — the timeout/timer demonstration this module's CEP
+    docstring defers to ("a live deployment evicts closed sessions with a
+    GroupStateTimeout"): rather than F.session_window (which hides
+    eviction inside the session-window operator), every closure decision
+    here is an explicit watermark proof inside keyed state, which is how
+    ANY custom stateful operator with data-dependent lifetimes (auctions,
+    order fulfilment, fraud windows) must be built.
+
+    Contract: ``delay`` must be ≥ the stream's arrival skew (for the
+    sliced backfill produce: one slice width), so that "future arrivals
+    have ts ≥ watermark" holds — the single premise behind the emission
+    proof in _update_session_evict. State is O(open + not-yet-provable
+    sessions) per user ≈ delay × per-user rate — NOT O(history); that,
+    plus exactly-once session emission in append mode, is what the
+    timeout buys over the CEP entry's keep-everything strategy.
+
+    Emits (user_id, start_us, last_us, n_events) per CLOSED session, in
+    exact integer microseconds (ms-quantized by the JSON wire format —
+    same precision note as stream_session_windows).
+    """
+    return events.select("user_id", "ts", "event_id").withWatermark(
+        "ts", delay
+    ).groupBy("user_id").applyInPandasWithState(
+        _update_session_evict,
+        outputStructType=_SEVICT_OUTPUT_SCHEMA,
+        stateStructType=_SEVICT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -335,6 +335,7 @@ STREAM_SECTION = [
     "stream_two_sinks_atomic",
     "stream_multi_source_union",
     "stream_stream_left_outer_join",
+    "stream_session_timeout_eviction",
 ]
 
 
