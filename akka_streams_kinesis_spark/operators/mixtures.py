@@ -572,3 +572,142 @@ def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     return agg.select(
         "source", "n_original", "p_keep6", "n_kept", target4, realized4
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_calibration_reliability — reliability diagram + ECE for the screen
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+_CAL_SCALE = 10_000  # 4dp scores → exact integer micro-units
+
+
+@query(
+    "quality_calibration_reliability",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               AVG(({_BUCKET_DUCK} % {_CLF_MOD}) * 1.0 / {_CLF_MOD} - 0.5) AS mean_w
+        FROM toks GROUP BY doc_id
+    ), scored AS (
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + EXP(-({_CLF_BIAS} + mean_w))), 4) AS score
+        FROM feats
+    ), meta AS (
+        SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_chars FROM documents
+    ), labeled AS (
+        SELECT s.doc_id,
+               CAST(ROUND(s.score * {_CAL_SCALE}) AS BIGINT) AS pred_u,
+               LEAST(CAST(FLOOR(s.score * {_CAL_BINS}) AS BIGINT),
+                     {_CAL_BINS - 1}) AS bin,
+               CASE WHEN d.n_chars * m.n_docs > m.total_chars
+                    THEN 1 ELSE 0 END AS label
+        FROM scored s
+        JOIN documents d ON d.doc_id = s.doc_id
+        CROSS JOIN meta m
+    ), bins AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT)    AS n_docs,
+               CAST(SUM(pred_u) AS BIGINT) AS sum_pred_u,
+               CAST(SUM(label) AS BIGINT)  AS n_pos,
+               CAST(ABS(SUM(pred_u) - SUM(label) * {_CAL_SCALE}) AS BIGINT)
+                   AS gap_u
+        FROM labeled GROUP BY bin
+    )
+    SELECT bin, n_docs, sum_pred_u, n_pos, gap_u,
+           CAST((SELECT SUM(gap_u) FROM bins)
+                 // (SELECT COUNT(*) FROM labeled) AS BIGINT) AS ece_u
+    FROM bins
+    ORDER BY bin
+    """,
+)
+def quality_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    fasttext-shaped quality screen — the model-eval piece the quality
+    family still lacked (kappa measures AGREEMENT, PSI measures DRIFT;
+    neither asks "when the screen says 0.7, is it right 70% of the
+    time?", the question every score-thresholded curation pipeline must
+    answer before trusting its keep-rate). Scores are binned into
+    {_CAL_BINS} equal-width bins against a deterministic reference label
+    (document longer than the corpus mean — the exact integer compare
+    n_chars · n_docs > Σ n_chars, no float mean); each bin reports doc
+    count, summed predicted probability, positives, and the calibration
+    gap; ECE rides along in exact integer micro-units
+    (Σ|Σpred − pos·{_CAL_SCALE}|_bins DIV n_docs — the standard
+    n-weighted ECE, scaled).
+
+    Scale shape: the scoring pass is the classifier's own map-only
+    hash→weight→mean fold (row-local, no explode); labeling joins the
+    one-row corpus aggregate back by broadcast; the diagram is a
+    {_CAL_BINS}-row hash aggregate. Nothing after the scan exceeds
+    kilobytes at any corpus size.
+
+    Determinism: the 4dp score is the already-gated classifier value;
+    binning floors 4dp × {_CAL_BINS} (no boundary ambiguity at 4dp);
+    predictions sum as exact BIGINT micro-units, never as doubles.
+
+    Reference parity: none (SURVEY §2.D north-star; completes the
+    quality-screen eval story)."""
+    d = table(spark, sf_dir, "documents")
+    weights = F.expr(
+        f"transform(split(text, ' '), tok -> "
+        f"(({_BUCKET_SPARK}) % {_CLF_MOD}) / CAST({_CLF_MOD} AS DOUBLE) - 0.5)"
+    )
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.lit(_CLF_BIAS)
+                        + F.aggregate(weights, F.lit(0.0), lambda a, w: a + w)
+                        / F.size(F.split("text", " "))
+                    )
+                )
+            ),
+            4,
+        ).alias("score"),
+    )
+    meta = d.agg(
+        F.count("*").alias("n_docs_all"), F.sum("n_chars").alias("total_chars")
+    )
+    labeled = scored.crossJoin(F.broadcast(meta)).select(
+        F.expr(f"CAST(ROUND(score * {_CAL_SCALE}) AS BIGINT)").alias("pred_u"),
+        F.least(
+            F.expr(f"CAST(FLOOR(score * {_CAL_BINS}) AS BIGINT)"),
+            F.lit(_CAL_BINS - 1).cast("long"),
+        ).alias("bin"),
+        F.when(
+            F.col("n_chars") * F.col("n_docs_all") > F.col("total_chars"), 1
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    bins = labeled.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pred_u").alias("sum_pred_u"),
+        F.sum("label").alias("n_pos"),
+        F.abs(
+            F.sum("pred_u") - F.sum("label") * F.lit(_CAL_SCALE)
+        ).alias("gap_u"),
+    )
+    totals = bins.agg(
+        F.sum("gap_u").alias("gap_total"), F.sum("n_docs").alias("n_total")
+    )
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_docs",
+            "sum_pred_u",
+            "n_pos",
+            "gap_u",
+            F.expr("CAST(gap_total DIV n_total AS BIGINT)").alias("ece_u"),
+        )
+        .orderBy("bin")
+    )

@@ -302,6 +302,7 @@ HEADLINE = [
     "retrieval_eval_system_comparison",
     "events_holt_linear_forecast",
     "join_interval_overlap_surge",
+    "quality_calibration_reliability",
 ]
 
 # Streaming-runtime queries: every registry name with the stream_ prefix.

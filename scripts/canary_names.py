@@ -252,6 +252,7 @@ SF1_CANARY = [
     "events_holt_linear_forecast",       # days-bounded recurrence fold
     "join_interval_overlap_surge",       # banded interval-overlap join (hour-bucket explode)
     "stream_session_timeout_eviction",   # raw EventTimeTimeout eviction machinery
+    "quality_calibration_reliability",   # integer-exact ECE reliability bins
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",
