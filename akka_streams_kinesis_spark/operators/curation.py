@@ -1364,16 +1364,24 @@ def curation_soft_dedup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame
     when hard dedup would distort source proportions — the corpus keeps
     its size, the loss keeps its balance.
 
-    Scale shape: one digest hash-aggregate for class sizes, then a
-    self-join on the digest — both shuffles are on the md5 key and the
-    second reuses the first's partitioning. Weight = div_round4(1, n)
-    (FLOOR idiom — engine-exact at every class size)."""
+    Scale shape (round-9 VERDICT ask #5 — was the most linear non-stream
+    sf3 name at exponent 0.93): the groupBy + self-join formulation
+    normalized and md5'd the full TEXT column twice (once per plan arm),
+    and the text pass dominates. Reformulated as ONE projection feeding a
+    partition-count window over the digest: one pass over the text, one
+    shuffle of narrow (doc_id, dg) rows, no join. A pathological
+    duplicate class lands in one window partition, but rows there are
+    36-byte digests, not documents, and WindowExec spills — skew-safe at
+    100 TB. Weight = div_round4(1, n) (FLOOR idiom — engine-exact at
+    every class size)."""
     d = fanout(table(spark, sf_dir, "documents"))
     classes = d.select(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("dg")
     )
-    sized = classes.groupBy("dg").agg(F.count("*").alias("class_size"))
-    return classes.join(sized, "dg").select(
+    w = Window.partitionBy("dg")
+    return classes.select(
+        "doc_id", F.count("*").over(w).alias("class_size")
+    ).select(
         "doc_id",
         "class_size",
         div_round4(F.lit(1.0), F.col("class_size")).alias("weight"),

@@ -39,6 +39,7 @@ weakref, never a strong session reference.
 from __future__ import annotations
 
 import threading
+import time
 import weakref
 from collections.abc import Callable
 
@@ -48,6 +49,27 @@ from pyspark.sql import DataFrame, SparkSession
 _SHARED: dict[tuple, tuple[weakref.ref, DataFrame]] = {}
 _TRANSIENT: list[DataFrame] = []
 _LOCK = threading.RLock()
+
+# Round-10 (VERDICT r09 ask #2): per-frame build cost, measured HERE so a
+# bench can report it once as its own line instead of silently charging
+# the family's whole build to whichever query happens to run first (the
+# accounting that made graph_pagerank_purchases read as a 9.7 s flagship
+# regression while the family was actually 14.5% faster). Frame name →
+# EXCLUSIVE seconds: a build that calls shared_frame for a child frame
+# (purchase_dir_edges → purchase_edges) reports only its own work.
+_BUILD_SECONDS: dict[str, float] = {}
+_BUILD_STACK = threading.local()
+
+
+def build_times() -> dict[str, float]:
+    """Frame name → exclusive build+materialize seconds, this process."""
+    with _LOCK:
+        return dict(_BUILD_SECONDS)
+
+
+def build_seconds_total() -> float:
+    with _LOCK:
+        return round(sum(_BUILD_SECONDS.values()), 3)
 
 
 def _session_stopped(spark: SparkSession | None) -> bool:
@@ -86,7 +108,28 @@ def shared_frame(
         hit = _SHARED.get(key)
         if hit is not None:
             return hit[1]
-        df = build().persist()
+        # Timed + EAGER build: count() fills the persisted cache now, so
+        # the build cost lands in _BUILD_SECONDS instead of inside the
+        # first consumer's wall clock. Total work is unchanged — the
+        # cache fill was always paid exactly once, on first action; this
+        # only moves WHERE it is attributed. Exclusive-time bookkeeping:
+        # each in-flight build accumulates its children's wall time on a
+        # thread-local stack and subtracts it at the end (RLock makes
+        # nested shared_frame calls same-thread by construction).
+        stack = getattr(_BUILD_STACK, "frames", None)
+        if stack is None:
+            stack = _BUILD_STACK.frames = []
+        stack.append(0.0)
+        t0 = time.perf_counter()
+        try:
+            df = build().persist()
+            df.count()
+        finally:
+            wall = time.perf_counter() - t0
+            child_secs = stack.pop()
+            if stack:
+                stack[-1] += wall
+        _BUILD_SECONDS[name] = round(max(0.0, wall - child_secs), 3)
         _SHARED[key] = (weakref.ref(spark), df)
         return df
 

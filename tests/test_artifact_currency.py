@@ -88,7 +88,49 @@ def test_scaling_artifact_has_sf3_spot():
         # round-9 additions
         "graph_triangle_census_selfcheck",
         "text_bm25_ranked_retrieval",
+        # round-10 (VERDICT r09 asks #3/#4/#5): the least-headroom
+        # stateful operator, the new incremental-index stream, and the
+        # re-planned soft-dedup weighting stay under 30x watch permanently
+        "stream_session_timeout_eviction",
+        "stream_ann_index_upsert",
+        "curation_soft_dedup_weighting",
     }
     missing = sorted(must_cover - set(spot["queries"]))
     assert not missing, f"sf3_spot missing flagship names: {missing}"
     assert spot["n_flagged"] == 0, f"super-linear at 30x: {spot['flagged']}"
+
+
+def test_drift_sentinel_names_are_valid_headline_queries():
+    """Round-10 (VERDICT r09 ask #1): the drift sentinel must reference
+    real, benched queries, and its pinned history must cover exactly the
+    sentinel names (plus the precomputed total)."""
+    import bench
+
+    registry = _registry_names()
+    assert set(bench.DRIFT_SENTINEL) <= registry
+    assert set(bench.DRIFT_SENTINEL) <= set(bench.HEADLINE)
+    assert len(bench.DRIFT_SENTINEL) >= 10
+    for rnd, hist in bench.SENTINEL_HISTORY.items():
+        names = set(hist) - {"total"}
+        assert names == set(bench.DRIFT_SENTINEL), rnd
+        assert abs(sum(hist[n] for n in names) - hist["total"]) < 0.01, rnd
+
+
+def test_bench_summary_carries_drift_sentinel_and_shared_builds():
+    """BENCH_SUMMARY.json at HEAD must be post-round-10: it carries the
+    drift_sentinel section (same names as bench.DRIFT_SENTINEL, both
+    pinned history rounds) and the shared_builds accounting — the two
+    sections that make a driver-run bench self-interpreting without the
+    builder's notes."""
+    import bench
+
+    path = os.path.join(_REPO, "BENCH_SUMMARY.json")
+    assert os.path.exists(path), "BENCH_SUMMARY.json missing — run bench.py"
+    with open(path) as f:
+        doc = json.load(f)
+    sent = doc.get("drift_sentinel")
+    assert sent, "drift_sentinel section missing — re-run bench.py at HEAD"
+    assert sent["names"] == bench.DRIFT_SENTINEL
+    assert {"r08_driver", "r09_driver"} <= set(sent["history"])
+    assert sent["drift_factor_vs_r09_driver"] is not None
+    assert "shared_builds" in doc and "shared_builds_total" in doc
