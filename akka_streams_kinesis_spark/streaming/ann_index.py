@@ -161,8 +161,11 @@ def start_ann_index(
         )
         batch = batch.persist()
         try:
-            new_cells = {r["c8"] for r in batch.select("c8").distinct().collect()}
-            old_cells: set[str] = set()
+            # touched cells = new cells of the batch ∪ current cells of
+            # the batch's vec_ids (id→cell sidecar, partition-pruned to
+            # the touched id-buckets) — ONE distinct-collect job for
+            # both sides (bounded: ≤ 2 × 256 coarse-cell strings)
+            touched_src = batch.select("c8")
             if _has_partitions(idmap, "idb"):
                 touched_idb = batch.select("idb").distinct()
                 prior = (
@@ -173,8 +176,10 @@ def start_ann_index(
                         F.broadcast(batch.select("vec_id")), "vec_id", "leftsemi"
                     )
                 )
-                old_cells = {r["c8"] for r in prior.select("c8").distinct().collect()}
-            touched = sorted(new_cells | old_cells)
+                touched_src = touched_src.unionByName(prior.select("c8"))
+            touched = sorted(
+                r["c8"] for r in touched_src.distinct().collect()
+            )
 
             merged = batch.select("vec_id", "seq", "code", "c8")
             if _has_partitions(store, "c8"):

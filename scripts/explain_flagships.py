@@ -276,6 +276,20 @@ SHOWCASE = [
      "One map-side-combinable daily aggregate, then aggregate() folds a "
      "days-bounded array per type INSIDE codegen — no Python boundary, "
      "no per-iteration jobs; collect_list is calendar-bounded."),
+    # round 10
+    ("curation_soft_dedup_weighting",
+     "ONE pass over the text column (normalize+md5 once, not once per "
+     "plan arm): a partition-count window over the digest replaces the "
+     "groupBy + self-join — one narrow shuffle, no join; 30x exponent "
+     "0.93 -> 0.43."),
+    ("stream_ann_index_upsert",
+     "foreachBatch IVF maintenance: per batch, ONE partition-pruned "
+     "idmap read (touched id-buckets), one partition-pruned store read "
+     "(touched coarse cells), latest-wins merge, dynamic-partition "
+     "overwrite of exactly the touched partitions, and a subtree-local "
+     "directory refresh whose per-depth counts join back by broadcast "
+     "(<= 2^12 rows at any corpus size) — the corpus is never shuffled; "
+     "rebuild-equivalence raises on violation."),
 ]
 
 
