@@ -124,7 +124,17 @@ def _state_partitions_override(default: int | None) -> int | None:
     env_cap = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
     if env_cap is None:
         return default
-    return None if env_cap.lower() in ("session", "none") else int(env_cap)
+    if env_cap.lower() in ("session", "none"):
+        return None
+    n = int(env_cap)  # non-numeric garbage raises here, at config time
+    if n < 1:
+        # fail loudly HERE, not deep inside the first drain with an
+        # opaque Spark error (spark.sql.shuffle.partitions must be ≥ 1)
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_PARTITIONS must be >= 1 or "
+            f"'session'/'none', got {env_cap!r}"
+        )
+    return n
 
 
 def _run_available_now(
@@ -2077,6 +2087,141 @@ def _ann_oracle() -> str:
     """
 
 
+def _ann_upsert_stream(spark: SparkSession, sf_dir: str) -> SimStream:
+    """Marker-cached 2-shard upsert stream for the standing IVF index:
+    the whole embeddings corpus at seq 0, then every
+    vec_id % {_ANN_UPD_MOD} == 0 re-delivered with a CHANGED (negated)
+    embedding at seq 1. Shared by the maintenance drain
+    (stream_ann_index_upsert) and the search path
+    (similarity_standing_index_topk) so both gates exercise the SAME
+    upsert history."""
+    path = _stream_cache_dir(sf_dir, "annupsert")
+    marker = os.path.join(path, "_complete")
+    if os.path.exists(marker):
+        return SimStream(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    stream = SimStream.create(path, n_shards=2)
+    e = table(spark, sf_dir, "embeddings")
+
+    def _encode(df: DataFrame, seq: int) -> DataFrame:
+        return df.select(
+            F.col("vec_id").cast("string").alias("partition_key"),
+            F.encode(
+                F.to_json(
+                    F.struct(
+                        "vec_id",
+                        F.lit(seq).alias("seq"),
+                        "embedding",
+                    )
+                ),
+                "utf-8",
+            ).alias("data"),
+        )
+
+    stream.put_records_distributed(_encode(e, 0), ts=_T1)
+    updates = e.filter(F.col("vec_id") % _ANN_UPD_MOD == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    stream.put_records_distributed(_encode(updates, 1), ts=_T2)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stream
+
+
+def _ann_upserts_df(spark: SparkSession, stream: SimStream) -> DataFrame:
+    """Streaming (vec_id, seq, code, embedding) upserts from the cached
+    stream, chopped into ~2 micro-batches (the natural seq-0-corpus /
+    seq-1-updates arrival split). Finer chopping plus at-least-once
+    redelivery is property-tested in tests/test_round11.py — every
+    chopping must yield the same index (latest-wins is associative /
+    commutative / idempotent); the gated drain itself uses the coarse
+    chop because per-batch cost is dominated by the store's
+    per-partition-dir commits, pure fixed overhead the bench should not
+    multiply 5×. The embedding decodes as array<float> — float
+    shortest-repr JSON round-trips EXACTLY (Float.toString guarantees a
+    decimal that parses back to the same float), so the stored vector is
+    bit-identical to the parquet source and a DuckDB oracle reading the
+    parquet directly can hash-match similarities computed from the
+    store."""
+    from ..streaming.ann_index import sign_code
+
+    n_files = sum(
+        1
+        for _, _, files in os.walk(stream.data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    records = stream.read_stream(
+        spark, TrimHorizon(), max_files_per_trigger=max(1, -(-n_files // 2))
+    )
+    decoded = decode_json_payload(
+        records, "vec_id long, seq long, embedding array<float>"
+    )
+    return decoded.select(
+        "vec_id", "seq", sign_code("embedding").alias("code"), "embedding"
+    )
+
+
+def _verify_ann_index(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    """Post-drain invariants (both RAISE on violation, so rows-only runs
+    still exercise them): (1) the store holds exactly one live row per
+    vec_id (latest-wins by seq); (2) rebuild-equivalence — the
+    incremental directory equals a full from-scratch rebuild of the
+    final corpus (original parquet + update rule), compared in ONE
+    full-outer-join pass (directory rows are unique per cell on both
+    sides). Returns the incremental directory."""
+    from ..streaming.ann_index import (
+        assign_cells,
+        read_directory,
+        read_store,
+        sign_code,
+    )
+
+    dup = (
+        read_store(spark, root)
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dup:
+        raise RuntimeError(
+            f"ann index store holds {dup} duplicate vec_ids after drain"
+        )
+    e = table(spark, sf_dir, "embeddings")
+    rebuilt = (
+        assign_cells(
+            e.select(
+                "vec_id",
+                sign_code(
+                    "embedding", flip=F.col("vec_id") % _ANN_UPD_MOD == 0
+                ).alias("code"),
+            )
+        )
+        .groupBy("cell", "depth")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    incremental = read_directory(spark, root)
+    r, i = rebuilt.alias("r"), incremental.alias("i")
+    diff = (
+        r.join(i, F.col("r.cell") == F.col("i.cell"), "full")
+        .filter(
+            ~(
+                F.col("r.depth").eqNullSafe(F.col("i.depth"))
+                & F.col("r.n_vecs").eqNullSafe(F.col("i.n_vecs"))
+            )
+        )
+        .count()
+    )
+    if diff:
+        raise RuntimeError(
+            f"incremental IVF directory diverges from full rebuild: "
+            f"{diff} differing cells — rebuild-equivalence violated"
+        )
+    return incremental
+
+
 @query("stream_ann_index_upsert", oracle=_ann_oracle())
 def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance (round-9 VERDICT ask #4): a
@@ -2100,103 +2245,25 @@ def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per batch O(touched cells), never O(corpus) — see the
     module docstring; subtree counts re-join by broadcast (≤ 2^12 rows
-    at ANY corpus size), so the corpus is never shuffled.
+    at ANY corpus size), so the corpus is never shuffled. The scratch
+    index lives under a DETERMINISTIC temp path overwritten per run
+    (round-10 ADVICE: uuid-suffixed roots accumulated a full index copy
+    per invocation in /tmp) — at most one copy exists at any time, and
+    the returned directory frame stays lazily readable.
 
     Reference parity: none for the index (SURVEY §2.D north-star); the
     produce path is the reference's put pipeline (W2/W9), and the replay
     discipline mirrors tests/test_pyds_source.py applied to index state.
     """
-    import uuid as _uuid
+    from ..streaming.ann_index import start_ann_index
 
-    from ..streaming.ann_index import (
-        assign_cells,
-        read_directory,
-        read_store,
-        sign_code,
-        start_ann_index,
-    )
-
-    path = _stream_cache_dir(sf_dir, "annupsert")
-    marker = os.path.join(path, "_complete")
-    if not os.path.exists(marker):
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        stream = SimStream.create(path, n_shards=2)
-        e = table(spark, sf_dir, "embeddings")
-
-        def _encode(df: DataFrame, seq: int) -> DataFrame:
-            return df.select(
-                F.col("vec_id").cast("string").alias("partition_key"),
-                F.encode(
-                    F.to_json(
-                        F.struct(
-                            "vec_id",
-                            F.lit(seq).alias("seq"),
-                            "embedding",
-                        )
-                    ),
-                    "utf-8",
-                ).alias("data"),
-            )
-
-        stream.put_records_distributed(_encode(e, 0), ts=_T1)
-        updates = e.filter(F.col("vec_id") % _ANN_UPD_MOD == 0).withColumn(
-            "embedding", F.transform("embedding", lambda x: -x)
-        )
-        stream.put_records_distributed(_encode(updates, 1), ts=_T2)
-        with open(marker, "w") as f:
-            f.write("ok")
-    else:
-        stream = SimStream(path)
-
-    n_files = sum(
-        1
-        for _, _, files in os.walk(stream.data_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    records = stream.read_stream(
-        spark, TrimHorizon(), max_files_per_trigger=max(1, -(-n_files // 5))
-    )
-    decoded = decode_json_payload(
-        records, "vec_id long, seq long, embedding array<double>"
-    )
-    upserts = decoded.select(
-        "vec_id", "seq", sign_code("embedding").alias("code")
-    )
-    run = _uuid.uuid4().hex[:10]
-    root = os.path.join(tempfile.gettempdir(), f"annidx_{run}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"annidx_ckpt_{run}")
+    stream = _ann_upsert_stream(spark, sf_dir)
+    upserts = _ann_upserts_df(spark, stream)
+    scratch = _stream_cache_dir(sf_dir, "annidx_scratch")
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    root = os.path.join(scratch, "index")
+    ckpt = os.path.join(scratch, "_ckpt")
     q = start_ann_index(upserts, root, ckpt)
     q.awaitTermination()
-
-    store = read_store(spark, root)
-    dup = store.groupBy("vec_id").count().filter(F.col("count") > 1).count()
-    if dup:
-        raise RuntimeError(
-            f"ann index store holds {dup} duplicate vec_ids after drain"
-        )
-    e = table(spark, sf_dir, "embeddings")
-    rebuilt = (
-        assign_cells(
-            e.select(
-                "vec_id",
-                sign_code(
-                    "embedding", flip=F.col("vec_id") % _ANN_UPD_MOD == 0
-                ).alias("code"),
-            )
-        )
-        .groupBy("cell", "depth")
-        .agg(F.count("*").alias("n_vecs"))
-    )
-    incremental = read_directory(spark, root)
-    diff = (
-        rebuilt.exceptAll(incremental).count()
-        + incremental.exceptAll(rebuilt).count()
-    )
-    if diff:
-        raise RuntimeError(
-            f"incremental IVF directory diverges from full rebuild: "
-            f"{diff} differing rows — rebuild-equivalence violated"
-        )
-    return incremental
+    return _verify_ann_index(spark, sf_dir, root)

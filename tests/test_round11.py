@@ -1,0 +1,235 @@
+"""Round-11 invariants: the object-store-safe incremental IVF index
+(streaming/ann_index.py) and its crash/replay contract.
+
+Round-10 VERDICT asks #2/#3 + the round-10 ADVICE medium finding:
+- the batch path must make NO driver filesystem calls (no os.listdir /
+  shutil; drained partitions become zero-row files, not rmtrees);
+- the idmap — the source of the touched set — must commit LAST, so a
+  replay of a partially-applied batch re-derives the FULL touched set
+  from the pre-batch idmap and repairs every table;
+- any chopping of the upsert stream, with at-least-once redelivery,
+  must converge to the same index a full rebuild produces (latest-wins
+  is associative/commutative/idempotent).
+
+These drive ``index_merger`` directly with hand-built batch DataFrames —
+no streaming runtime — which is exactly why the merger is exposed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from akka_streams_kinesis_spark.streaming.ann_index import (
+    COARSE_BITS,
+    MAX_BITS,
+    assign_cells,
+    index_merger,
+    probe_cells,
+    read_directory,
+    read_idmap,
+    read_store,
+)
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "akka_streams_kinesis_spark",
+    "streaming",
+    "ann_index.py",
+)
+
+
+def _code(bits12: str) -> str:
+    assert len(bits12) == MAX_BITS
+    return bits12
+
+
+def _upserts(spark, rows):
+    """rows: (vec_id, seq, 12-bit code string)."""
+    return spark.createDataFrame(rows, "vec_id long, seq long, code string")
+
+
+def _rebuild(spark, final_rows):
+    return (
+        assign_cells(
+            _upserts(spark, final_rows).select("vec_id", "code")
+        )
+        .groupBy("cell", "depth")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def _directory_set(spark, root):
+    return {
+        (r["cell"], r["depth"], r["n_vecs"])
+        for r in read_directory(spark, root).collect()
+    }
+
+
+def _rebuild_set(spark, final_rows):
+    return {
+        (r["cell"], r["depth"], r["n_vecs"])
+        for r in _rebuild(spark, final_rows).collect()
+    }
+
+
+@pytest.fixture
+def root(tmp_path):
+    return str(tmp_path / "annidx")
+
+
+class TestObjectStoreSafety:
+    def test_no_driver_fs_calls_in_module(self):
+        """Pins round-10 VERDICT ask #2: the only os.* / shutil mentions
+        allowed in ann_index.py are docstrings and the EXECUTOR-side
+        writer (task data path, behind the pyarrow FS seam)."""
+        src = open(_SRC).read()
+        # strip docstrings/comments, keep code
+        code_lines = []
+        in_doc = False
+        for ln in src.splitlines():
+            s = ln.strip()
+            if s.startswith('"""') or s.endswith('"""'):
+                in_doc = not in_doc if s.count('"""') == 1 else in_doc
+                continue
+            if in_doc or s.startswith("#"):
+                continue
+            code_lines.append(ln)
+        code = "\n".join(code_lines)
+        assert "shutil" not in code
+        assert "os.listdir" not in code
+        assert "os.path" not in code
+        # the single permitted executor-side import, inside _write
+        assert code.count("import os as _os") == 1
+
+    def test_drained_cell_becomes_zero_row_file(self, spark, root):
+        merge = index_merger(spark, root)
+        lone = "1" * MAX_BITS
+        moved = "0" * MAX_BITS
+        merge(_upserts(spark, [(1, 0, lone), (2, 0, moved)]), 0)
+        assert _directory_set(spark, root) == _rebuild_set(
+            spark, [(1, 0, lone), (2, 0, moved)]
+        )
+        # vec 1 moves away: its old coarse cell drains
+        merge(_upserts(spark, [(1, 1, moved)]), 1)
+        final = [(1, 1, moved), (2, 0, moved)]
+        assert _directory_set(spark, root) == _rebuild_set(spark, final)
+        store = read_store(spark, root)
+        assert store.count() == 2
+        # the drained partition is STILL PRESENT (empty-but-present
+        # marker file), and holds zero live rows — no rmtree happened
+        drained_dir = os.path.join(
+            root, "store", f"c8=b{'1' * COARSE_BITS}"
+        )
+        assert os.path.isdir(drained_dir)
+        assert any(
+            f.endswith(".parquet") and not f.startswith(".")
+            for f in os.listdir(drained_dir)
+        )
+        assert (
+            store.filter(F.col("c8") == f"b{'1' * COARSE_BITS}").count() == 0
+        )
+        # ...and a later arrival re-fills it
+        merge(_upserts(spark, [(3, 2, lone)]), 2)
+        final = [(1, 1, moved), (2, 0, moved), (3, 2, lone)]
+        assert _directory_set(spark, root) == _rebuild_set(spark, final)
+
+
+class TestReplayContract:
+    def test_full_batch_redelivery_is_idempotent(self, spark, root):
+        merge = index_merger(spark, root)
+        a = [(i, 0, format(i % 7, f"0{MAX_BITS}b")) for i in range(40)]
+        b = [(i, 1, format((i + 3) % 5, f"0{MAX_BITS}b")) for i in range(0, 40, 4)]
+        merge(_upserts(spark, a), 0)
+        merge(_upserts(spark, b), 1)
+        snapshot = _directory_set(spark, root)
+        merge(_upserts(spark, b), 1)  # at-least-once redelivery
+        assert _directory_set(spark, root) == snapshot
+        final = {v: (v, s, c) for v, s, c in a}
+        final.update({v: (v, s, c) for v, s, c in b})
+        assert snapshot == _rebuild_set(spark, list(final.values()))
+        assert read_store(spark, root).count() == 40
+        assert read_idmap(spark, root).count() == 40
+
+    def test_replay_after_crash_before_idmap_write(self, spark, root):
+        """The ADVICE-medium scenario: a batch crashes AFTER the store +
+        directory writes but BEFORE the idmap write. Because the idmap
+        commits last, the replay still sees the PRE-batch idmap,
+        re-derives the full touched set (including moved vectors' OLD
+        cells) and repairs everything. Simulated by snapshotting the
+        idmap before the batch and restoring it after — exactly the
+        on-disk state such a crash leaves."""
+        merge = index_merger(spark, root)
+        a = [(i, 0, format(i, f"0{MAX_BITS}b")) for i in range(16)]
+        merge(_upserts(spark, a), 0)
+        idmap_dir = os.path.join(root, "idmap")
+        snap = idmap_dir + ".snap"
+        shutil.copytree(idmap_dir, snap)
+        # the batch: every even vec moves to one hot cell
+        hot = "1" * MAX_BITS
+        b = [(i, 1, hot) for i in range(0, 16, 2)]
+        merge(_upserts(spark, b), 1)
+        # crash: store+directory committed, idmap write "lost"
+        shutil.rmtree(idmap_dir)
+        shutil.copytree(snap, idmap_dir)
+        # replay the same batch (a fresh merger, as after restart)
+        index_merger(spark, root)(_upserts(spark, b), 1)
+        final = {v: (v, s, c) for v, s, c in a}
+        final.update({v: (v, s, c) for v, s, c in b})
+        assert _directory_set(spark, root) == _rebuild_set(
+            spark, list(final.values())
+        )
+        store = read_store(spark, root)
+        assert store.count() == 16
+        assert (
+            store.groupBy("vec_id").count().filter("count > 1").count() == 0
+        )
+
+    def test_any_chopping_converges(self, spark, root):
+        """Three different choppings of the same upsert multiset (plus a
+        duplicated slice) all yield the rebuild directory."""
+        rows = [(i, 0, format(i * 37 % (1 << MAX_BITS), f"0{MAX_BITS}b")) for i in range(30)]
+        upd = [(i, 1, format(i * 11 % (1 << MAX_BITS), f"0{MAX_BITS}b")) for i in range(0, 30, 3)]
+        final = {v: (v, s, c) for v, s, c in rows}
+        final.update({v: (v, s, c) for v, s, c in upd})
+        expected = _rebuild_set(spark, list(final.values()))
+        all_rows = rows + upd
+        for chop in ([30, 10], [13, 13, 14], [40]):
+            r = root + f"_{len(chop)}"
+            merge = index_merger(spark, r)
+            i = 0
+            for bid, n in enumerate(chop):
+                merge(_upserts(spark, all_rows[i : i + n]), bid)
+                i += n
+            # redeliver the middle slice once more
+            merge(_upserts(spark, all_rows[10:20]), 99)
+            assert _directory_set(spark, r) == expected, f"chop {chop}"
+
+
+class TestProbeCells:
+    def test_radius_counts_and_membership(self):
+        c8 = "b" + "0" * COARSE_BITS
+        r0 = probe_cells(c8, 0)
+        r1 = probe_cells(c8, 1)
+        r2 = probe_cells(c8, 2)
+        assert r0 == [c8]
+        assert len(r1) == 1 + COARSE_BITS
+        assert len(r2) == 1 + COARSE_BITS + COARSE_BITS * (COARSE_BITS - 1) // 2
+        assert set(r0) <= set(r1) <= set(r2)
+        # every probe differs in at most 2 bits and keeps the prefix
+        for c in r2:
+            assert c[0] == "b" and len(c) == 1 + COARSE_BITS
+            assert sum(x != y for x, y in zip(c[1:], c8[1:])) <= 2
+        assert len(set(r2)) == len(r2)
+        with pytest.raises(ValueError):
+            probe_cells(c8, 3)
+
+    def test_nearest_first_order(self):
+        c8 = "b10101010"
+        cells = probe_cells(c8, 2)
+        dists = [sum(x != y for x, y in zip(c[1:], c8[1:])) for c in cells]
+        assert dists == sorted(dists)
