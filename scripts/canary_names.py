@@ -253,6 +253,9 @@ SF1_CANARY = [
     "join_interval_overlap_surge",       # banded interval-overlap join (hour-bucket explode)
     "stream_session_timeout_eviction",   # raw EventTimeTimeout eviction machinery
     "quality_calibration_reliability",   # integer-exact ECE reliability bins
+    # --- round 10/11 ---
+    "stream_ann_index_upsert",           # incremental IVF maintenance drain
+    "similarity_standing_index_topk",    # cell-pruned search over the standing index
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",

@@ -94,6 +94,8 @@ def test_scaling_artifact_has_sf3_spot():
         "stream_session_timeout_eviction",
         "stream_ann_index_upsert",
         "curation_soft_dedup_weighting",
+        # round-11: the standing-index search path
+        "similarity_standing_index_topk",
     }
     missing = sorted(must_cover - set(spot["queries"]))
     assert not missing, f"sf3_spot missing flagship names: {missing}"
@@ -110,6 +112,13 @@ def test_drift_sentinel_names_are_valid_headline_queries():
     assert set(bench.DRIFT_SENTINEL) <= registry
     assert set(bench.DRIFT_SENTINEL) <= set(bench.HEADLINE)
     assert len(bench.DRIFT_SENTINEL) >= 10
+    # round-10 VERDICT ask #5: every driver round since the sentinel was
+    # introduced must be pinned, and the factor must chain from the
+    # NEWEST one
+    assert {"r08_driver", "r09_driver", "r10_driver"} <= set(
+        bench.SENTINEL_HISTORY
+    )
+    assert bench.DRIFT_BASELINE == sorted(bench.SENTINEL_HISTORY)[-1]
     for rnd, hist in bench.SENTINEL_HISTORY.items():
         names = set(hist) - {"total"}
         assert names == set(bench.DRIFT_SENTINEL), rnd
@@ -131,6 +140,12 @@ def test_bench_summary_carries_drift_sentinel_and_shared_builds():
     sent = doc.get("drift_sentinel")
     assert sent, "drift_sentinel section missing — re-run bench.py at HEAD"
     assert sent["names"] == bench.DRIFT_SENTINEL
-    assert {"r08_driver", "r09_driver"} <= set(sent["history"])
-    assert sent["drift_factor_vs_r09_driver"] is not None
+    assert {"r08_driver", "r09_driver", "r10_driver"} <= set(sent["history"])
+    assert sent["baseline"] == bench.DRIFT_BASELINE
+    # a committed full-run summary at the baseline sf must carry a real
+    # factor; a null one must explain itself
+    assert (
+        sent["drift_factor"] is not None
+        or sent["drift_factor_reason"]
+    )
     assert "shared_builds" in doc and "shared_builds_total" in doc

@@ -233,3 +233,55 @@ class TestProbeCells:
         cells = probe_cells(c8, 2)
         dists = [sum(x != y for x, y in zip(c[1:], c8[1:])) for c in cells]
         assert dists == sorted(dists)
+
+
+class TestStandingIndexSearch:
+    """similarity_standing_index_topk consumes the standing index the
+    upsert drain maintains; the oracle gate (test_oracle_parity /
+    driver_sim) checks the ranking — these pin the armed raise and the
+    pruning evidence."""
+
+    def test_search_shape_and_pruning(self, spark, sf_dir):
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            _SI_K,
+            _SI_NQ,
+            _ensure_standing_index,
+            _standing_search,
+        )
+        from akka_streams_kinesis_spark.streaming.ann_index import read_store
+
+        root = _ensure_standing_index(spark, sf_dir)
+        rows = _standing_search(spark, root).collect()
+        assert len(rows) == _SI_NQ * _SI_K
+        corpus = read_store(spark, root).count()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+            # the candidate volume proves the scan was PRUNED
+            assert 0 < r["n_cand"] < corpus
+        for qid, qrows in by_q.items():
+            assert sorted(r["rnk"] for r in qrows) == list(range(1, _SI_K + 1))
+        # multi-probe at radius 2 must find at least SOME exact hits
+        assert sum(r["hit_exact"] for r in rows) > 0
+
+    def test_stale_directory_raises(self, spark, sf_dir, tmp_path):
+        """Corrupting one directory group (as a crashed/buggy writer
+        would) must RAISE the consistency error, not silently mis-rank."""
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            _ensure_standing_index,
+            _standing_search,
+        )
+
+        root = _ensure_standing_index(spark, sf_dir)
+        broken = str(tmp_path / "broken_index")
+        shutil.copytree(root, broken)
+        groups = sorted(
+            d
+            for d in os.listdir(os.path.join(broken, "directory"))
+            if d.startswith("dg=")
+        )
+        assert len(groups) > 1
+        for g in groups[1:]:  # keep one so the table stays readable
+            shutil.rmtree(os.path.join(broken, "directory", g))
+        with pytest.raises(RuntimeError, match="inconsistent|incomplete"):
+            _standing_search(spark, broken).collect()
