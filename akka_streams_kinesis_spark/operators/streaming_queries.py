@@ -2271,6 +2271,222 @@ def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream_ann_index_cdc_deletes — DELETE path for the standing index (round 11)
+# ---------------------------------------------------------------------------
+
+_ANN_DEL_MOD = 13  # vec_id % 13 == 0 receive a CDC delete at seq 2;
+#                    the EVEN ones among them re-insert (original
+#                    embedding) at seq 3 — the resurrection-legality case
+
+
+def _ann_cdc_oracle() -> str:
+    """DuckDB full-rebuild oracle over the LIVE final corpus of the CDC
+    scenario: %7 negation applies to survivors, %13 ids are deleted, the
+    even %13 ids re-insert with their ORIGINAL embedding."""
+    from ..streaming.ann_index import CELL_CAP, COARSE_BITS, MAX_BITS
+
+    bits = " || ".join(
+        f"(CASE WHEN (CASE WHEN vec_id % {_ANN_UPD_MOD} = 0 "
+        f"AND vec_id % {_ANN_DEL_MOD} <> 0 "
+        f"THEN embedding[{i + 1}] <= 0 ELSE embedding[{i + 1}] >= 0 END) "
+        f"THEN '1' ELSE '0' END)"
+        for i in range(MAX_BITS)
+    )
+    count_cols = ", ".join(
+        f"COUNT(*) OVER (PARTITION BY SUBSTRING(code, 1, {d})) AS n{d}"
+        for d in range(COARSE_BITS, MAX_BITS)
+    )
+    whens = " ".join(
+        f"WHEN n{d} <= {CELL_CAP} THEN SUBSTRING(code, 1, {d})"
+        for d in range(COARSE_BITS, MAX_BITS)
+    )
+    return f"""
+    WITH live AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {_ANN_DEL_MOD} <> 0 OR vec_id % 2 = 0
+    ), coded AS (
+        SELECT vec_id, {bits} AS code FROM live
+    ), counted AS (
+        SELECT vec_id, code, {count_cols} FROM coded
+    ), assigned AS (
+        SELECT CASE {whens} ELSE code END AS cell FROM counted
+    )
+    SELECT cell, CAST(LENGTH(cell) AS INT) AS depth,
+           COUNT(*) AS n_vecs
+    FROM assigned GROUP BY cell
+    """
+
+
+@query("stream_ann_index_cdc_deletes", oracle=_ann_cdc_oracle())
+def stream_ann_index_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETE path for the standing IVF index — the lifecycle leg
+    the upsert/search pair doesn't cover: the corpus arrives at seq 0,
+    every vec_id % 7 == 0 re-delivers negated at seq 1, every
+    vec_id % {_ANN_DEL_MOD} == 0 receives a Debezium-style delete at
+    seq 2 (before-image embedding, ``deleted = true``), and the EVEN
+    deleted ids re-insert their ORIGINAL embedding at seq 3.
+
+    Delete markers are retained in the store as data and excluded from
+    directory counts and ``read_store`` output — physical removal would
+    let a replayed older insert resurrect the vector, retained markers
+    make deletes commute with redelivery exactly like every other
+    latest-wins record (the seq-3 re-insert legitimately beating the
+    seq-2 delete is the same mechanism, exercised on purpose).
+
+    RAISES unless (1) the store holds exactly one row per vec_id
+    including markers, (2) no deleted-and-not-reinserted id is visible
+    to consumers while every such id IS present as a marker, and
+    (3) the directory equals a from-scratch rebuild of the live final
+    corpus — which the DuckDB oracle recomputes independently.
+
+    Scale shape: identical to stream_ann_index_upsert (per batch
+    O(touched cells), markers ride the same merge); the marker
+    retention cost is one row per deleted id until a compaction policy
+    reclaims it.
+
+    Reference parity: none (SURVEY §2.D north-star); the delete model
+    is the CDC before-image convention, chosen precisely because it
+    keeps the merge a pure latest-wins fold."""
+    from ..streaming.ann_index import (
+        assign_cells,
+        read_directory,
+        read_store,
+        sign_code,
+        start_ann_index,
+    )
+
+    path = _stream_cache_dir(sf_dir, "anncdc")
+    marker = os.path.join(path, "_complete")
+    if os.path.exists(marker):
+        stream = SimStream(path)
+    else:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        stream = SimStream.create(path, n_shards=2)
+        e = table(spark, sf_dir, "embeddings")
+
+        def _encode(df: DataFrame, seq: int, deleted: bool) -> DataFrame:
+            return df.select(
+                F.col("vec_id").cast("string").alias("partition_key"),
+                F.encode(
+                    F.to_json(
+                        F.struct(
+                            "vec_id",
+                            F.lit(seq).alias("seq"),
+                            "embedding",
+                            F.lit(deleted).alias("deleted"),
+                        )
+                    ),
+                    "utf-8",
+                ).alias("data"),
+            )
+
+        stream.put_records_distributed(_encode(e, 0, False), ts=_T1)
+        negated = e.filter(F.col("vec_id") % _ANN_UPD_MOD == 0).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        )
+        stream.put_records_distributed(_encode(negated, 1, False), ts=_T1)
+        # CDC deletes carry the before-image (the embedding as of seq 1)
+        doomed = e.filter(F.col("vec_id") % _ANN_DEL_MOD == 0).withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % _ANN_UPD_MOD == 0,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+        stream.put_records_distributed(_encode(doomed, 2, True), ts=_T2)
+        reborn = e.filter(
+            (F.col("vec_id") % _ANN_DEL_MOD == 0) & (F.col("vec_id") % 2 == 0)
+        )
+        stream.put_records_distributed(_encode(reborn, 3, False), ts=_T2)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    n_files = sum(
+        1
+        for _, _, files in os.walk(stream.data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    records = stream.read_stream(
+        spark, TrimHorizon(), max_files_per_trigger=max(1, -(-n_files // 2))
+    )
+    decoded = decode_json_payload(
+        records,
+        "vec_id long, seq long, embedding array<float>, deleted boolean",
+    )
+    upserts = decoded.select(
+        "vec_id",
+        "seq",
+        sign_code("embedding").alias("code"),
+        "embedding",
+        F.coalesce("deleted", F.lit(False)).alias("deleted"),
+    )
+    scratch = _stream_cache_dir(sf_dir, "anncdc_scratch")
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    root = os.path.join(scratch, "index")
+    q = start_ann_index(upserts, root, os.path.join(scratch, "_ckpt"))
+    q.awaitTermination()
+
+    # (1) one row per vec_id, markers included
+    everything = read_store(spark, root, markers=True)
+    dup = (
+        everything.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    if dup:
+        raise RuntimeError(f"cdc store holds {dup} duplicate vec_ids")
+    # (2) dead ids invisible to consumers, but PRESENT as markers
+    dead = (F.col("vec_id") % _ANN_DEL_MOD == 0) & (F.col("vec_id") % 2 == 1)
+    visible_dead = read_store(spark, root).filter(dead).count()
+    if visible_dead:
+        raise RuntimeError(
+            f"{visible_dead} deleted ids visible to consumers"
+        )
+    e = table(spark, sf_dir, "embeddings")
+    n_dead = e.filter(dead).count()
+    n_markers = everything.filter(dead & F.col("deleted")).count()
+    if n_markers != n_dead:
+        raise RuntimeError(
+            f"expected {n_dead} retained delete markers, found {n_markers} "
+            f"— a replayed insert could resurrect the difference"
+        )
+    # (3) rebuild equivalence over the LIVE final corpus
+    live_src = e.filter(
+        (F.col("vec_id") % _ANN_DEL_MOD != 0) | (F.col("vec_id") % 2 == 0)
+    )
+    flip = (F.col("vec_id") % _ANN_UPD_MOD == 0) & (
+        F.col("vec_id") % _ANN_DEL_MOD != 0
+    )
+    rebuilt = (
+        assign_cells(
+            live_src.select(
+                "vec_id", sign_code("embedding", flip=flip).alias("code")
+            )
+        )
+        .groupBy("cell", "depth")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    incremental = read_directory(spark, root)
+    r, i = rebuilt.alias("r"), incremental.alias("i")
+    diff = (
+        r.join(i, F.col("r.cell") == F.col("i.cell"), "full")
+        .filter(
+            ~(
+                F.col("r.depth").eqNullSafe(F.col("i.depth"))
+                & F.col("r.n_vecs").eqNullSafe(F.col("i.n_vecs"))
+            )
+        )
+        .count()
+    )
+    if diff:
+        raise RuntimeError(
+            f"cdc directory diverges from live-corpus rebuild: {diff} cells"
+        )
+    return incremental
+
+
+# ---------------------------------------------------------------------------
 # similarity_standing_index_topk — SEARCH over the standing index (round 11)
 # ---------------------------------------------------------------------------
 

@@ -99,6 +99,18 @@ _N_ID_BUCKETS = 16
 
 _KEY_COLS = ("vec_id", "seq", "code")
 
+# Reserved payload column: CDC deletes. A record with ``deleted = true``
+# is a DELETE MARKER (Debezium-style, carrying the before-image ``code``
+# so it lands in — and therefore rewrites — the vector's cell). Markers
+# take part in latest-wins like any upsert, so a delete beats every
+# older record of that id and a newer re-insert beats the delete —
+# which is exactly what makes arbitrary redelivery safe: the marker is
+# RETAINED in the store and idmap as data (a physically-removed row
+# could be resurrected by a replayed older insert), while the directory
+# counts and ``read_store`` exclude it. Storage of long-dead markers is
+# a compaction policy decision, deliberately out of scope here.
+DELETED_COL = "deleted"
+
 
 def _group_of(c8: str) -> str:
     """Directory partition value of a coarse-cell value: 'g' + the first
@@ -428,8 +440,16 @@ def index_merger(spark: SparkSession, root: str):
             grp = F.concat(
                 F.lit("g"), F.substring("cell", 1, GROUP_BITS)
             ).alias("dg")
+            # CDC delete markers stay in the STORE (resurrection-proofing
+            # data) but are not live vectors: directory counts and split
+            # decisions see only the live corpus
+            live = merged
+            if DELETED_COL in merged.columns:
+                live = merged.filter(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
             refreshed = (
-                assign_cells(merged)
+                assign_cells(live)
                 .groupBy("cell", "depth")
                 .agg(F.count("*").alias("n_vecs"))
                 .select("cell", "depth", "n_vecs", grp)
@@ -523,9 +543,13 @@ def read_directory(spark, root: str) -> DataFrame:
     )
 
 
-def read_store(spark, root: str, cells: list[str] | None = None) -> DataFrame:
+def read_store(
+    spark, root: str, cells: list[str] | None = None, markers: bool = False
+) -> DataFrame:
     """Live store rows — key columns plus any payload the upserts
-    carried, with the ``c8`` partition column. ``cells`` prunes the scan
+    carried, with the ``c8`` partition column. CDC delete markers are
+    excluded unless ``markers=True`` (audits/compaction read them; no
+    consumer should). ``cells`` prunes the scan
     to the named coarse partitions (a literal IN on the partition column
     → static partition pruning at the file listing)."""
     df = spark.read.option(
@@ -533,7 +557,10 @@ def read_store(spark, root: str, cells: list[str] | None = None) -> DataFrame:
     ).parquet(posixpath.join(root, "store"))
     if cells is not None:
         df = df.filter(F.col("c8").isin(cells))
-    return df.filter(F.col("vec_id") >= 0)
+    df = df.filter(F.col("vec_id") >= 0)
+    if not markers and DELETED_COL in df.columns:
+        df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+    return df
 
 
 def read_idmap(spark, root: str, idbs: list[int] | None = None) -> DataFrame:

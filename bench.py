@@ -429,6 +429,8 @@ STREAM_SECTION = [
     "stream_session_timeout_eviction",
     # round 10
     "stream_ann_index_upsert",
+    # round 11
+    "stream_ann_index_cdc_deletes",
 ]
 
 

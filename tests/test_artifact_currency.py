@@ -94,8 +94,9 @@ def test_scaling_artifact_has_sf3_spot():
         "stream_session_timeout_eviction",
         "stream_ann_index_upsert",
         "curation_soft_dedup_weighting",
-        # round-11: the standing-index search path
+        # round-11: the standing-index search path + the CDC delete leg
         "similarity_standing_index_topk",
+        "stream_ann_index_cdc_deletes",
     }
     missing = sorted(must_cover - set(spot["queries"]))
     assert not missing, f"sf3_spot missing flagship names: {missing}"

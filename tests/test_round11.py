@@ -210,6 +210,57 @@ class TestReplayContract:
             assert _directory_set(spark, r) == expected, f"chop {chop}"
 
 
+class TestCdcDeletes:
+    """Delete markers are retained as data — the property that makes
+    deletes commute with at-least-once redelivery."""
+
+    def test_replayed_insert_cannot_resurrect(self, spark, root):
+        merge = index_merger(spark, root)
+        code = "1" * MAX_BITS
+
+        def up(rows):
+            return spark.createDataFrame(
+                rows, "vec_id long, seq long, code string, deleted boolean"
+            )
+
+        insert = [(1, 0, code, False), (2, 0, "0" * MAX_BITS, False)]
+        merge(up(insert), 0)
+        merge(up([(1, 1, code, True)]), 1)  # CDC delete of vec 1
+        assert read_store(spark, root).count() == 1  # consumer view
+        assert read_store(spark, root, markers=True).count() == 2
+        # an older batch is REDELIVERED after the delete committed:
+        # the retained marker must win latest-wins, not the stale insert
+        merge(up(insert), 0)
+        live = read_store(spark, root)
+        assert live.count() == 1
+        assert live.filter(F.col("vec_id") == 1).count() == 0
+        assert _directory_set(spark, root) == _rebuild_set(
+            spark, [(2, 0, "0" * MAX_BITS)]
+        )
+        # a genuinely NEWER insert legitimately resurrects
+        merge(up([(1, 2, code, False)]), 2)
+        assert read_store(spark, root).filter(F.col("vec_id") == 1).count() == 1
+        assert _directory_set(spark, root) == _rebuild_set(
+            spark, [(1, 2, code), (2, 0, "0" * MAX_BITS)]
+        )
+
+    def test_marker_only_cell_has_no_directory_row(self, spark, root):
+        merge = index_merger(spark, root)
+        code = "1" * MAX_BITS
+
+        def up(rows):
+            return spark.createDataFrame(
+                rows, "vec_id long, seq long, code string, deleted boolean"
+            )
+
+        merge(up([(7, 0, code, False)]), 0)
+        merge(up([(7, 1, code, True)]), 1)
+        # the cell still holds the marker file (not drained), but the
+        # directory lists no live cells
+        assert read_store(spark, root, markers=True).count() == 1
+        assert read_directory(spark, root).count() == 0
+
+
 class TestProbeCells:
     def test_radius_counts_and_membership(self):
         c8 = "b" + "0" * COARSE_BITS
