@@ -2279,6 +2279,83 @@ _ANN_DEL_MOD = 13  # vec_id % 13 == 0 receive a CDC delete at seq 2;
 #                    embedding) at seq 3 — the resurrection-legality case
 
 
+def _ann_cdc_stream(spark: SparkSession, sf_dir: str) -> SimStream:
+    """Marker-cached CDC scenario stream (corpus seq0, negated %7 seq1,
+    before-image deletes of %13 at seq2, even-%13 re-inserts at seq3).
+    Shared by the delete drain and the marker-compaction query."""
+    path = _stream_cache_dir(sf_dir, "anncdc")
+    marker = os.path.join(path, "_complete")
+    if os.path.exists(marker):
+        return SimStream(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    stream = SimStream.create(path, n_shards=2)
+    e = table(spark, sf_dir, "embeddings")
+
+    def _encode(df: DataFrame, seq: int, deleted: bool) -> DataFrame:
+        return df.select(
+            F.col("vec_id").cast("string").alias("partition_key"),
+            F.encode(
+                F.to_json(
+                    F.struct(
+                        "vec_id",
+                        F.lit(seq).alias("seq"),
+                        "embedding",
+                        F.lit(deleted).alias("deleted"),
+                    )
+                ),
+                "utf-8",
+            ).alias("data"),
+        )
+
+    stream.put_records_distributed(_encode(e, 0, False), ts=_T1)
+    negated = e.filter(F.col("vec_id") % _ANN_UPD_MOD == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    stream.put_records_distributed(_encode(negated, 1, False), ts=_T1)
+    # CDC deletes carry the before-image (the embedding as of seq 1)
+    doomed = e.filter(F.col("vec_id") % _ANN_DEL_MOD == 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % _ANN_UPD_MOD == 0,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    stream.put_records_distributed(_encode(doomed, 2, True), ts=_T2)
+    reborn = e.filter(
+        (F.col("vec_id") % _ANN_DEL_MOD == 0) & (F.col("vec_id") % 2 == 0)
+    )
+    stream.put_records_distributed(_encode(reborn, 3, False), ts=_T2)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stream
+
+
+def _ann_cdc_upserts_df(spark: SparkSession, stream: SimStream) -> DataFrame:
+    from ..streaming.ann_index import sign_code
+
+    n_files = sum(
+        1
+        for _, _, files in os.walk(stream.data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    records = stream.read_stream(
+        spark, TrimHorizon(), max_files_per_trigger=max(1, -(-n_files // 2))
+    )
+    decoded = decode_json_payload(
+        records,
+        "vec_id long, seq long, embedding array<float>, deleted boolean",
+    )
+    return decoded.select(
+        "vec_id",
+        "seq",
+        sign_code("embedding").alias("code"),
+        "embedding",
+        F.coalesce("deleted", F.lit(False)).alias("deleted"),
+    )
+
+
 def _ann_cdc_oracle() -> str:
     """DuckDB full-rebuild oracle over the LIVE final corpus of the CDC
     scenario: %7 negation applies to survivors, %13 ids are deleted, the
@@ -2355,73 +2432,8 @@ def stream_ann_index_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ann_index,
     )
 
-    path = _stream_cache_dir(sf_dir, "anncdc")
-    marker = os.path.join(path, "_complete")
-    if os.path.exists(marker):
-        stream = SimStream(path)
-    else:
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        stream = SimStream.create(path, n_shards=2)
-        e = table(spark, sf_dir, "embeddings")
-
-        def _encode(df: DataFrame, seq: int, deleted: bool) -> DataFrame:
-            return df.select(
-                F.col("vec_id").cast("string").alias("partition_key"),
-                F.encode(
-                    F.to_json(
-                        F.struct(
-                            "vec_id",
-                            F.lit(seq).alias("seq"),
-                            "embedding",
-                            F.lit(deleted).alias("deleted"),
-                        )
-                    ),
-                    "utf-8",
-                ).alias("data"),
-            )
-
-        stream.put_records_distributed(_encode(e, 0, False), ts=_T1)
-        negated = e.filter(F.col("vec_id") % _ANN_UPD_MOD == 0).withColumn(
-            "embedding", F.transform("embedding", lambda x: -x)
-        )
-        stream.put_records_distributed(_encode(negated, 1, False), ts=_T1)
-        # CDC deletes carry the before-image (the embedding as of seq 1)
-        doomed = e.filter(F.col("vec_id") % _ANN_DEL_MOD == 0).withColumn(
-            "embedding",
-            F.when(
-                F.col("vec_id") % _ANN_UPD_MOD == 0,
-                F.transform("embedding", lambda x: -x),
-            ).otherwise(F.col("embedding")),
-        )
-        stream.put_records_distributed(_encode(doomed, 2, True), ts=_T2)
-        reborn = e.filter(
-            (F.col("vec_id") % _ANN_DEL_MOD == 0) & (F.col("vec_id") % 2 == 0)
-        )
-        stream.put_records_distributed(_encode(reborn, 3, False), ts=_T2)
-        with open(marker, "w") as f:
-            f.write("ok")
-
-    n_files = sum(
-        1
-        for _, _, files in os.walk(stream.data_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    records = stream.read_stream(
-        spark, TrimHorizon(), max_files_per_trigger=max(1, -(-n_files // 2))
-    )
-    decoded = decode_json_payload(
-        records,
-        "vec_id long, seq long, embedding array<float>, deleted boolean",
-    )
-    upserts = decoded.select(
-        "vec_id",
-        "seq",
-        sign_code("embedding").alias("code"),
-        "embedding",
-        F.coalesce("deleted", F.lit(False)).alias("deleted"),
-    )
+    stream = _ann_cdc_stream(spark, sf_dir)
+    upserts = _ann_cdc_upserts_df(spark, stream)
     scratch = _stream_cache_dir(sf_dir, "anncdc_scratch")
     if os.path.exists(scratch):
         shutil.rmtree(scratch)
@@ -2484,6 +2496,134 @@ def stream_ann_index_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cdc directory diverges from live-corpus rebuild: {diff} cells"
         )
     return incremental
+
+
+# ---------------------------------------------------------------------------
+# maintenance_ann_marker_compaction — reclaim delete markers (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_standing_cdc_index(spark: SparkSession, sf_dir: str) -> str:
+    """Marker-cached drained CDC index (the compaction query's source
+    snapshot): built once per (sf_dir, machine) by draining the shared
+    CDC stream; each compaction run then works on a fresh COPY so the
+    query is deterministic run-over-run."""
+    from ..streaming.ann_index import start_ann_index
+
+    base = _stream_cache_dir(sf_dir, "anncdc_standing_v1")
+    marker = os.path.join(base, "_complete")
+    root = os.path.join(base, "index")
+    if os.path.exists(marker):
+        return root
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    stream = _ann_cdc_stream(spark, sf_dir)
+    q = start_ann_index(
+        _ann_cdc_upserts_df(spark, stream), root, os.path.join(base, "_ckpt")
+    )
+    q.awaitTermination()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _compaction_oracle() -> str:
+    """DuckDB twin of the compaction report, computed from the CDC
+    scenario's rules alone: dropped markers = the dead ids (%13, odd),
+    rewritten cells = their markers' coarse cells (before-image codes,
+    so %7 negation applies), live stats over the surviving corpus."""
+    from ..streaming.ann_index import COARSE_BITS
+
+    def bits(flip_cond: str) -> str:
+        return " || ".join(
+            f"(CASE WHEN (CASE WHEN {flip_cond} "
+            f"THEN embedding[{i + 1}] <= 0 ELSE embedding[{i + 1}] >= 0 END) "
+            f"THEN '1' ELSE '0' END)"
+            for i in range(COARSE_BITS)
+        )
+
+    dead_bits = bits(f"vec_id % {_ANN_UPD_MOD} = 0")
+    live_bits = bits(
+        f"vec_id % {_ANN_UPD_MOD} = 0 AND vec_id % {_ANN_DEL_MOD} <> 0"
+    )
+    return f"""
+    WITH dead AS (
+        SELECT 'b' || {dead_bits} AS c8 FROM embeddings
+        WHERE vec_id % {_ANN_DEL_MOD} = 0 AND vec_id % 2 = 1
+    ), live AS (
+        SELECT 'b' || {live_bits} AS c8 FROM embeddings
+        WHERE vec_id % {_ANN_DEL_MOD} <> 0 OR vec_id % 2 = 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM dead) AS BIGINT) AS n_markers_dropped,
+           CAST((SELECT COUNT(DISTINCT c8) FROM dead) AS BIGINT) AS n_cells_rewritten,
+           CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_live_vectors,
+           CAST((SELECT COUNT(DISTINCT c8) FROM live) AS BIGINT) AS n_live_coarse_cells
+    """
+
+
+@query("maintenance_ann_marker_compaction", oracle=_compaction_oracle())
+def maintenance_ann_marker_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker compaction for the standing ANN index — the retention leg
+    of the CDC delete contract: markers older than the redelivery
+    horizon are reclaimed in place, partition-pruned to the cells that
+    hold them, and the dropped ids leave the idmap in the same pass
+    (ids are anti-joined distributively, never collected). Works on a
+    fresh copy of the cached post-drain snapshot so every run compacts
+    the same input.
+
+    RAISES unless (1) no droppable marker survives the pass, (2) the
+    consumer-visible row count is unchanged (compaction must never
+    touch live data), and (3) the report matches the scenario's
+    arithmetic — which the DuckDB oracle recomputes from the update
+    rules alone. Returns the one-row report
+    (n_markers_dropped, n_cells_rewritten, n_live_vectors,
+    n_live_coarse_cells).
+
+    Scale shape: one bounded stats collect (≤ 256×16 rows), rewrite of
+    only the marker-bearing cells and id-buckets via the atomic
+    per-cell file writer, directory untouched (it never counted
+    markers). The idmap leg reads only the touched buckets.
+
+    Reference parity: none (SURVEY §2.D north-star); the
+    rewrite-and-verify discipline mirrors maintenance_delete_vectors_mor's
+    compaction-equivalence gate applied to index state."""
+    from ..streaming.ann_index import compact_markers, read_store
+
+    src = _ensure_standing_cdc_index(spark, sf_dir)
+    work = _stream_cache_dir(sf_dir, "anncdc_compact_scratch")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(src, work)
+    live_pre = read_store(spark, work).count()
+    report = compact_markers(spark, work, horizon_seq=3)
+    leftovers = (
+        read_store(spark, work, markers=True)
+        .filter(F.col("deleted") & (F.col("seq") < 3))
+        .count()
+    )
+    if leftovers:
+        raise RuntimeError(
+            f"{leftovers} droppable markers survived compaction"
+        )
+    live_post = read_store(spark, work)
+    n_live = live_post.count()
+    if n_live != live_pre:
+        raise RuntimeError(
+            f"compaction changed the consumer view: {live_pre} -> {n_live}"
+        )
+    n_cells = live_post.select("c8").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                report["n_markers_dropped"],
+                report["n_cells_rewritten"],
+                n_live,
+                n_cells,
+            )
+        ],
+        "n_markers_dropped long, n_cells_rewritten long, "
+        "n_live_vectors long, n_live_coarse_cells long",
+    )
 
 
 # ---------------------------------------------------------------------------

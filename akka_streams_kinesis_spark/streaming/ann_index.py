@@ -372,6 +372,7 @@ def index_merger(spark: SparkSession, root: str):
                 # consumers (old-cell lookup here, latest-wins merge below)
                 prior = (
                     _read_partitions(spark, idmap, "idb", batch_idbs)
+                    .filter(F.col("vec_id") >= 0)  # drop bucket tombstones
                     .select("vec_id", "seq", "c8", "idb")
                     .persist()
                 )
@@ -531,6 +532,93 @@ def start_ann_index(
     )
 
 
+def compact_markers(spark: SparkSession, root: str, horizon_seq: int) -> dict:
+    """Reclaim CDC delete markers older than ``horizon_seq`` — the
+    retention policy DELETED_COL's contract leaves open. A marker may be
+    dropped once the stream's redelivery horizon has passed its seq (no
+    replay can still deliver an older record of that id); dropping it
+    EARLIER re-opens resurrection for exactly the replays beyond the
+    horizon — that trade is the policy, and tests pin both sides of it.
+
+    In place and partition-pruned, like a real table-maintenance pass:
+    one bounded collect of the droppable markers' (cell, id-bucket)
+    stats (≤ 256×16 rows at any corpus size), then only the cells
+    holding droppable markers are rewritten (atomic per-cell file
+    replace, zero-row file if the cell empties) and only the touched
+    id-buckets are rewritten without the dropped ids (distributed
+    anti-join — ids are never collected). The directory never counted
+    markers, so it is untouched. Idempotent: a second pass finds nothing
+    droppable. Returns {n_markers_dropped, n_cells_rewritten}."""
+    store = posixpath.join(root, "store")
+    idmap = posixpath.join(root, "idmap")
+    store_all = read_store(spark, root, markers=True)
+    empty = {"n_markers_dropped": 0, "n_cells_rewritten": 0}
+    if DELETED_COL not in store_all.columns:
+        return empty
+    drop_pred = F.col(DELETED_COL) & (F.col("seq") < horizon_seq)
+    droppable = store_all.filter(drop_pred)
+    stats = (
+        droppable.withColumn("idb", F.col("vec_id") % _N_ID_BUCKETS)
+        .groupBy("c8", "idb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not stats:
+        return empty
+    cells = sorted({r["c8"] for r in stats})
+    idbs = sorted({r["idb"] for r in stats})
+    n_dropped = sum(r["n"] for r in stats)
+    data_cols = [c for c in store_all.columns if c != "c8"]
+    kept = read_store(spark, root, cells=cells, markers=True).filter(
+        ~drop_pred
+    )
+    cells_df = spark.createDataFrame([(c,) for c in cells], "c8 string")
+    drained = cells_df.join(kept.select("c8").distinct(), "c8", "left_anti")
+    payload_fields = [
+        f for f in store_all.schema.fields if f.name not in (*_KEY_COLS, "c8")
+    ]
+    tomb = drained.select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit("").alias("code"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload_fields],
+        "c8",
+    )
+    _direct_overwrite(
+        kept.select(*data_cols, "c8")
+        .withColumn("_tomb", F.lit(False))
+        .unionByName(tomb.withColumn("_tomb", F.lit(True))),
+        store,
+        "c8",
+    )
+    # the dropped ids leave the idmap too — keeping them would make the
+    # merge's old-cell lookup disagree with the compacted store
+    idmap_kept = (
+        spark.read.option("basePath", idmap)
+        .parquet(idmap)
+        .filter(F.col("idb").isin(idbs))
+        .join(droppable.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "seq", "c8", "idb")
+    )
+    idbs_df = spark.createDataFrame([(b,) for b in idbs], "idb long")
+    idb_tomb = idbs_df.join(
+        idmap_kept.select("idb").distinct(), "idb", "left_anti"
+    ).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit("").alias("c8"),
+        "idb",
+    )
+    _direct_overwrite(
+        idmap_kept.withColumn("_tomb", F.lit(False)).unionByName(
+            idb_tomb.withColumn("_tomb", F.lit(True))
+        ),
+        idmap,
+        "idb",
+    )
+    return {"n_markers_dropped": n_dropped, "n_cells_rewritten": len(cells)}
+
+
 def read_directory(spark, root: str) -> DataFrame:
     """Live directory rows (tombstoned drained cells filtered out)."""
     return (
@@ -570,4 +658,4 @@ def read_idmap(spark, root: str, idbs: list[int] | None = None) -> DataFrame:
     ).parquet(posixpath.join(root, "idmap"))
     if idbs is not None:
         df = df.filter(F.col("idb").isin(idbs))
-    return df.select("vec_id", "seq", "c8")
+    return df.filter(F.col("vec_id") >= 0).select("vec_id", "seq", "c8")

@@ -256,6 +256,7 @@ HEADLINE = [
     "similarity_diversified_topk",
     "similarity_multiprobe_recall_sweep",
     "similarity_standing_index_topk",
+    "maintenance_ann_marker_compaction",
     "maintenance_compaction_planner",
     "dedup_cluster_size_histogram",
     "quality_classifier_agreement_kappa",

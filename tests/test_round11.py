@@ -244,6 +244,45 @@ class TestCdcDeletes:
             spark, [(1, 2, code), (2, 0, "0" * MAX_BITS)]
         )
 
+    def test_compaction_horizon_semantics(self, spark, root):
+        """Markers at or above the horizon survive compaction (their
+        redelivery window is still open); older ones are reclaimed —
+        after which a replay from beyond the horizon CAN resurrect,
+        which is the documented retention trade, pinned here so nobody
+        'fixes' it into silent unbounded marker growth."""
+        from akka_streams_kinesis_spark.streaming.ann_index import (
+            compact_markers,
+        )
+
+        merge = index_merger(spark, root)
+        a, b = "0" * MAX_BITS, "1" * MAX_BITS
+
+        def up(rows):
+            return spark.createDataFrame(
+                rows, "vec_id long, seq long, code string, deleted boolean"
+            )
+
+        merge(up([(1, 0, a, False), (2, 0, b, False), (3, 0, b, False)]), 0)
+        merge(up([(1, 1, a, True)]), 1)   # old marker (below horizon)
+        merge(up([(2, 5, b, True)]), 2)   # recent marker (kept)
+        report = compact_markers(spark, root, horizon_seq=3)
+        assert report == {"n_markers_dropped": 1, "n_cells_rewritten": 1}
+        markers = read_store(spark, root, markers=True).filter("deleted")
+        assert [r["vec_id"] for r in markers.collect()] == [2]
+        assert read_store(spark, root).count() == 1  # only vec 3 live
+        # idempotent: nothing left to drop
+        assert compact_markers(spark, root, horizon_seq=3) == {
+            "n_markers_dropped": 0,
+            "n_cells_rewritten": 0,
+        }
+        # vec 2's marker (>= horizon) still blocks a replayed old insert
+        merge(up([(2, 0, b, False)]), 0)
+        assert read_store(spark, root).filter("vec_id = 2").count() == 0
+        # vec 1's marker is gone — a beyond-horizon replay resurrects,
+        # BY CONTRACT (the horizon must cover the redelivery window)
+        merge(up([(1, 0, a, False)]), 0)
+        assert read_store(spark, root).filter("vec_id = 1").count() == 1
+
     def test_marker_only_cell_has_no_directory_row(self, spark, root):
         merge = index_merger(spark, root)
         code = "1" * MAX_BITS
@@ -314,6 +353,29 @@ class TestStandingIndexSearch:
             assert sorted(r["rnk"] for r in qrows) == list(range(1, _SI_K + 1))
         # multi-probe at radius 2 must find at least SOME exact hits
         assert sum(r["hit_exact"] for r in rows) > 0
+
+    def test_search_scan_is_partition_pruned(self, spark, sf_dir):
+        """The ANN path's store scan must prune to the probe cells at the
+        FILE LISTING (PartitionFilters on c8 in the physical scan), not
+        filter after reading — the property that makes the search
+        O(probe set), never O(corpus), at any scale."""
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            _ensure_standing_index,
+            _standing_search,
+        )
+        from akka_streams_kinesis_spark.plans import physical_plan
+
+        root = _ensure_standing_index(spark, sf_dir)
+        plan = physical_plan(_standing_search(spark, root))
+        pruned_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln
+            and re.search(
+                r"PartitionFilters: \[c8#\d+ IN", ln
+            )  # Spark renders the literal IN-list as `c8#N INSET …`
+        ]
+        assert pruned_scans, plan
 
     def test_stale_directory_raises(self, spark, sf_dir, tmp_path):
         """Corrupting one directory group (as a crashed/buggy writer
