@@ -284,12 +284,23 @@ SHOWCASE = [
      "0.93 -> 0.43."),
     ("stream_ann_index_upsert",
      "foreachBatch IVF maintenance: per batch, ONE partition-pruned "
-     "idmap read (touched id-buckets), one partition-pruned store read "
-     "(touched coarse cells), latest-wins merge, dynamic-partition "
-     "overwrite of exactly the touched partitions, and a subtree-local "
-     "directory refresh whose per-depth counts join back by broadcast "
-     "(<= 2^12 rows at any corpus size) — the corpus is never shuffled; "
-     "rebuild-equivalence raises on violation."),
+     "idmap read (touched id-buckets, cached for both consumers), one "
+     "partition-pruned store read (touched coarse cells), latest-wins "
+     "merge, atomic per-cell file replacement of exactly the touched "
+     "partitions (task-side pyarrow writer — no driver commit loop, no "
+     "driver filesystem calls; drained cells become zero-row marker "
+     "files), idmap commits LAST for at-least-once replay, and a "
+     "subtree-local directory refresh whose per-depth counts join back "
+     "by broadcast (<= 2^12 rows at any corpus size) — the corpus is "
+     "never shuffled; rebuild-equivalence raises on violation."),
+    ("similarity_standing_index_topk",
+     "search over the standing index: idmap lookup pruned to the query "
+     "id-buckets, multi-probe expansion driver-side (bounded strings), "
+     "ONE store scan with PartitionFilters: [c8 INSET <probe cells>] "
+     "(the ANN path reads <= 37/256 of the corpus), broadcast-only "
+     "joins for the query/probe/count frames, per-query windows for "
+     "the rerank; the brute-force hit_exact anchor is the eval-time "
+     "recall baseline a production serving path would drop."),
 ]
 
 
