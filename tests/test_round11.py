@@ -139,6 +139,26 @@ class TestObjectStoreSafety:
         assert _directory_set(spark, root) == _rebuild_set(spark, final)
 
 
+class TestUriRoot:
+    def test_merge_and_reads_work_with_file_uri_root(self, spark, tmp_path):
+        """The object-store-safety claim must hold when ``root`` is a
+        URI, not a bare path: the whole merge (existence probe, pruned
+        reads, task-side writer) and every reader run against a
+        ``file:`` scheme root and produce the same index a bare-path
+        run does."""
+        rows = [(i, 0, format(i * 5 % (1 << MAX_BITS), f"0{MAX_BITS}b")) for i in range(20)]
+        upd = [(i, 1, format(i * 9 % (1 << MAX_BITS), f"0{MAX_BITS}b")) for i in range(0, 20, 4)]
+        plain = str(tmp_path / "plain")
+        uri = "file:" + str(tmp_path / "uri")
+        for r in (plain, uri):
+            merge = index_merger(spark, r)
+            merge(_upserts(spark, rows), 0)
+            merge(_upserts(spark, upd), 1)
+        assert _directory_set(spark, uri) == _directory_set(spark, plain)
+        assert read_store(spark, uri).count() == 20
+        assert read_idmap(spark, uri).count() == 20
+
+
 class TestReplayContract:
     def test_full_batch_redelivery_is_idempotent(self, spark, root):
         merge = index_merger(spark, root)
