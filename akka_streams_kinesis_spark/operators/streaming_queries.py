@@ -2510,7 +2510,7 @@ def _ensure_standing_cdc_index(spark: SparkSession, sf_dir: str) -> str:
     query is deterministic run-over-run."""
     from ..streaming.ann_index import start_ann_index
 
-    base = _stream_cache_dir(sf_dir, "anncdc_standing_v1")
+    base = _stream_cache_dir(sf_dir, "anncdc_standing_v2")
     marker = os.path.join(base, "_complete")
     root = os.path.join(base, "index")
     if os.path.exists(marker):
@@ -2648,7 +2648,7 @@ def _ensure_standing_index(spark: SparkSession, sf_dir: str) -> str:
     SEARCH)."""
     from ..streaming.ann_index import start_ann_index
 
-    base = _stream_cache_dir(sf_dir, "annidx_standing_v1")
+    base = _stream_cache_dir(sf_dir, "annidx_standing_v2")
     marker = os.path.join(base, "_complete")
     root = os.path.join(base, "index")
     if os.path.exists(marker):
@@ -2741,10 +2741,20 @@ def _standing_topk_oracle() -> str:
 def _standing_search(spark: SparkSession, root: str) -> DataFrame:
     """Cell-pruned top-k search against the standing index at ``root``
     (separated from the registry entry so tests can point it at a
-    corrupted index copy and assert the consistency raise)."""
+    corrupted index copy and assert the consistency raise).
+
+    Snapshot-pinned (round-12): ONE committed manifest is resolved up
+    front and every read — idmap lookup, pruned candidate scan,
+    directory counts, brute-force anchor — goes through it, so a search
+    concurrent with an in-flight upsert batch reads the consistent
+    PRE-batch snapshot (data files of a committed version are
+    immutable) instead of racing half-written tables. The
+    directory-vs-scan count check below stays armed as a writer-bug
+    detector."""
     from ..streaming.ann_index import (
         COARSE_BITS,
         _N_ID_BUCKETS,
+        load_snapshot,
         probe_cells,
         read_directory,
         read_idmap,
@@ -2752,13 +2762,19 @@ def _standing_search(spark: SparkSession, root: str) -> DataFrame:
     )
     from .similarity import cosine_sim
 
-    # query lookup goes through the idmap sidecar, partition-pruned to
+    snap = load_snapshot(root)
+    if snap is None:
+        raise RuntimeError(
+            f"standing index at {root!r} has no committed snapshot "
+            f"— index incomplete"
+        )
+    # query lookup goes through the idmap sidecar, manifest-pruned to
     # the query ids' buckets — never a corpus scan (bounded collect:
     # _SI_NQ rows)
     q_idbs = sorted({i % _N_ID_BUCKETS for i in range(_SI_NQ)})
     q_cells = {
         r["vec_id"]: r["c8"]
-        for r in read_idmap(spark, root, q_idbs)
+        for r in read_idmap(spark, root, q_idbs, snapshot=snap)
         .filter(F.col("vec_id") < _SI_NQ)
         .collect()
     }
@@ -2777,12 +2793,10 @@ def _standing_search(spark: SparkSession, root: str) -> DataFrame:
     ]
     probe_df = spark.createDataFrame(pairs, "query_id long, c8 string")
     probed = sorted({c for _, c in pairs})
-    # ONE file index for both scans: the pruned candidate scan (partition
-    # filters prune it to the probe cells) and the brute-force anchor's
-    # full scan share the same relation, so the 256-dir partition
-    # discovery runs once per search, not per consumer
-    store_df = read_store(spark, root)
-    pruned = store_df.filter(F.col("c8").isin(probed)).select(
+    # the pruned candidate scan reads ONLY the probe cells' files — the
+    # manifest IS the file index, so there is no partition-discovery job
+    # at all and the scan's file list is exactly the probe set
+    pruned = read_store(spark, root, cells=probed, snapshot=snap).select(
         "vec_id", "c8", "embedding"
     )
     # consumed three times (count self-check, query extraction, rerank):
@@ -2792,7 +2806,7 @@ def _standing_search(spark: SparkSession, root: str) -> DataFrame:
     # set must equal what the pruned scan actually returned — a stale
     # directory (or stale store partition) RAISES here instead of
     # silently mis-ranking
-    d8 = read_directory(spark, root).select(
+    d8 = read_directory(spark, root, snapshot=snap).select(
         F.concat(F.lit("b"), F.substring("cell", 1, COARSE_BITS)).alias("c8"),
         "n_vecs",
     )
@@ -2831,11 +2845,13 @@ def _standing_search(spark: SparkSession, root: str) -> DataFrame:
         sims.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _SI_K)
     )
-    # brute-force exact anchor over the SAME standing store (full scan):
-    # the hit_exact flag is per-row recall evidence, and because both
-    # rankings read the post-upsert store, a stale stored vector flips
-    # the hash on BOTH paths
-    full = store_df.select("vec_id", "embedding")
+    # brute-force exact anchor over the SAME standing store (full scan,
+    # same pinned snapshot): the hit_exact flag is per-row recall
+    # evidence, and because both rankings read the post-upsert store, a
+    # stale stored vector flips the hash on BOTH paths
+    full = read_store(spark, root, snapshot=snap).select(
+        "vec_id", "embedding"
+    )
     ex_sims = full.join(
         F.broadcast(q_emb), F.col("query_id") != F.col("vec_id")
     ).select(

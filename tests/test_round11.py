@@ -1,18 +1,20 @@
-"""Round-11 invariants: the object-store-safe incremental IVF index
-(streaming/ann_index.py) and its crash/replay contract.
+"""Round-11 invariants for the incremental IVF index
+(streaming/ann_index.py), updated to the round-12 manifest protocol:
 
-Round-10 VERDICT asks #2/#3 + the round-10 ADVICE medium finding:
-- the batch path must make NO driver filesystem calls (no os.listdir /
-  shutil; drained partitions become zero-row files, not rmtrees);
-- the idmap — the source of the touched set — must commit LAST, so a
-  replay of a partially-applied batch re-derives the FULL touched set
-  from the pre-batch idmap and repairs every table;
+- the batch path must make NO direct os/shutil filesystem calls (all IO
+  routes through pyarrow.fs; drained partitions leave the MANIFEST, no
+  rmtrees);
+- the manifest — covering store, idmap AND directory — commits LAST and
+  atomically, so a replay of a batch that crashed at any pre-commit
+  point re-derives everything from the intact pre-batch snapshot;
 - any chopping of the upsert stream, with at-least-once redelivery,
   must converge to the same index a full rebuild produces (latest-wins
   is associative/commutative/idempotent).
 
 These drive ``index_merger`` directly with hand-built batch DataFrames —
 no streaming runtime — which is exactly why the merger is exposed.
+Round-12-specific additions (snapshot isolation, mock object-store
+filesystem, vacuum, schema widening) live in tests/test_round12.py.
 """
 
 from __future__ import annotations
@@ -83,10 +85,11 @@ def root(tmp_path):
 
 
 class TestObjectStoreSafety:
-    def test_no_driver_fs_calls_in_module(self):
-        """Pins round-10 VERDICT ask #2: the only os.* / shutil mentions
-        allowed in ann_index.py are docstrings and the EXECUTOR-side
-        writer (task data path, behind the pyarrow FS seam)."""
+    def test_no_direct_os_fs_calls_in_module(self):
+        """Pins round-10 VERDICT ask #2, tightened in round 12: NO
+        os/shutil usage anywhere in ann_index.py — every filesystem
+        touch (manifest IO, probes, the task-side writer, vacuum) routes
+        through pyarrow.fs, so any URI scheme behaves the same."""
         src = open(_SRC).read()
         # strip docstrings/comments, keep code
         code_lines = []
@@ -101,12 +104,15 @@ class TestObjectStoreSafety:
             code_lines.append(ln)
         code = "\n".join(code_lines)
         assert "shutil" not in code
-        assert "os.listdir" not in code
-        assert "os.path" not in code
-        # the single permitted executor-side import, inside _write
-        assert code.count("import os as _os") == 1
+        assert "import os" not in code
+        assert "os.path" not in code and "os.listdir" not in code
+        assert "pyarrow import fs" in code or "pyarrow.fs" in code
 
-    def test_drained_cell_becomes_zero_row_file(self, spark, root):
+    def test_drained_cell_leaves_the_manifest(self, spark, root):
+        from akka_streams_kinesis_spark.streaming.ann_index import (
+            load_snapshot,
+        )
+
         merge = index_merger(spark, root)
         lone = "1" * MAX_BITS
         moved = "0" * MAX_BITS
@@ -114,21 +120,30 @@ class TestObjectStoreSafety:
         assert _directory_set(spark, root) == _rebuild_set(
             spark, [(1, 0, lone), (2, 0, moved)]
         )
+        drained_prefix = f"c8=b{'1' * COARSE_BITS}/"
+        assert any(
+            k.startswith(drained_prefix)
+            for k in load_snapshot(root).files("store")
+        )
         # vec 1 moves away: its old coarse cell drains
         merge(_upserts(spark, [(1, 1, moved)]), 1)
         final = [(1, 1, moved), (2, 0, moved)]
         assert _directory_set(spark, root) == _rebuild_set(spark, final)
         store = read_store(spark, root)
         assert store.count() == 2
-        # the drained partition is STILL PRESENT (empty-but-present
-        # marker file), and holds zero live rows — no rmtree happened
-        drained_dir = os.path.join(
-            root, "store", f"c8=b{'1' * COARSE_BITS}"
+        # the drained partition left the MANIFEST (cleanup is metadata,
+        # no rmtree) — its superseded v1 file stays on disk for readers
+        # pinned to v1, until vacuum reclaims it
+        snap = load_snapshot(root)
+        assert not any(
+            k.startswith(drained_prefix) for k in snap.files("store")
         )
+        drained_dir = os.path.join(root, "store", drained_prefix[:-1])
         assert os.path.isdir(drained_dir)
         assert any(
             f.endswith(".parquet") and not f.startswith(".")
-            for f in os.listdir(drained_dir)
+            for _, _, files in os.walk(drained_dir)
+            for f in files
         )
         assert (
             store.filter(F.col("c8") == f"b{'1' * COARSE_BITS}").count() == 0
@@ -175,27 +190,31 @@ class TestReplayContract:
         assert read_store(spark, root).count() == 40
         assert read_idmap(spark, root).count() == 40
 
-    def test_replay_after_crash_before_idmap_write(self, spark, root):
-        """The ADVICE-medium scenario: a batch crashes AFTER the store +
-        directory writes but BEFORE the idmap write. Because the idmap
-        commits last, the replay still sees the PRE-batch idmap,
-        re-derives the full touched set (including moved vectors' OLD
-        cells) and repairs everything. Simulated by snapshotting the
-        idmap before the batch and restoring it after — exactly the
-        on-disk state such a crash leaves."""
+    def test_replay_after_crash_before_manifest_commit(self, spark, root):
+        """A batch crashes AFTER all three data writes but BEFORE the
+        manifest commit — the last possible pre-commit instant, injected
+        through the merger's pre_commit_hook seam. The committed
+        snapshot is untouched (orphaned files are invisible to readers),
+        and replaying the batch with a fresh merger converges to the
+        rebuild."""
         merge = index_merger(spark, root)
         a = [(i, 0, format(i, f"0{MAX_BITS}b")) for i in range(16)]
         merge(_upserts(spark, a), 0)
-        idmap_dir = os.path.join(root, "idmap")
-        snap = idmap_dir + ".snap"
-        shutil.copytree(idmap_dir, snap)
+        pre = _directory_set(spark, root)
         # the batch: every even vec moves to one hot cell
         hot = "1" * MAX_BITS
         b = [(i, 1, hot) for i in range(0, 16, 2)]
-        merge(_upserts(spark, b), 1)
-        # crash: store+directory committed, idmap write "lost"
-        shutil.rmtree(idmap_dir)
-        shutil.copytree(snap, idmap_dir)
+
+        def _crash(version):
+            raise RuntimeError("injected crash before manifest commit")
+
+        crashing = index_merger(spark, root, pre_commit_hook=_crash)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            crashing(_upserts(spark, b), 1)
+        # the committed snapshot is exactly the pre-batch index
+        assert _directory_set(spark, root) == pre
+        assert read_store(spark, root).count() == 16
+        assert read_store(spark, root).agg(F.max("seq")).collect()[0][0] == 0
         # replay the same batch (a fresh merger, as after restart)
         index_merger(spark, root)(_upserts(spark, b), 1)
         final = {v: (v, s, c) for v, s, c in a}
@@ -208,6 +227,28 @@ class TestReplayContract:
         assert (
             store.groupBy("vec_id").count().filter("count > 1").count() == 0
         )
+
+    def test_replay_after_crashed_first_batch(self, spark, root):
+        """A FIRST batch that crashes pre-commit leaves versioned
+        orphans and no manifest; the replay must recognize them as ours
+        (not foreign data) and build the index."""
+        rows = [(i, 0, format(i * 3, f"0{MAX_BITS}b")) for i in range(10)]
+
+        def _crash(version):
+            raise RuntimeError("injected crash")
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            index_merger(spark, root, pre_commit_hook=_crash)(
+                _upserts(spark, rows), 0
+            )
+        from akka_streams_kinesis_spark.streaming.ann_index import (
+            load_snapshot,
+        )
+
+        assert load_snapshot(root) is None
+        index_merger(spark, root)(_upserts(spark, rows), 0)
+        assert _directory_set(spark, root) == _rebuild_set(spark, rows)
+        assert read_store(spark, root).count() == 10
 
     def test_any_chopping_converges(self, spark, root):
         """Three different choppings of the same upsert multiset (plus a
@@ -398,8 +439,15 @@ class TestStandingIndexSearch:
         assert pruned_scans, plan
 
     def test_stale_directory_raises(self, spark, sf_dir, tmp_path):
-        """Corrupting one directory group (as a crashed/buggy writer
-        would) must RAISE the consistency error, not silently mis-rank."""
+        """A directory whose counts disagree with the store (as a buggy
+        writer would commit) must RAISE the consistency error, not
+        silently mis-rank. Staleness is injected the way it would really
+        happen under the manifest protocol: a new manifest version whose
+        directory files carry wrong counts."""
+        import json
+
+        import pyarrow.parquet as pq
+
         from akka_streams_kinesis_spark.operators.streaming_queries import (
             _ensure_standing_index,
             _standing_search,
@@ -408,13 +456,31 @@ class TestStandingIndexSearch:
         root = _ensure_standing_index(spark, sf_dir)
         broken = str(tmp_path / "broken_index")
         shutil.copytree(root, broken)
-        groups = sorted(
-            d
-            for d in os.listdir(os.path.join(broken, "directory"))
-            if d.startswith("dg=")
+        manifest_dir = os.path.join(broken, "_manifest")
+        latest = int(open(os.path.join(manifest_dir, "LATEST")).read())
+        manifest = json.load(
+            open(os.path.join(manifest_dir, f"v{latest:08d}.json"))
         )
-        assert len(groups) > 1
-        for g in groups[1:]:  # keep one so the table stays readable
-            shutil.rmtree(os.path.join(broken, "directory", g))
+        # rewrite every directory group file with n_vecs + 1 and commit
+        # it as a new version — every cell's count is now stale
+        v = latest + 1
+        fname = f"part-v{v:08d}.parquet"
+        for key, old in list(manifest["tables"]["directory"].items()):
+            path = os.path.join(broken, "directory", key)
+            tbl = pq.read_table(os.path.join(path, old))
+            import pyarrow.compute as pc
+
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("n_vecs"),
+                "n_vecs",
+                pc.add(tbl["n_vecs"], 1),
+            )
+            pq.write_table(tbl, os.path.join(path, fname))
+            manifest["tables"]["directory"][key] = fname
+        manifest["version"] = v
+        with open(os.path.join(manifest_dir, f"v{v:08d}.json"), "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(manifest_dir, "LATEST"), "w") as f:
+            f.write(str(v))
         with pytest.raises(RuntimeError, match="inconsistent|incomplete"):
             _standing_search(spark, broken).collect()
