@@ -2914,3 +2914,266 @@ def similarity_standing_index_topk(spark: SparkSession, sf_dir: str) -> DataFram
     put-then-consume tests applied to index state."""
     root = _ensure_standing_index(spark, sf_dir)
     return _standing_search(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# similarity_standing_index_recall_sweep — tune the STANDING index (round 12)
+# ---------------------------------------------------------------------------
+
+_MPR_RADII = (0, 1, 2)
+
+
+def _standing_recall_oracle() -> str:
+    """DuckDB twin of the standing-index recall sweep: recompute the
+    final corpus (vec_id % {mod} negated), coarse cells, per-radius
+    probe membership (Hamming distance on the 8-bit codes), the
+    radius-pruned ANN rankings AND the brute-force exact ranking — all
+    from the parquet source, independent of the incremental index.
+    Scanned-row volume per radius counts every corpus vector within the
+    probe distance of each query (self included), which is exactly what
+    the engine sums from the index DIRECTORY. Signs factor out of IEEE
+    arithmetic exactly, so the oracle multiplies s_q*s_v into the dot
+    product instead of materializing negated arrays."""
+    from ..operators.similarity import _DIM
+    from ..streaming.ann_index import COARSE_BITS
+
+    bits = " || ".join(
+        f"(CASE WHEN (CASE WHEN vec_id % {_ANN_UPD_MOD} = 0 "
+        f"THEN embedding[{i + 1}] <= 0 ELSE embedding[{i + 1}] >= 0 END) "
+        f"THEN '1' ELSE '0' END)"
+        for i in range(COARSE_BITS)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN SUBSTRING(q.c8, {i + 1}, 1) <> SUBSTRING(v.c8, {i + 1}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(COARSE_BITS)
+    )
+    sim = (
+        "(q.s * v.s) * ("
+        "SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) / "
+        "(SQRT(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) * "
+        "SQRT(SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))"
+    )
+    radii_rows = ", ".join(f"({h})" for h in _MPR_RADII)
+    return f"""
+    WITH coded AS (
+        SELECT vec_id, embedding,
+               CASE WHEN vec_id % {_ANN_UPD_MOD} = 0 THEN -1 ELSE 1 END AS s,
+               {bits} AS c8
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding, s, c8
+        FROM coded WHERE vec_id < {_SI_NQ}
+    ), pairs AS (
+        SELECT q.query_id, v.vec_id,
+               CAST(({ham}) AS INT) AS dist,
+               ROUND({sim}, 6) AS sim
+        FROM q CROSS JOIN coded v
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY q.query_id, v.vec_id, q.c8, v.c8, q.s, v.s
+    ), radii AS (SELECT * FROM (VALUES {radii_rows}) AS r(probe_h)),
+    vol AS (
+        SELECT r.probe_h, CAST(COUNT(*) AS BIGINT) AS n_scanned_rows
+        FROM pairs p JOIN radii r ON p.dist <= r.probe_h
+        GROUP BY r.probe_h
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id
+                   ) AS rnk
+            FROM pairs WHERE vec_id <> query_id
+        ) WHERE rnk <= {_SI_K}
+    ), ann AS (
+        SELECT r.probe_h, p.query_id, p.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.probe_h, p.query_id
+                   ORDER BY p.sim DESC, p.vec_id
+               ) AS rnk
+        FROM pairs p JOIN radii r ON p.dist <= r.probe_h
+        WHERE p.vec_id <> p.query_id
+    ), hits AS (
+        SELECT a.probe_h, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ann a JOIN exact e
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        WHERE a.rnk <= {_SI_K}
+        GROUP BY a.probe_h
+    )
+    SELECT v.probe_h, v.n_scanned_rows,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           (10000 * COALESCE(h.n_hits, 0)) // ({_SI_K} * {_SI_NQ}) AS recall4
+    FROM vol v LEFT JOIN hits h ON h.probe_h = v.probe_h
+    ORDER BY v.probe_h
+    """
+
+
+@query(
+    "similarity_standing_index_recall_sweep",
+    oracle=_standing_recall_oracle(),
+)
+def similarity_standing_index_recall_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall-vs-radius tuning table for the STANDING IVF index
+    (round-11 VERDICT ask #6 — the index's own tuning loop, closed with
+    a gated table): for each probe radius h ∈ {_MPR_RADII}, recall@{_SI_K}
+    of the radius-pruned search against the brute-force exact ranking on
+    the same post-upsert corpus, plus the scan-cost column — the number
+    of index rows the probe set would read, summed FROM THE DIRECTORY
+    (the very statistic a query planner consults before picking a
+    radius). Consumes the exact tables the upsert drain produced
+    (`_ensure_standing_index`), pinned to ONE committed snapshot, like
+    the search path; a directory whose counts disagree with the scanned
+    partitions RAISES rather than reporting wrong volumes.
+
+    The radius-2 sweep generalizes `similarity_standing_index_topk`'s
+    fixed radius: one manifest-pruned scan of the radius-2 probe cells
+    feeds every smaller radius by filtering on the per-cell Hamming
+    distance (radius sets are nested), so the sweep costs ONE pruned
+    scan + one brute-force anchor, not three scans.
+
+    Scale shape: probe expansion is driver-side string arithmetic
+    (≤ {_SI_NQ}×37 pairs, broadcast); the candidate scan reads only the
+    radius-2 cells' files straight off the manifest; rankings are
+    windows over per-(radius, query) candidate lists; directory volumes
+    aggregate a metadata-sized table. The brute-force anchor is the
+    offline eval baseline (ground truth needs it anyway), same cost
+    class as similarity_multiprobe_recall_sweep.
+
+    Determinism: Hamming distances and row counts are integers; ranking
+    uses the 6-dp-rounded sim with vec_id tie-break; recall is
+    (10000·hits) FLOOR-div ({_SI_K}·{_SI_NQ}) — no float crosses the
+    gate.
+
+    Reference parity: none (SURVEY §2.D north-star)."""
+    from ..streaming.ann_index import (
+        COARSE_BITS,
+        _N_ID_BUCKETS,
+        load_snapshot,
+        probe_cells,
+        read_directory,
+        read_idmap,
+        read_store,
+    )
+    from .similarity import cosine_sim
+
+    root = _ensure_standing_index(spark, sf_dir)
+    snap = load_snapshot(root)
+    if snap is None:
+        raise RuntimeError(
+            f"standing index at {root!r} has no committed snapshot"
+        )
+    max_r = max(_MPR_RADII)
+    q_idbs = sorted({i % _N_ID_BUCKETS for i in range(_SI_NQ)})
+    q_cells = {
+        r["vec_id"]: r["c8"]
+        for r in read_idmap(spark, root, q_idbs, snapshot=snap)
+        .filter(F.col("vec_id") < _SI_NQ)
+        .collect()
+    }
+    if len(q_cells) != _SI_NQ:
+        raise RuntimeError(
+            f"standing index idmap resolves {len(q_cells)}/{_SI_NQ} "
+            f"query ids — index incomplete"
+        )
+    pairs = [
+        (qid, cell, sum(a != b for a, b in zip(cell[1:], c8[1:])))
+        for qid, c8 in sorted(q_cells.items())
+        for cell in probe_cells(c8, max_r)
+    ]
+    probe_df = spark.createDataFrame(
+        pairs, "query_id long, c8 string, dist int"
+    )
+    probed = sorted({c for _, c, _ in pairs})
+    pruned = read_store(spark, root, cells=probed, snapshot=snap).select(
+        "vec_id", "c8", "embedding"
+    )
+    cand = transient_persist(pruned.join(F.broadcast(probe_df), "c8"))
+    # directory-derived scan volumes, checked against the actual scan
+    # (stale counts RAISE, as in the search path)
+    d8 = read_directory(spark, root, snapshot=snap).select(
+        F.concat(F.lit("b"), F.substring("cell", 1, COARSE_BITS)).alias("c8"),
+        "n_vecs",
+    )
+    dir_cells = probe_df.join(F.broadcast(d8), "c8").select(
+        "query_id", "dist", "n_vecs"
+    )
+    n_dir = dir_cells.groupBy("query_id").agg(F.sum("n_vecs").alias("n_cand"))
+    n_scan = cand.groupBy("query_id").agg(F.count("*").alias("n_scan"))
+    bad = (
+        n_dir.join(n_scan, "query_id", "full")
+        .filter(~F.col("n_cand").eqNullSafe(F.col("n_scan")))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"standing index directory is inconsistent with the store "
+            f"for {bad} queries — stale cell counts"
+        )
+    radii = spark.range(1).select(
+        F.explode(F.array(*[F.lit(h) for h in _MPR_RADII])).alias("probe_h")
+    )
+    vol = (
+        dir_cells.join(F.broadcast(radii), F.col("dist") <= F.col("probe_h"))
+        .groupBy("probe_h")
+        .agg(F.sum("n_vecs").alias("n_scanned_rows"))
+    )
+    q_emb = cand.filter(
+        (F.col("vec_id") == F.col("query_id")) & (F.col("vec_id") < _SI_NQ)
+    ).select("query_id", F.col("embedding").alias("q_emb"))
+    sims = (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "dist",
+            F.round(cosine_sim("q_emb", "embedding"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        read_store(spark, root, snapshot=snap)
+        .select("vec_id", "embedding")
+        .join(F.broadcast(q_emb), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim("q_emb", "embedding"), 6).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SI_K)
+        .select("query_id", F.col("vec_id").alias("e_vid"))
+    )
+    w_h = Window.partitionBy("probe_h", "query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    ann_top = (
+        sims.join(F.broadcast(radii), F.col("dist") <= F.col("probe_h"))
+        .withColumn("rnk", F.row_number().over(w_h))
+        .filter(F.col("rnk") <= _SI_K)
+        .select("probe_h", "query_id", "vec_id")
+    )
+    hits = (
+        ann_top.join(
+            exact,
+            (ann_top["query_id"] == exact["query_id"])
+            & (ann_top["vec_id"] == exact["e_vid"]),
+        )
+        .groupBy("probe_h")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        vol.join(F.broadcast(hits), "probe_h", "left")
+        .select(
+            "probe_h",
+            "n_scanned_rows",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.expr(
+                f"(10000 * coalesce(n_hits, 0L)) DIV ({_SI_K} * {_SI_NQ})"
+            ).alias("recall4"),
+        )
+        .orderBy("probe_h")
+    )

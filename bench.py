@@ -305,6 +305,8 @@ HEADLINE = [
     "events_holt_linear_forecast",
     "join_interval_overlap_surge",
     "quality_calibration_reliability",
+    # round 12
+    "similarity_standing_index_recall_sweep",
 ]
 
 # Drift sentinel (VERDICT r09 ask #1): ~12 stable queries whose code has
@@ -386,11 +388,33 @@ SENTINEL_HISTORY = {
         "udf_pandas_scalar_shannon": 0.503,
         "total": 8.735,
     },
+    # round-11 driver run (BENCH_r11.json, sf0.1 local[32]), appended per
+    # round-11 VERDICT ask #5. TOTAL ONLY: the driver's tail capture
+    # truncated the long JSON line before the per-name "current" section
+    # (the short schema-stable line carried just drift_sentinel_total) —
+    # which is why, from round 12 on, the short line also carries the
+    # per-name sentinel map. The median drift factor therefore chains
+    # from the newest history entry with FULL per-name coverage.
+    "r11_driver": {
+        "total": 9.594,
+    },
 }
 
-# the pinned driver run the drift factor divides by: always the newest
-# entry in SENTINEL_HISTORY (kept explicit so the artifact names it)
-DRIFT_BASELINE = "r10_driver"
+# the pinned driver run the TOTAL-ratio drift factor divides by: always
+# the newest entry in SENTINEL_HISTORY (kept explicit so the artifact
+# names it)
+DRIFT_BASELINE = "r11_driver"
+# the newest history entry with full per-name coverage — the baseline
+# for the MEDIAN-of-per-name-ratios factor (round-11 VERDICT ask #4: one
+# spiked slot, e.g. window_topk 0.512→0.902 on frozen code in r11, can
+# skew a total ratio but cannot move a median)
+DRIFT_MEDIAN_BASELINE = max(
+    (
+        k
+        for k, v in SENTINEL_HISTORY.items()
+        if all(n in v for n in DRIFT_SENTINEL)
+    ),
+)
 # the sentinel baseline was measured at this scale — a run at any other
 # sf would produce a meaningless machine-drift factor (data volume, not
 # machine speed), so the factor is emitted null there
@@ -629,6 +653,19 @@ def main() -> None:
         )
     else:
         drift_factor, drift_reason = round(sentinel_total / ref_total, 3), None
+    # median of per-name ratios vs the newest FULLY-per-name history
+    # entry: robust to a single spiked slot (round-11 VERDICT ask #4)
+    drift_factor_median = None
+    if drift_factor is not None:
+        med_ref = SENTINEL_HISTORY[DRIFT_MEDIAN_BASELINE]
+        ratios = sorted(sentinel_now[n] / med_ref[n] for n in DRIFT_SENTINEL)
+        mid = len(ratios) // 2
+        med = (
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2
+        )
+        drift_factor_median = round(med, 3)
     full = {
         "metric": "headline_query_total_seconds",
         "value": total,
@@ -649,6 +686,10 @@ def main() -> None:
             "baseline": DRIFT_BASELINE,
             "drift_factor": drift_factor,
             "drift_factor_reason": drift_reason,
+            # median of per-name ratios vs the newest history entry with
+            # full per-name coverage — one spiked slot can't move it
+            "median_baseline": DRIFT_MEDIAN_BASELINE,
+            "drift_factor_median": drift_factor_median,
         },
         "stream_ingest_rows_per_sec": stream_rate,
         "stream_rates": stream_rates,
@@ -679,6 +720,12 @@ def main() -> None:
                 "drift_sentinel_total": sentinel_total,
                 "drift_baseline": DRIFT_BASELINE,
                 "drift_factor": drift_factor,
+                "drift_factor_median": drift_factor_median,
+                "drift_median_baseline": DRIFT_MEDIAN_BASELINE,
+                # per-name sentinel values ride the SHORT line from round
+                # 12 on: the r11 driver tail truncated the long line's
+                # "current" section, leaving no per-name r11 history
+                "sentinel_current": sentinel_now,
                 "stream_ingest_rows_per_sec": stream_rate,
                 "sf": float(sf),
                 "queries_file": "BENCH_SUMMARY.json",

@@ -258,6 +258,8 @@ SF1_CANARY = [
     "similarity_standing_index_topk",    # cell-pruned search over the standing index
     "stream_ann_index_cdc_deletes",      # retained-marker CDC deletes + re-inserts
     "maintenance_ann_marker_compaction", # partition-pruned marker reclaim
+    # --- round 12 ---
+    "similarity_standing_index_recall_sweep",  # recall-vs-radius over the standing index
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",

@@ -283,15 +283,16 @@ SHOWCASE = [
      "groupBy + self-join — one narrow shuffle, no join; 30x exponent "
      "0.93 -> 0.43."),
     ("stream_ann_index_upsert",
-     "foreachBatch IVF maintenance: per batch, ONE partition-pruned "
-     "idmap read (touched id-buckets, cached for both consumers), one "
-     "partition-pruned store read (touched coarse cells), latest-wins "
-     "merge, atomic per-cell file replacement of exactly the touched "
-     "partitions (task-side pyarrow writer — no driver commit loop, no "
-     "driver filesystem calls; drained cells become zero-row marker "
-     "files), idmap commits LAST for at-least-once replay, and a "
-     "subtree-local directory refresh whose per-depth counts join back "
-     "by broadcast (<= 2^12 rows at any corpus size) — the corpus is "
+     "foreachBatch IVF maintenance (round-12 manifest protocol): per "
+     "batch, ONE manifest-pruned idmap read (touched id-buckets, cached "
+     "for both consumers), one manifest-pruned store read (touched "
+     "coarse cells x buckets), latest-wins merge, versioned "
+     "per-partition file writes by a task-side pyarrow.fs writer (no "
+     "driver commit loop; a drained partition simply leaves the "
+     "manifest), then ONE atomic manifest commit covering all three "
+     "tables — readers see pre- or post-batch state, never between; a "
+     "subtree-local directory refresh joins per-depth counts back by "
+     "broadcast (<= 2^12 rows at any corpus size) — the corpus is "
      "never shuffled; rebuild-equivalence raises on violation."),
     ("similarity_standing_index_topk",
      "search over the standing index: idmap lookup pruned to the query "
@@ -301,6 +302,13 @@ SHOWCASE = [
      "joins for the query/probe/count frames, per-query windows for "
      "the rerank; the brute-force hit_exact anchor is the eval-time "
      "recall baseline a production serving path would drop."),
+    ("similarity_standing_index_recall_sweep",
+     "recall-vs-radius over the standing index: ONE manifest-pruned "
+     "scan of the radius-2 probe cells feeds all three radii (nested "
+     "sets, filtered on the broadcast per-cell Hamming distance); scan "
+     "volumes aggregate the metadata-sized directory; rankings are "
+     "windows over per-(radius, query) candidate lists; brute-force "
+     "anchor is the offline eval ground truth."),
 ]
 
 

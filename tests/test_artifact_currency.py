@@ -116,14 +116,22 @@ def test_drift_sentinel_names_are_valid_headline_queries():
     # round-10 VERDICT ask #5: every driver round since the sentinel was
     # introduced must be pinned, and the factor must chain from the
     # NEWEST one
-    assert {"r08_driver", "r09_driver", "r10_driver"} <= set(
+    assert {"r08_driver", "r09_driver", "r10_driver", "r11_driver"} <= set(
         bench.SENTINEL_HISTORY
     )
     assert bench.DRIFT_BASELINE == sorted(bench.SENTINEL_HISTORY)[-1]
     for rnd, hist in bench.SENTINEL_HISTORY.items():
         names = set(hist) - {"total"}
+        if not names:
+            # r11_driver: the driver tail truncated the per-name section;
+            # only the short-line total survived (see bench.py comment)
+            assert hist["total"] > 0, rnd
+            continue
         assert names == set(bench.DRIFT_SENTINEL), rnd
         assert abs(sum(hist[n] for n in names) - hist["total"]) < 0.01, rnd
+    # the median factor must chain from a FULLY-per-name history entry
+    med = bench.SENTINEL_HISTORY[bench.DRIFT_MEDIAN_BASELINE]
+    assert set(med) - {"total"} == set(bench.DRIFT_SENTINEL)
 
 
 def test_bench_summary_carries_drift_sentinel_and_shared_builds():
@@ -141,8 +149,14 @@ def test_bench_summary_carries_drift_sentinel_and_shared_builds():
     sent = doc.get("drift_sentinel")
     assert sent, "drift_sentinel section missing — re-run bench.py at HEAD"
     assert sent["names"] == bench.DRIFT_SENTINEL
-    assert {"r08_driver", "r09_driver", "r10_driver"} <= set(sent["history"])
+    assert {"r08_driver", "r09_driver", "r10_driver", "r11_driver"} <= set(
+        sent["history"]
+    )
     assert sent["baseline"] == bench.DRIFT_BASELINE
+    # round-12: the median factor (robust to one spiked slot) must be
+    # present alongside the total-ratio
+    assert "drift_factor_median" in sent
+    assert sent["median_baseline"] == bench.DRIFT_MEDIAN_BASELINE
     # a committed full-run summary at the baseline sf must carry a real
     # factor; a null one must explain itself
     assert (
