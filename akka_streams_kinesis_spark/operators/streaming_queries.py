@@ -3177,3 +3177,126 @@ def similarity_standing_index_recall_sweep(
         )
         .orderBy("probe_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_ann_vacuum_retention — reclaim superseded index files (round 12)
+# ---------------------------------------------------------------------------
+
+
+@query("maintenance_ann_vacuum_retention", oracle=_ann_oracle())
+def maintenance_ann_vacuum_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VACUUM for the standing ANN index — the retention leg of the
+    round-12 snapshot protocol: versioned data files superseded by newer
+    commits (and manifests outside the retention window, and orphaned
+    task temp files) are reclaimed, while the newest committed snapshot
+    — the consumer view — is provably untouched. The Delta/Iceberg
+    VACUUM contract, exercised on a fresh copy of the cached post-drain
+    index so every run vacuums the same input.
+
+    RAISES unless (1) something was actually reclaimed (the drain
+    commits ≥ 2 versions whose idmap buckets overlap, so superseded
+    files MUST exist), (2) exactly the pre-window manifests were
+    deleted and the latest version is the one retained, (3) after the
+    pass every remaining data file is referenced by the retained
+    manifest — no leak, no over-delete — and (4) the consumer view
+    (live row count AND the directory) is unchanged. The returned
+    directory is gated by the same DuckDB full-rebuild oracle as the
+    upsert drain: a vacuum that touched live data cannot hash-match.
+
+    Scale shape: vacuum lists only the index's own partition
+    directories through pyarrow.fs (object-store-shaped LIST calls,
+    table-proportional, maintenance-path only — never in a batch) and
+    deletes unreferenced files; the consumer-view checks are
+    manifest-pruned reads of a metadata-sized table plus one store
+    count.
+
+    Reference parity: none (SURVEY §2.D north-star); the
+    verify-after-maintenance discipline mirrors
+    maintenance_ann_marker_compaction."""
+    import posixpath
+
+    from pyarrow import fs as pafs
+
+    from ..streaming.ann_index import (
+        _resolve_fs,
+        current_version,
+        load_snapshot,
+        read_directory,
+        read_store,
+        vacuum,
+    )
+
+    src = _ensure_standing_index(spark, sf_dir)
+    work = _stream_cache_dir(sf_dir, "annidx_vacuum_scratch")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(src, work)
+    latest = current_version(work)
+    if latest is None or latest < 2:
+        raise RuntimeError(
+            f"drained index should hold >= 2 committed versions, found "
+            f"{latest!r}"
+        )
+    pre_live = read_store(spark, work).count()
+    pre_dir = {
+        (r["cell"], r["depth"], r["n_vecs"])
+        for r in read_directory(spark, work).collect()
+    }
+    stats = vacuum(work, retain=1)
+    if stats["files_deleted"] == 0:
+        raise RuntimeError(
+            "vacuum reclaimed nothing — superseded files must exist "
+            "after a multi-batch drain"
+        )
+    if stats["retained_versions"] != [latest]:
+        raise RuntimeError(
+            f"vacuum retained {stats['retained_versions']}, expected "
+            f"[{latest}]"
+        )
+    if stats["manifests_deleted"] != latest - 1:
+        raise RuntimeError(
+            f"vacuum deleted {stats['manifests_deleted']} manifests, "
+            f"expected {latest - 1}"
+        )
+    # no leak, no over-delete: the on-disk data files are EXACTLY the
+    # retained manifest's entries
+    snap = load_snapshot(work)
+    referenced = {
+        posixpath.join(tbl, key, fname)
+        for tbl in ("store", "idmap", "directory")
+        for key, fname in snap.files(tbl).items()
+    }
+    fs, base, _ = _resolve_fs(work)
+    on_disk = {
+        posixpath.relpath(info.path, base)
+        for tbl in ("store", "idmap", "directory")
+        for info in fs.get_file_info(
+            pafs.FileSelector(
+                posixpath.join(base, tbl), recursive=True,
+                allow_not_found=True,
+            )
+        )
+        if info.type == pafs.FileType.File
+    }
+    if on_disk != referenced:
+        raise RuntimeError(
+            f"post-vacuum file set diverges from the retained manifest: "
+            f"{len(on_disk - referenced)} unreferenced, "
+            f"{len(referenced - on_disk)} missing"
+        )
+    # the consumer view is untouched
+    post_live = read_store(spark, work).count()
+    if post_live != pre_live:
+        raise RuntimeError(
+            f"vacuum changed the consumer view: {pre_live} -> {post_live}"
+        )
+    post_dir_df = read_directory(spark, work)
+    post_dir = {
+        (r["cell"], r["depth"], r["n_vecs"]) for r in post_dir_df.collect()
+    }
+    if post_dir != pre_dir:
+        raise RuntimeError("vacuum changed the directory")
+    return post_dir_df

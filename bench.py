@@ -307,6 +307,7 @@ HEADLINE = [
     "quality_calibration_reliability",
     # round 12
     "similarity_standing_index_recall_sweep",
+    "maintenance_ann_vacuum_retention",
 ]
 
 # Drift sentinel (VERDICT r09 ask #1): ~12 stable queries whose code has

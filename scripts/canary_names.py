@@ -260,6 +260,7 @@ SF1_CANARY = [
     "maintenance_ann_marker_compaction", # partition-pruned marker reclaim
     # --- round 12 ---
     "similarity_standing_index_recall_sweep",  # recall-vs-radius over the standing index
+    "maintenance_ann_vacuum_retention",        # superseded-file reclaim, consumer view pinned
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",
