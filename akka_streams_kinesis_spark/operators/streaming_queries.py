@@ -2738,7 +2738,12 @@ def _standing_topk_oracle() -> str:
     """
 
 
-def _standing_search(spark: SparkSession, root: str) -> DataFrame:
+def _standing_search(
+    spark: SparkSession,
+    root: str,
+    snapshot=None,
+    anchor: bool = True,
+) -> DataFrame:
     """Cell-pruned top-k search against the standing index at ``root``
     (separated from the registry entry so tests can point it at a
     corrupted index copy and assert the consistency raise).
@@ -2750,7 +2755,14 @@ def _standing_search(spark: SparkSession, root: str) -> DataFrame:
     PRE-batch snapshot (data files of a committed version are
     immutable) instead of racing half-written tables. The
     directory-vs-scan count check below stays armed as a writer-bug
-    detector."""
+    detector.
+
+    ``snapshot`` pins the search to an explicit committed version (time
+    travel / serve-during-maintenance); default resolves the newest.
+    ``anchor=False`` skips the brute-force exact ranking (and its
+    ``hit_exact`` column) — the serving-path shape, used where the
+    recall anchor is measured elsewhere or would read a superseded
+    corpus state."""
     from ..streaming.ann_index import (
         COARSE_BITS,
         _N_ID_BUCKETS,
@@ -2762,7 +2774,7 @@ def _standing_search(spark: SparkSession, root: str) -> DataFrame:
     )
     from .similarity import cosine_sim
 
-    snap = load_snapshot(root)
+    snap = snapshot if snapshot is not None else load_snapshot(root)
     if snap is None:
         raise RuntimeError(
             f"standing index at {root!r} has no committed snapshot "
@@ -2845,6 +2857,13 @@ def _standing_search(spark: SparkSession, root: str) -> DataFrame:
         sims.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _SI_K)
     )
+    if not anchor:
+        # serving-path shape: pruned scan + rerank only, no corpus-wide
+        # exact pass (hit_exact recall evidence lives in the anchored
+        # variant and the recall sweep)
+        return ann.join(F.broadcast(n_dir), "query_id").select(
+            "query_id", "rnk", "vec_id", "sim", "n_cand"
+        )
     # brute-force exact anchor over the SAME standing store (full scan,
     # same pinned snapshot): the hit_exact flag is per-row recall
     # evidence, and because both rankings read the post-upsert store, a
@@ -3300,3 +3319,397 @@ def maintenance_ann_vacuum_retention(
     if post_dir != pre_dir:
         raise RuntimeError("vacuum changed the directory")
     return post_dir_df
+
+
+# ---------------------------------------------------------------------------
+# serve-during-drain + time travel over the standing index (round 12)
+# ---------------------------------------------------------------------------
+# The round-12 snapshot protocol's two consumer-visible guarantees, each
+# oracle-gated:
+#   stream_ann_search_during_upsert — a serving path runs INSIDE the
+#     maintenance drain's foreachBatch, pinned to the last committed
+#     snapshot, while the same batch then rewrites the touched cells; it
+#     records exactly what it served.
+#   similarity_standing_index_time_travel — after the drain, a reader
+#     pins EACH committed version and reruns the search; the pinned-v1
+#     replay must equal byte-for-byte what was served mid-drain
+#     (read-your-committed-snapshot reproducibility), and both versions'
+#     rankings hash-match a DuckDB recomputation of the two corpus
+#     states.
+
+
+def _first_put_file_count(stream: SimStream) -> int:
+    """Number of stream data files written by the FIRST put (payload ts
+    == _T1) — used as maxFilesPerTrigger so the drain's micro-batch
+    boundary falls exactly on the seq-0/seq-1 semantic boundary at every
+    sf. (The maintenance drain's ceil(n_files/2) chop is a file-count
+    heuristic that does NOT align with the seq boundary at every sf —
+    at sf1 the first put spans >half the files — and chopping
+    invariance of the INDEX is property-tested separately; time-travel
+    semantics need the semantic boundary.) Build-time-only driver-side
+    walk of the local stream cache, same discipline as
+    _ann_upserts_df's file count."""
+    import pyarrow.parquet as pq
+
+    want = _T1.replace(tzinfo=None)
+    n = 0
+    for dirpath, _, files in os.walk(stream.data_dir):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            ts = pq.read_table(
+                os.path.join(dirpath, fname), columns=["ts"]
+            )["ts"]
+            if len(ts) and ts[0].as_py() == want:
+                n += 1
+    return n
+
+
+_TT_SEARCH_COLS = ("query_id", "rnk", "vec_id", "sim", "n_cand")
+
+
+def _serve_and_record(
+    spark: SparkSession, root: str, served: str, batch_id: int
+) -> None:
+    """The serving half of the drain's foreachBatch: search the fixed
+    query set against the last committed snapshot and record what was
+    served. IDEMPOTENT under micro-batch replay (at-least-once
+    foreachBatch redelivery after a crash between the serve and the
+    merge commit): each batch OVERWRITES its own deterministic
+    partition directory ``served/batch_id=N`` instead of appending —
+    a replayed batch reads the same committed snapshot (the merge
+    hadn't committed) and rewrites the same rows, never duplicates
+    them. Batch 0 has no committed snapshot yet and records nothing
+    (serving comes online after the first commit)."""
+    from ..streaming.ann_index import load_snapshot
+
+    snap = load_snapshot(root)
+    if (snap is None) != (batch_id == 0):
+        raise RuntimeError(
+            f"batch {batch_id} sees committed version "
+            f"{None if snap is None else snap.version} — commit "
+            f"protocol violated"
+        )
+    if snap is None:
+        return
+    (
+        _standing_search(spark, root, snapshot=snap, anchor=False)
+        .select(
+            F.lit(snap.version).cast("long").alias("version"),
+            *_TT_SEARCH_COLS,
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(served, f"batch_id={batch_id}"))
+    )
+
+
+def _read_served(spark: SparkSession, served: str) -> DataFrame:
+    """The serving record across all batches — ``batch_id`` comes from
+    the partition directory names (cast to long: partition discovery
+    infers int)."""
+    return spark.read.option("basePath", served).parquet(served).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "version",
+        *_TT_SEARCH_COLS,
+    )
+
+
+def _serve_then_merge_drain(
+    spark: SparkSession, sf_dir: str, base: str
+) -> tuple[str, str]:
+    """Drain the SHARED upsert stream (the same cached 2-put history the
+    maintenance drain and the search path consume) into a fresh index at
+    ``base/index`` through a foreachBatch that SERVES BEFORE IT MERGES:
+    each micro-batch first runs the pruned top-k search for the fixed
+    query set against the last committed snapshot (none yet in batch 0 —
+    serving comes online after the first commit), appends what it served
+    (tagged with batch id and the snapshot version it read) under
+    ``base/served``, and only then merges the batch. This is the
+    reference's maintenance-never-blocks-reads discipline
+    (KinesisSource.scala:229-235 keeps emitting during reshard) applied
+    to index state: the reader inside the drain takes no lock, sees no
+    half-written table, and raises on nothing.
+
+    Determinism: maxFilesPerTrigger is set to the first put's file
+    count, so batch k holds exactly the seq-k records (asserted per
+    batch — a Spark file-ordering change raises loudly instead of
+    hash-mismatching), the drain commits exactly versions 1 and 2, and
+    batch 1's served rows are the pre-update ranking — SQL-expressible
+    from the parquet source alone.
+
+    Scale shape: per-batch serving cost is the pruned probe-set scan
+    (≤ 37/256 of the corpus) + driver-side manifest read; the merge
+    keeps its O(touched cells) contract. Nothing here is
+    corpus-quadratic."""
+    from ..streaming.ann_index import (
+        current_version,
+        index_merger,
+        sign_code,
+    )
+
+    root = os.path.join(base, "index")
+    served = os.path.join(base, "served")
+    stream = _ann_upsert_stream(spark, sf_dir)
+    n0 = _first_put_file_count(stream)
+    if n0 <= 0:
+        raise RuntimeError(
+            "upsert stream cache holds no first-put files — cannot "
+            "seq-align the drain"
+        )
+    records = stream.read_stream(
+        spark, TrimHorizon(), max_files_per_trigger=n0
+    )
+    decoded = decode_json_payload(
+        records, "vec_id long, seq long, embedding array<float>"
+    )
+    upserts = decoded.select(
+        "vec_id", "seq", sign_code("embedding").alias("code"), "embedding"
+    )
+    merge = index_merger(spark, root)
+
+    def _serve_then_merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        seqs = sorted(
+            r[0] for r in batch_df.select("seq").distinct().collect()
+        )
+        if seqs != [batch_id]:
+            raise RuntimeError(
+                f"drain batch {batch_id} is not seq-aligned (seqs={seqs})"
+                f" — the source's file ordering no longer matches put "
+                f"order; time-travel semantics would be undefined"
+            )
+        _serve_and_record(spark, root, served, batch_id)
+        merge(batch_df, batch_id)
+        batch_df.unpersist()
+
+    q = (
+        upserts.writeStream.foreachBatch(_serve_then_merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    if current_version(root) != 2:
+        raise RuntimeError(
+            f"serve-during-drain committed {current_version(root)} "
+            f"versions, expected exactly 2 (seq-aligned chop)"
+        )
+    if not os.path.isdir(served):
+        raise RuntimeError(
+            "serve-during-drain recorded nothing — batch 1 never served"
+        )
+    return root, served
+
+
+def _ensure_tt_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Marker-cached seq-aligned two-version index + its mid-drain
+    serving record. Safe to cache: both are pure functions of the cached
+    upsert history (deterministic chop, deterministic merge), and the
+    post-build invariant below runs once before the marker is written.
+    bench.py builds this in its untimed warm-up (the serving-drain cost
+    is measured by stream_ann_search_during_upsert's own fresh drain)."""
+    from ..streaming.ann_index import load_snapshot, read_store
+
+    base = _stream_cache_dir(sf_dir, "annidx_timetravel_v2")
+    marker = os.path.join(base, "_complete")
+    root = os.path.join(base, "index")
+    served = os.path.join(base, "served")
+    if os.path.exists(marker):
+        return root, served
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    _serve_then_merge_drain(spark, sf_dir, base)
+    # post-build invariant: EVERY committed version holds exactly one
+    # live row per corpus id (v1 = the full seq-0 corpus, v2 = after
+    # latest-wins updates — same cardinality, different vectors)
+    n_corpus = table(spark, sf_dir, "embeddings").count()
+    for v in (1, 2):
+        snap = load_snapshot(root, v)
+        n = read_store(spark, root, snapshot=snap).count()
+        if n != n_corpus:
+            raise RuntimeError(
+                f"time-travel index v{v} holds {n} live rows, expected "
+                f"{n_corpus}"
+            )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root, served
+
+
+def _si_state_sql(tag: str, flipped: bool) -> tuple[str, str]:
+    """One corpus state's CTE chain + ranked-select for the DuckDB twin
+    of the pruned standing-index search (no brute-force anchor):
+    ``flipped=False`` recomputes the PRE-update corpus (pure seq-0 —
+    the original parquet vectors), ``flipped=True`` the final corpus
+    (vec_id % {mod} negated). Signs factor out of IEEE arithmetic
+    exactly, so the flipped state multiplies s_q*s_v into the dot
+    product of the ORIGINAL floats instead of materializing negated
+    arrays (same discipline as the anchored topk oracle)."""
+    from ..operators.similarity import _DIM
+    from ..streaming.ann_index import COARSE_BITS
+
+    flip = f"vec_id % {_ANN_UPD_MOD} = 0" if flipped else "FALSE"
+    bits = " || ".join(
+        f"(CASE WHEN (CASE WHEN {flip} "
+        f"THEN embedding[{i + 1}] <= 0 ELSE embedding[{i + 1}] >= 0 END) "
+        f"THEN '1' ELSE '0' END)"
+        for i in range(COARSE_BITS)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN SUBSTRING(q.c8, {i + 1}, 1) <> SUBSTRING(v.c8, {i + 1}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(COARSE_BITS)
+    )
+    sim = (
+        "(q.s * v.s) * ("
+        "SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) / "
+        "(SQRT(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) * "
+        "SQRT(SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))"
+    )
+    ctes = f"""
+    coded_{tag} AS (
+        SELECT vec_id, embedding,
+               CASE WHEN {flip} THEN -1 ELSE 1 END AS s,
+               {bits} AS c8
+        FROM embeddings
+    ), q_{tag} AS (
+        SELECT vec_id AS query_id, embedding, s, c8
+        FROM coded_{tag} WHERE vec_id < {_SI_NQ}
+    ), pairs_{tag} AS (
+        SELECT q.query_id, v.vec_id,
+               (({ham}) <= {_SI_RADIUS}) AS probed,
+               ROUND({sim}, 6) AS sim
+        FROM q_{tag} q CROSS JOIN coded_{tag} v
+        CROSS JOIN UNNEST(RANGE(1, {_DIM + 1})) AS t(i)
+        GROUP BY q.query_id, v.vec_id, q.c8, v.c8, q.s, v.s
+    ), ncand_{tag} AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM pairs_{tag} WHERE probed GROUP BY query_id
+    ), ann_{tag} AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id
+               ) AS rnk
+        FROM pairs_{tag} WHERE probed AND vec_id <> query_id
+    )"""
+    select = (
+        f"SELECT a.query_id, a.rnk, a.vec_id, a.sim, n.n_cand "
+        f"FROM ann_{tag} a JOIN ncand_{tag} n ON n.query_id = a.query_id "
+        f"WHERE a.rnk <= {_SI_K}"
+    )
+    return ctes, select
+
+
+def _served_oracle() -> str:
+    """DuckDB twin of the mid-drain serving record: batch 1 (the only
+    batch with a committed snapshot to read) served the pinned-v1
+    pruned ranking — the PRE-update corpus, recomputed from the parquet
+    source alone."""
+    ctes, select = _si_state_sql("pre", flipped=False)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(1 AS BIGINT) AS batch_id, CAST(1 AS BIGINT) AS version,
+           s.* FROM ({select}) s
+    """
+
+
+def _tt_oracle() -> str:
+    """DuckDB twin of the two-version time travel: the pre-update and
+    post-update rankings, unioned with their version/state tags."""
+    pre_ctes, pre_select = _si_state_sql("pre", flipped=False)
+    post_ctes, post_select = _si_state_sql("post", flipped=True)
+    return f"""
+    WITH {pre_ctes}, {post_ctes}
+    SELECT CAST(1 AS BIGINT) AS version, 'pre_update' AS state, s.*
+    FROM ({pre_select}) s
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS version, 'post_update' AS state, s.*
+    FROM ({post_select}) s
+    """
+
+
+@query("stream_ann_search_during_upsert", oracle=_served_oracle())
+def stream_ann_search_during_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serve WHILE maintaining: a fresh seq-aligned drain of the shared
+    upsert stream whose foreachBatch runs the pinned pruned search
+    BEFORE merging each batch, recording exactly what it served
+    (batch_id, the manifest version it read, and the full ranked
+    result). Batch 0 has no committed snapshot yet and serves nothing;
+    batch 1 reads pinned v1 — the seq-0 corpus — while its own merge is
+    about to supersede it. The directory-vs-scan consistency check
+    stays armed inside the serving call; the drain raises if any batch
+    is not seq-aligned, if the commit protocol shows the wrong version,
+    or if fewer/more than 2 versions commit.
+
+    Scale shape: serving cost per batch is the probe-set-pruned scan
+    (static file-list pruning off the pinned manifest), merge cost is
+    O(touched cells); the recorded result is rows-bounded by
+    queries x k. Re-drains fresh each call — this measures the
+    serve-during-maintenance path, not a cache.
+
+    Reference parity: KinesisSource.scala:229-235 (the source keeps
+    emitting during reshard — maintenance never blocks reads), applied
+    to index state under the round-12 manifest protocol."""
+    base = _stream_cache_dir(sf_dir, "annserve_scratch")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    _, served = _serve_then_merge_drain(spark, sf_dir, base)
+    return _read_served(spark, served)
+
+
+@query("similarity_standing_index_time_travel", oracle=_tt_oracle())
+def similarity_standing_index_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time travel over the standing index: pin EACH committed manifest
+    version and rerun the pruned top-k search — v1 answers from the
+    pre-update corpus, v2 from the post-update corpus, both live reads
+    of immutable committed files (Delta/Iceberg VERSION AS OF, on the
+    round-12 manifest protocol). RAISES unless the pinned-v1 replay
+    equals byte-for-byte what the serving path recorded MID-DRAIN
+    between v1's commit and v2's (read-your-committed-snapshot
+    reproducibility: a pinned reader is immune to concurrent
+    maintenance, so replaying it after the fact reproduces the served
+    answer exactly).
+
+    Scale shape: two probe-set-pruned scans off two pinned manifests
+    (no partition discovery, no corpus shuffle); the reproducibility
+    check compares two queries x k frames. The index build is the
+    shared cached drain.
+
+    Reference parity: none (SURVEY §2.D north-star); the replay-equals-
+    served discipline mirrors the at-least-once redelivery gates on the
+    source side (KinesisSourceTest.scala's consume-twice scenarios)."""
+    from ..streaming.ann_index import load_snapshot
+
+    root, served = _ensure_tt_index(spark, sf_dir)
+    halves = []
+    for v, label in ((1, "pre_update"), (2, "post_update")):
+        snap = load_snapshot(root, v)
+        if snap is None or snap.version != v:
+            raise RuntimeError(
+                f"time-travel index is missing committed version {v}"
+            )
+        halves.append(
+            _standing_search(spark, root, snapshot=snap, anchor=False)
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(label).alias("state"),
+                *_TT_SEARCH_COLS,
+            )
+        )
+    live_v1 = halves[0].select(*_TT_SEARCH_COLS)
+    recorded = _read_served(spark, served).select(*_TT_SEARCH_COLS)
+    diverged = (
+        live_v1.exceptAll(recorded).count()
+        + recorded.exceptAll(live_v1).count()
+    )
+    if diverged:
+        raise RuntimeError(
+            f"pinned-v1 replay diverges from the mid-drain serving "
+            f"record on {diverged} rows — snapshot pinning is broken"
+        )
+    return halves[0].unionByName(halves[1])

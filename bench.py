@@ -308,6 +308,7 @@ HEADLINE = [
     # round 12
     "similarity_standing_index_recall_sweep",
     "maintenance_ann_vacuum_retention",
+    "similarity_standing_index_time_travel",
 ]
 
 # Drift sentinel (VERDICT r09 ask #1): ~12 stable queries whose code has
@@ -457,6 +458,8 @@ STREAM_SECTION = [
     "stream_ann_index_upsert",
     # round 11
     "stream_ann_index_cdc_deletes",
+    # round 12
+    "stream_ann_search_during_upsert",
 ]
 
 
@@ -528,9 +531,14 @@ def main() -> None:
     # headline entry (similarity_standing_index_topk) measures SEARCH
     from akka_streams_kinesis_spark.operators.streaming_queries import (
         _ensure_standing_index,
+        _ensure_tt_index,
     )
 
     _ensure_standing_index(spark, sf_dir)
+    # same discipline for the time-travel build: the serve-during-drain
+    # COST is measured by stream_ann_search_during_upsert's own fresh
+    # drain; the headline entry measures the two pinned searches
+    _ensure_tt_index(spark, sf_dir)
     _warm_stream = _materialize_events_stream(spark, sf_dir, copies=1, flavor="once")
     (
         spark.read.format(_pyds.FORMAT_NAME)

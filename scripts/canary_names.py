@@ -261,6 +261,8 @@ SF1_CANARY = [
     # --- round 12 ---
     "similarity_standing_index_recall_sweep",  # recall-vs-radius over the standing index
     "maintenance_ann_vacuum_retention",        # superseded-file reclaim, consumer view pinned
+    "stream_ann_search_during_upsert",         # serving inside the drain, pinned snapshot
+    "similarity_standing_index_time_travel",   # pinned-version replay equals mid-drain record
     # --- round-8 widening (verdict ask #6): every remaining registry
     # name, so the sf1 canary covers the full surface ---
     "agg_approx_distinct_users",

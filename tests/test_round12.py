@@ -477,3 +477,150 @@ class TestManifestCommitOrder:
         merge(_upserts(spark, [(2, 1, "1" * MAX_BITS)]), 1)
         assert load_snapshot(root).version == 2
         assert read_store(spark, root).count() == 2
+
+
+class TestServeDuringDrain:
+    """Round-12 second wave: the serving path runs INSIDE the drain's
+    foreachBatch against the last committed snapshot, and time travel
+    replays any committed version after the fact."""
+
+    def test_drain_commits_two_seq_aligned_versions(self, spark, sf_dir):
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            _ensure_tt_index,
+        )
+
+        root, served = _ensure_tt_index(spark, sf_dir)
+        assert current_version(root) == 2
+        rec = spark.read.parquet(served)
+        # only batch 1 served (batch 0 had no committed snapshot), and it
+        # read pinned v1
+        assert {
+            (r["batch_id"], r["version"])
+            for r in rec.select("batch_id", "version").distinct().collect()
+        } == {(1, 1)}
+
+    def test_first_put_file_count_is_a_proper_prefix(self, spark, sf_dir):
+        import os as _os
+
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            _ann_upsert_stream,
+            _first_put_file_count,
+        )
+
+        stream = _ann_upsert_stream(spark, sf_dir)
+        total = sum(
+            1
+            for _, _, files in _os.walk(stream.data_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n0 = _first_put_file_count(stream)
+        assert 0 < n0 < total
+
+    def test_anchorless_search_schema(self, spark, sf_dir):
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            _TT_SEARCH_COLS,
+            _ensure_standing_index,
+            _standing_search,
+        )
+
+        root = _ensure_standing_index(spark, sf_dir)
+        df = _standing_search(spark, root, anchor=False)
+        assert tuple(df.columns) == _TT_SEARCH_COLS
+
+    def test_time_travel_versions_differ_on_flipped_queries(
+        self, spark, sf_dir
+    ):
+        """Queries 0 and 7 are vec_id % 7 == 0, so their vectors flip
+        between v1 and v2 — the two versions' rankings must not be
+        identical, and unflipped queries' CANDIDATE CELLS (their own c8)
+        stay put."""
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            similarity_standing_index_time_travel,
+        )
+
+        rows = similarity_standing_index_time_travel(spark, sf_dir).collect()
+        assert len(rows) > 0
+        by_v = {
+            v: sorted(
+                (r["query_id"], r["rnk"], r["vec_id"])
+                for r in rows
+                if r["version"] == v
+            )
+            for v in (1, 2)
+        }
+        assert set(by_v) == {1, 2} and by_v[1] != by_v[2]
+
+    def test_time_travel_raises_on_tampered_serving_record(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        """The replay-equals-served raise is armed: corrupt one served
+        row (on a COPY of the cached build) and the query must refuse."""
+        import pyarrow.parquet as _pq
+
+        from akka_streams_kinesis_spark.operators import streaming_queries as sq
+
+        src_root, _src_served = sq._ensure_tt_index(spark, sf_dir)
+        base = str(tmp_path / "tt_tampered")
+        shutil.copytree(os.path.dirname(src_root), base)
+        served = os.path.join(base, "served")
+        p = next(
+            os.path.join(d, f)
+            for d, _, files in os.walk(served)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        t = _pq.read_table(p)
+        vec = t["vec_id"].to_pylist()
+        vec[0] = -12345
+        idx = t.schema.get_field_index("vec_id")
+        t = t.set_column(
+            idx, "vec_id", pa.array(vec, t.schema.field("vec_id").type)
+        )
+        _pq.write_table(t, p)
+        for d, _, files in os.walk(served):
+            # stale Hadoop checksum sidecars from the copy would turn the
+            # tamper into a read error instead of a divergence
+            for crc in files:
+                if crc.endswith(".crc"):
+                    os.remove(os.path.join(d, crc))
+
+        real = sq._stream_cache_dir
+
+        def _redirect(sf, flavor):
+            if flavor == "annidx_timetravel_v2":
+                return base
+            return real(sf, flavor)
+
+        monkeypatch.setattr(sq, "_stream_cache_dir", _redirect)
+        with pytest.raises(RuntimeError, match="diverges"):
+            sq.similarity_standing_index_time_travel(spark, sf_dir).collect()
+
+    def test_serving_record_is_replay_idempotent(
+        self, spark, sf_dir, tmp_path
+    ):
+        """At-least-once foreachBatch redelivery: a crash between the
+        serve and the merge commit replays the batch — the replayed
+        serve reads the SAME committed snapshot (the merge hadn't
+        committed) and must overwrite, not duplicate, its record."""
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            _ensure_tt_index,
+            _read_served,
+            _serve_and_record,
+        )
+
+        src_root, src_served = _ensure_tt_index(spark, sf_dir)
+        root = str(tmp_path / "replay_index")
+        served = str(tmp_path / "replay_served")
+        shutil.copytree(src_root, root)
+        shutil.copytree(src_served, served)
+        # pin the index back to v1 (what batch 1 saw mid-drain): replays
+        # of batch 1 re-read v1 because v2's commit never happened
+        mdir = os.path.join(root, "_manifest")
+        with open(os.path.join(mdir, "LATEST"), "w") as f:
+            f.write("1")
+        before = sorted(map(tuple, _read_served(spark, served).collect()))
+        _serve_and_record(spark, root, served, 1)  # replay once
+        _serve_and_record(spark, root, served, 1)  # and again
+        after = sorted(map(tuple, _read_served(spark, served).collect()))
+        assert after == before
