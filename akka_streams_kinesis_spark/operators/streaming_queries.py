@@ -3693,12 +3693,17 @@ def similarity_standing_index_time_travel(
             raise RuntimeError(
                 f"time-travel index is missing committed version {v}"
             )
+        # consumed twice (the reproducibility check below + the returned
+        # union): one registered persist instead of re-deriving the
+        # pruned scan + rerank per consumer
         halves.append(
-            _standing_search(spark, root, snapshot=snap, anchor=False)
-            .select(
-                F.lit(v).cast("long").alias("version"),
-                F.lit(label).alias("state"),
-                *_TT_SEARCH_COLS,
+            transient_persist(
+                _standing_search(spark, root, snapshot=snap, anchor=False)
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit(label).alias("state"),
+                    *_TT_SEARCH_COLS,
+                )
             )
         )
     live_v1 = halves[0].select(*_TT_SEARCH_COLS)

@@ -624,3 +624,22 @@ class TestServeDuringDrain:
         _serve_and_record(spark, root, served, 1)  # and again
         after = sorted(map(tuple, _read_served(spark, served).collect()))
         assert after == before
+
+    def test_time_travel_outside_retention_raises(self, spark, sf_dir, tmp_path):
+        """vacuum(retain=1) reclaims v1's manifest and superseded files:
+        a reader pinning the vacuumed version must get the explicit
+        missing-manifest raise (never a partial read), while the
+        retained latest stays fully readable."""
+        from akka_streams_kinesis_spark.operators.streaming_queries import (
+            _ensure_tt_index,
+        )
+
+        src_root, _ = _ensure_tt_index(spark, sf_dir)
+        root = str(tmp_path / "vacuumed_tt")
+        shutil.copytree(src_root, root)
+        stats = vacuum(root, retain=1)
+        assert stats["retained_versions"] == [2]
+        with pytest.raises(RuntimeError, match="manifest v1 missing"):
+            load_snapshot(root, 1)
+        assert load_snapshot(root).version == 2
+        assert read_store(spark, root).count() > 0
