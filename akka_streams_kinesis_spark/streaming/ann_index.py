@@ -119,7 +119,6 @@ source's own rule that maintenance never blocks reads
 
 from __future__ import annotations
 
-import json
 import posixpath
 
 import pyspark.sql.functions as F
@@ -158,93 +157,27 @@ DELETED_COL = "deleted"
 
 
 # ---------------------------------------------------------------------------
-# filesystem layer — everything routes through pyarrow.fs
+# filesystem / manifest layer — shared with the dedup index, see
+# snapshot_store.py (factored out in round 12 so both standing indexes
+# commit through one implementation). The underscore aliases keep this
+# module's historical API (tests and streaming_queries import them).
 # ---------------------------------------------------------------------------
 
-_FS_FACTORIES: dict[str, object] = {}
-
-
-def register_fs_factory(scheme: str, factory) -> None:
-    """Register ``factory() -> pyarrow.fs.FileSystem`` for a URI scheme —
-    the test seam that lets the object-store branch run against pyarrow's
-    in-memory mock filesystem without network. In-process only (Spark
-    python workers import the module fresh), which is fine: the mock
-    branch is exercised by driving the writer/manifest functions
-    directly."""
-    _FS_FACTORIES[scheme] = factory
-
-
-def _resolve_fs(root: str):
-    """(filesystem, path-within-filesystem, is_local) for a root that is
-    a bare path, a ``file:`` URI, or an object-store URI. ``s3a``/``s3n``
-    (Hadoop spellings) map to pyarrow's ``s3``."""
-    from pyarrow import fs as pafs
-
-    if "://" in root:
-        scheme, rest = root.split("://", 1)
-        if scheme in _FS_FACTORIES:
-            return _FS_FACTORIES[scheme](), rest, False
-        if scheme in ("s3a", "s3n"):
-            root = "s3://" + rest
-        fs, path = pafs.FileSystem.from_uri(root)
-        return fs, path, isinstance(fs, pafs.LocalFileSystem)
-    if root.startswith("file:"):
-        return pafs.LocalFileSystem(), root[len("file:"):], True
-    return pafs.LocalFileSystem(), root, True
-
-
-def _fs_write_atomic(fs, local: bool, path: str, data: bytes) -> None:
-    """Atomically publish ``data`` at ``path``: same-directory temp +
-    rename on a local filesystem (rename replaces), direct PUT elsewhere
-    (object-store writes are atomic on close and renames are copies)."""
-    import uuid
-
-    parent = posixpath.dirname(path)
-    fs.create_dir(parent, recursive=True)
-    if local:
-        tmp = posixpath.join(parent, ".tmp-" + uuid.uuid4().hex)
-        with fs.open_output_stream(tmp) as out:
-            out.write(data)
-        fs.move(tmp, path)
-    else:
-        with fs.open_output_stream(path) as out:
-            out.write(data)
-
-
-def _fs_read(fs, path: str) -> bytes | None:
-    from pyarrow import fs as pafs
-
-    if fs.get_file_info(path).type == pafs.FileType.NotFound:
-        return None
-    with fs.open_input_stream(path) as f:
-        return f.read()
-
-
-# ---------------------------------------------------------------------------
-# manifest — one tiny JSON per committed version + a LATEST pointer
-# ---------------------------------------------------------------------------
-
-
-def current_version(root: str) -> int | None:
-    """Newest committed manifest version, or None for a virgin root."""
-    fs, base, _ = _resolve_fs(root)
-    raw = _fs_read(fs, posixpath.join(base, _MANIFEST_DIR, "LATEST"))
-    return None if raw is None else int(raw.decode())
-
-
-def _commit_manifest(root: str, manifest: dict) -> None:
-    """Publish ``manifest`` as version ``manifest['version']`` — the
-    batch's single atomic commit point: the version file lands first,
-    the LATEST pointer flip is what makes it visible. A crash between
-    the two leaves LATEST on the old version; the replay rewrites the
-    orphaned version file."""
-    fs, base, local = _resolve_fs(root)
-    v = manifest["version"]
-    data = json.dumps(manifest, sort_keys=True).encode()
-    mdir = posixpath.join(base, _MANIFEST_DIR)
-    _fs_write_atomic(fs, local, posixpath.join(mdir, f"v{v:08d}.json"), data)
-    _fs_write_atomic(fs, local, posixpath.join(mdir, "LATEST"), str(v).encode())
-
+from .snapshot_store import (  # noqa: E402
+    _FS_FACTORIES,
+    apply_updates as _apply_updates,
+    assert_virgin_root as _assert_virgin_root_generic,
+    commit_manifest as _commit_manifest,
+    current_version,
+    fs_read as _fs_read,
+    fs_write_atomic as _fs_write_atomic,
+    load_manifest as _load_manifest,
+    manifest_read as _manifest_read,
+    register_fs_factory,
+    resolve_fs as _resolve_fs,
+    versioned_write as _versioned_write,
+    write_partition_files as _write_partition_files,
+)
 
 class Snapshot:
     """A committed, immutable view of the index: the manifest of one
@@ -282,21 +215,10 @@ class Snapshot:
     def _read(
         self, spark: SparkSession, tbl: str, schema: StructType, keep=None
     ) -> DataFrame:
-        """Explicit-file-list read with an EXPLICIT schema: partition
-        columns come from directory names, data columns from the files,
-        and a file written before a payload column existed yields nulls
-        for it — deterministic under schema evolution, no mergeSchema
-        footer sweep, no partition-discovery job (the manifest IS the
-        file index)."""
-        paths = self._paths(tbl, keep)
-        reader = spark.read.schema(schema).option(
-            "basePath", posixpath.join(self.root, tbl)
-        )
-        if not paths:
-            # pruned to nothing (or an empty table): an empty frame of
-            # the right schema, no filesystem touch
-            return spark.createDataFrame([], schema)
-        return reader.parquet(*paths)
+        """Explicit-file-list read with an EXPLICIT schema — see
+        snapshot_store.manifest_read (deterministic under schema
+        evolution, no partition-discovery job)."""
+        return _manifest_read(spark, self.root, self.manifest, tbl, schema, keep)
 
     def _store_schema(self) -> StructType:
         schema = StructType()
@@ -358,19 +280,8 @@ def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
     """The newest committed Snapshot (or a pinned older ``version``),
     None for a virgin root. Two tiny reads (LATEST + one JSON) — cheap
     enough to call per query."""
-    fs, base, _ = _resolve_fs(root)
-    if version is None:
-        version = current_version(root)
-        if version is None:
-            return None
-    raw = _fs_read(
-        fs, posixpath.join(base, _MANIFEST_DIR, f"v{version:08d}.json")
-    )
-    if raw is None:
-        raise RuntimeError(
-            f"ann index manifest v{version} missing under {root!r}"
-        )
-    return Snapshot(root, json.loads(raw.decode()))
+    manifest = _load_manifest(root, version)
+    return None if manifest is None else Snapshot(root, manifest)
 
 
 def _require_snapshot(root: str) -> Snapshot:
@@ -391,22 +302,7 @@ def _assert_virgin_root(root: str) -> None:
     layout invariant on first contact instead of double-counting).
     Orphaned ``part-v*``/``.tmp-*`` files from a crashed FIRST batch are
     ours and allowed — the replay overwrites them."""
-    import re as _re
-
-    from pyarrow import fs as pafs
-
-    fs, base, _ = _resolve_fs(root)
-    ours = _re.compile(r"(part-v\d{8}\.parquet|\.tmp-[0-9a-f]+)$")
-    for tbl in ("store", "idmap", "directory"):
-        sel = pafs.FileSelector(
-            posixpath.join(base, tbl), recursive=True, allow_not_found=True
-        )
-        for info in fs.get_file_info(sel):
-            if info.type == pafs.FileType.File and not ours.search(info.path):
-                raise RuntimeError(
-                    f"{root!r} contains unversioned file {info.path!r} but "
-                    f"no manifest — refusing to shadow foreign data"
-                )
+    _assert_virgin_root_generic(root, ("store", "idmap", "directory"))
 
 
 # ---------------------------------------------------------------------------
@@ -505,115 +401,6 @@ def _latest(df: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-
-
-# ---------------------------------------------------------------------------
-# versioned per-partition writer (task-side, pyarrow.fs)
-# ---------------------------------------------------------------------------
-
-
-def _write_partition_files(
-    batches, root: str, fname: str, drop_cols: tuple[str, ...]
-):
-    """Task body of :func:`_versioned_write` (module-level so the
-    object-store branch is unit-testable in-process against a mock
-    filesystem): stream Arrow batches into one ``fname`` parquet file
-    per distinct ``__pkey`` (the relative partition directory), then
-    publish — temp+rename on local filesystems, direct write elsewhere.
-    Rows flagged ``_tomb`` register their partition in the report
-    WITHOUT contributing data (and without creating a file if nothing
-    live lands there): that is how a drained partition gets REMOVED
-    from the manifest. Yields one (part, n_rows) report batch."""
-    import uuid as _uuid
-
-    import pyarrow as _pa
-    import pyarrow.compute as _pc
-    import pyarrow.parquet as _pq
-
-    fs, base, local = _resolve_fs(root)
-    # key -> [writer|None, tmp, final, n_rows, part_dir, schema]
-    state: dict[str, list] = {}
-    for batch in batches:
-        tbl = _pa.Table.from_batches([batch])
-        for key in _pc.unique(tbl[_PKEY]).to_pylist():
-            sub = tbl.filter(_pc.equal(tbl[_PKEY], key))
-            live = sub.filter(_pc.equal(sub[_TOMB], False)).drop_columns(
-                list(drop_cols)
-            )
-            if key not in state:
-                part_dir = f"{base}/{key}"
-                final = f"{part_dir}/{fname}"
-                tmp = (
-                    f"{part_dir}/.tmp-{_uuid.uuid4().hex}" if local else final
-                )
-                state[key] = [None, tmp, final, 0, part_dir, live.schema]
-            if live.num_rows:
-                st = state[key]
-                if st[0] is None:
-                    fs.create_dir(st[4], recursive=True)
-                    st[0] = _pq.ParquetWriter(st[1], st[5], filesystem=fs)
-                st[0].write_table(live)
-                st[3] += live.num_rows
-    keys, rows = [], []
-    for key, (w, tmp, final, n, _pd, _sc) in sorted(state.items()):
-        if w is not None:
-            w.close()
-            if tmp != final:
-                fs.move(tmp, final)  # same-directory atomic replace
-        keys.append(key)
-        rows.append(n)
-    if keys:
-        yield _pa.RecordBatch.from_arrays(
-            [_pa.array(keys, _pa.string()), _pa.array(rows, _pa.int64())],
-            names=["part", "n_rows"],
-        )
-
-
-def _versioned_write(
-    df: DataFrame, table_root: str, part_cols: list[str], version: int
-) -> dict[str, int]:
-    """Write ``df`` (carrying a ``_tomb`` registration flag) as ONE
-    ``part-v{version}.parquet`` file per partition value of
-    ``part_cols`` under ``table_root``, via executor-side pyarrow — and
-    return {relative partition dir: live row count} for the manifest
-    update (bounded: one row per touched partition).
-
-    Why not ``partitionOverwriteMode=dynamic``: its job commit renames
-    one staged directory per touched partition, sequentially, on the
-    driver — ~15-20 ms each on a local FS (a round-trip on an object
-    store); an upsert batch touching all 256 coarse cells paid ~4-5 s of
-    pure commit per write in round 10. Here the repartition-by-key
-    shuffle gives every partition value to exactly one task, tasks write
-    and publish in parallel, and the MANIFEST (not the filesystem
-    listing) is the committed file index — so a crashed task's partial
-    file is invisible and a retry simply rewrites it.
-    """
-    fname = f"part-v{version:08d}.parquet"
-    pkey = F.concat_ws(
-        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in part_cols]
-    )
-    drop = tuple([_PKEY, _TOMB, *part_cols])
-    prepared = df.withColumn(_PKEY, pkey)
-    reports = (
-        prepared.repartition(F.col(_PKEY))
-        .mapInArrow(
-            lambda it: _write_partition_files(it, table_root, fname, drop),
-            "part string, n_rows long",
-        )
-        .collect()
-    )
-    return {r["part"]: r["n_rows"] for r in reports}
-
-
-def _apply_updates(
-    manifest: dict, tbl: str, report: dict[str, int], fname: str
-) -> None:
-    entries = manifest["tables"][tbl]
-    for key, n in report.items():
-        if n > 0:
-            entries[key] = fname
-        else:
-            entries.pop(key, None)
 
 
 # ---------------------------------------------------------------------------
