@@ -127,6 +127,20 @@ def _purchase_out_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame(spark, "purchase_out_deg", sf_dir, build)
 
 
+def _purchase_contrib_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges with the src's out-degree attached — the rank-independent
+    part of every PageRank round. shared.py-cached so the edges⋈degree
+    broadcast join runs ONCE per (session, sf_dir) instead of once per
+    iteration per variant (2 variants × 3 rounds = 6 rebuilds before)."""
+
+    def build() -> DataFrame:
+        return _purchase_dir_edges(spark, sf_dir).join(
+            F.broadcast(_purchase_out_deg(spark, sf_dir)), "src"
+        )
+
+    return shared_frame(spark, "purchase_contrib_edges", sf_dir, build)
+
+
 @query(
     "graph_pagerank_purchases",
     oracle=f"""
@@ -204,18 +218,24 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # shared, lineage-truncated edge/degree frames (round-9: the three
     # iterative consumers — pagerank, PPR, LPA — build these ONCE)
-    dir_edges = _purchase_dir_edges(spark, sf_dir)
     nodes = _purchase_nodes(spark, sf_dir)
     n_nodes = nodes.count()  # scalar graph metadata (bounded collect)
-    deg = _purchase_out_deg(spark, sf_dir)
     base_u = ((_PR_D_DEN - _PR_D_NUM) * _PR_SCALE) // (_PR_D_DEN * n_nodes)
 
     ranks = nodes.withColumn("rank_u", F.lit(_PR_SCALE // n_nodes))
-    contrib_edges = dir_edges.join(deg, "src")
+    contrib_edges = _purchase_contrib_edges(spark, sf_dir)
     for _ in range(_PR_ITERS):
+        # Rank state is |V| rows — dimension-scale for this bipartite
+        # graph (customers + suppliers), vs the fact-scale edge list.
+        # Broadcasting it replaces a per-iteration SortMergeJoin pair
+        # (Exchange+Sort on BOTH sides, 3 exchanges/round measured in
+        # plans/r12/graph_pagerank_purchases_before.txt) with a
+        # BroadcastHashJoin: the edge list is never shuffled, and the
+        # only remaining exchange per round is the unavoidable |E|→|V|
+        # contribution aggregate (guide §2.4/§3.1).
         contrib = (
             contrib_edges.join(
-                ranks.withColumnRenamed("node", "src"), "src"
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
             )
             .select(
                 F.col("dst").alias("node"),
@@ -224,7 +244,7 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c_u").alias("in_u"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (
                 F.lit(base_u)
@@ -833,31 +853,38 @@ def graph_core_peel_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|edges alive|) and the edge set only shrinks. Peel depth is a
     documented bound, not a fixpoint — at 100 TB you run rounds until the
     erosion audit plateaus."""
-    e = _purchase_edges(spark, sf_dir).localCheckpoint()
+    # the shared edge frame is already persisted (constant-depth lineage
+    # via its own build); an extra localCheckpoint here would re-copy all
+    # |E| blocks for nothing — rounds checkpoint their own outputs
+    e = _purchase_edges(spark, sf_dir)
     out = None
     for r in range(1, _PEEL_ROUNDS + 1):
-        cdeg = e.groupBy("custkey").agg(F.count("*").alias("d"))
-        sdeg = e.groupBy("suppkey").agg(F.count("*").alias("d"))
-        kc = _degree_threshold(cdeg).localCheckpoint()
-        ks = _degree_threshold(sdeg).localCheckpoint()
-        alive_c = (
-            cdeg.crossJoin(F.broadcast(kc))
-            .filter(F.col("d") >= F.col("k"))
-            .select("custkey")
-            .localCheckpoint()
-        )
-        alive_s = (
-            sdeg.crossJoin(F.broadcast(ks))
-            .filter(F.col("d") >= F.col("k"))
-            .select("suppkey")
-            .localCheckpoint()
-        )
+        # cdeg/sdeg each feed TWO consumers (the threshold subquery and
+        # the alive filter) — persist them so each degree count runs once
+        # per round, not twice; every intermediate below stays LAZY and
+        # materializes inside the single per-round localCheckpoint job
+        # (was: 5 eager localCheckpoint jobs per round — kc, ks, alive_c,
+        # alive_s, e — i.e. 15 scheduled jobs for a 3-round peel)
+        cdeg = transient_persist(e.groupBy("custkey").agg(F.count("*").alias("d")))
+        sdeg = transient_persist(e.groupBy("suppkey").agg(F.count("*").alias("d")))
+        # Exact integer percentile thresholds as 1-row metadata collects
+        # (the n_nodes.count() pattern): the threshold table is |distinct
+        # degrees| rows at any scale, so this is bounded. Inlining the
+        # scalar removes the per-round single-partition window Exchange
+        # pair + crossJoin-broadcast machinery from the checkpoint job
+        # (measured: rounds 5.2 s → 4.0 s warm at sf0.1).
+        kc_v = int(_degree_threshold(cdeg).collect()[0]["k"])
+        ks_v = int(_degree_threshold(sdeg).collect()[0]["k"])
+        alive_c = cdeg.filter(F.col("d") >= kc_v).select("custkey")
+        alive_s = sdeg.filter(F.col("d") >= ks_v).select("suppkey")
         # alive counts come from the degree filter itself (a passing node
         # can still lose all its edges this round — it stays "alive" until
-        # the NEXT round's degree recount drops it, same as the oracle)
+        # the NEXT round's degree recount drops it, same as the oracle).
+        # alive sets are |V|-bounded (dimension-scale) — broadcast the
+        # semi-joins so the surviving edge list is never shuffled.
         e = (
-            e.join(alive_c, "custkey", "left_semi")
-            .join(alive_s, "suppkey", "left_semi")
+            e.join(F.broadcast(alive_c), "custkey", "left_semi")
+            .join(F.broadcast(alive_s), "suppkey", "left_semi")
             .select("custkey", "suppkey")
             .localCheckpoint()
         )
@@ -869,12 +896,10 @@ def graph_core_peel_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(
                 alive_s.agg(F.count("*").cast("long").alias("n_supp_alive"))
             )
-            .crossJoin(F.broadcast(kc.select(F.col("k").cast("long").alias("k_cust"))))
-            .crossJoin(F.broadcast(ks.select(F.col("k").cast("long").alias("k_supp"))))
             .select(
                 F.lit(r).alias("peel_round"),
-                "k_cust",
-                "k_supp",
+                F.lit(kc_v).cast("long").alias("k_cust"),
+                F.lit(ks_v).cast("long").alias("k_supp"),
                 "n_cust_alive",
                 "n_supp_alive",
                 "n_edges_alive",
@@ -960,8 +985,13 @@ def graph_label_propagation_communities(
         "node", F.col("node").alias("label")
     )
     for _ in range(_LPA_ROUNDS):
+        # label state is |V| rows (dimension-scale) — broadcast it so the
+        # checkpointed edge list is never shuffled per round; the only
+        # per-round exchange left is the (dst, label) count aggregate
         counts = (
-            dir_edges.join(labels.withColumnRenamed("node", "src"), "src")
+            dir_edges.join(
+                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+            )
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -1068,7 +1098,6 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (connector has no graph surface); SURVEY §2.D
     north-star extension alongside graph_pagerank_purchases."""
-    dir_edges = _purchase_dir_edges(spark, sf_dir)  # shared, checkpointed
     nodes = _purchase_nodes(spark, sf_dir).select(
         "node",
         (
@@ -1087,7 +1116,6 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_PPR_SEED_MOD} == 0 selected no customers in {sf_dir}; "
             "personalization needs a non-empty seed set"
         )
-    deg = _purchase_out_deg(spark, sf_dir)  # shared
     seed_base = ((_PR_D_DEN - _PR_D_NUM) * _PR_SCALE) // (_PR_D_DEN * n_seeds)
 
     ranks = nodes.select(
@@ -1096,10 +1124,15 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("rank_u"),
     )
-    contrib_edges = dir_edges.join(deg, "src")
+    # same broadcast shape as graph_pagerank_purchases: rank state is
+    # |V| (dimension-scale) — broadcasting it removes the per-round
+    # SortMergeJoin exchanges; only the |E|→|V| aggregate shuffles
+    contrib_edges = _purchase_contrib_edges(spark, sf_dir)
     for _ in range(_PR_ITERS):
         contrib = (
-            contrib_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            contrib_edges.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_u DIV out_deg").alias("c_u"),
@@ -1107,7 +1140,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c_u").alias("in_u"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (
                 F.when(F.col("is_seed"), F.lit(seed_base)).otherwise(F.lit(0))
