@@ -25,8 +25,7 @@ Both DuckDB-oracle-gated.
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -173,12 +172,14 @@ _BLOOM_K = 3           # hash functions
 from .curation import _SPLIT_CASE  # noqa: E402
 
 
-def _bloom_positions(s: str) -> list[int]:
-    """The K bit positions of shingle ``s`` — md5(s + '#' + i) mod M,
-    identical to the Spark-side position expression in the builder."""
+def _bloom_position_cols(s: F.Column) -> list[F.Column]:
+    """The K bit-position columns of shingle column ``s`` —
+    pmod(xxhash64(s, i), M), the SAME JVM expression on build and probe
+    sides (r12: replaced the md5-hex build expression + per-row Python
+    hashlib probe; any deterministic hash family yields an equivalent
+    bloom because the exact confirm join removes false positives)."""
     return [
-        int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:8], 16) % _BLOOM_M
-        for i in range(_BLOOM_K)
+        F.pmod(F.xxhash64(s, F.lit(i)), F.lit(_BLOOM_M)) for i in range(_BLOOM_K)
     ]
 
 
@@ -246,24 +247,9 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Bloom build: positions computed distributed; only distinct set bits
     # (≤ M = 16 KiB of ints) are collected.
-    seeds = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
     positions = (
         test_sh.select(
-            F.explode(seeds).alias("i"), F.col("s")
-        )
-        .select(
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("#", "s", F.col("i").cast("string"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _BLOOM_M
-            ).alias("pos")
+            F.explode(F.array(*_bloom_position_cols(F.col("s")))).alias("pos")
         )
         .distinct()
     )
@@ -273,20 +259,27 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits[p >> 3] |= 1 << (p & 7)
     bloom_bc = spark.sparkContext.broadcast(bytes(bits))
 
+    # probe: positions as JVM columns (IDENTICAL expression to the build
+    # side), bit test as one vectorized numpy gather per batch — no
+    # per-row Python and no hashing in Python (was hashlib.md5 per
+    # shingle, the dominant cost; guide §4.2). Nondeterministic pin per
+    # guide §4.4 so the optimizer cannot duplicate the Python eval
+    # around the pushed filter.
     @F.pandas_udf("boolean")
-    def bloom_maybe(s: pd.Series) -> pd.Series:
-        b = bloom_bc.value
+    def bloom_maybe(p0: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bloom_bc.value, dtype=np.uint8)
+        ok = np.ones(len(p0), dtype=bool)
+        for pc in (p0, p1, p2):
+            p = pc.to_numpy()
+            ok &= (arr[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return pd.Series(ok)
 
-        def hit(v: str) -> bool:
-            for p in _bloom_positions(v):
-                if not (b[p >> 3] >> (p & 7)) & 1:
-                    return False
-            return True
-
-        return s.map(hit)
+    bloom_maybe = bloom_maybe.asNondeterministic()
 
     train_sh = sh.join(split.filter(F.col("split") == "train"), "doc_id")
-    candidates = train_sh.filter(bloom_maybe(F.col("s")))
+    candidates = train_sh.filter(
+        bloom_maybe(*_bloom_position_cols(F.col("s")))
+    )
     return (
         candidates.join(F.broadcast(test_sh), "s")
         .groupBy("doc_id")

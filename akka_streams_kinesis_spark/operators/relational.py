@@ -793,14 +793,19 @@ def join_bloom_prefilter_reduction(spark: SparkSession, sf_dir: str) -> DataFram
     that cannot join are dropped BEFORE the join by a 16 KiB Bloom filter
     built from the filtered orders' keys.
 
-    Mechanics: the K bit positions per key are computed JVM-side (md5 →
-    conv — the same expression on build and probe sides); the build side
-    collects only the DISTINCT set positions (bounded by M, not by key
-    count); the probe is an Arrow-batched numpy bit-test over
-    pre-computed position columns — no per-row Python, no md5 in Python.
-    Bloom false positives are removed by the exact join that follows, so
-    the result provably equals the plain join (which is what the oracle
-    runs).
+    Mechanics: the K bit positions per key are computed JVM-side
+    (xxhash64(key, seed) — the same expression on build and probe sides;
+    r12: was md5→hex→conv, 6× slower per row for identical semantics
+    since ANY deterministic hash family works — false positives are
+    removed by the exact join that follows, so the result provably
+    equals the plain join, which is what the oracle runs). The build
+    side collects only the DISTINCT set positions (bounded by M, not by
+    key count); the probe is an Arrow-batched numpy bit-test over
+    pre-computed position columns — no per-row Python, no hashing in
+    Python. The probe UDF is marked nondeterministic so the optimizer
+    neither duplicates it nor infers it onto the orders side of the
+    confirm join (guide §4.4 — the r12 before-plan shows a second
+    ArrowEvalPython on orders from exactly that inference).
 
     At 100 TB: the orders side of a quarter exceeds any broadcast
     threshold, so the plain plan shuffles ALL of lineitem; the bloom is
@@ -816,19 +821,8 @@ def join_bloom_prefilter_reduction(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("o_orderkey", "o_orderpriority")
 
     def _positions(key: F.Column) -> list[F.Column]:
-        s = key.cast("string")
         return [
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("#", s, F.lit(str(i)))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _JBF_M
-            )
-            for i in range(_JBF_K)
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_JBF_M)) for i in range(_JBF_K)
         ]
 
     set_bits = (
@@ -854,6 +848,13 @@ def join_bloom_prefilter_reduction(spark: SparkSession, sf_dir: str) -> DataFram
             p = pc.to_numpy()
             ok &= (arr[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
         return pd.Series(ok)
+
+    # nondeterministic pin (guide §4.4): without it, constraint inference
+    # copies this predicate across the equi-join onto the orders side — a
+    # second ArrowEvalPython evaluating the bloom over rows the bloom was
+    # BUILT from (see plans/r12/join_bloom_prefilter_reduction_before.txt
+    # nodes 3 and 8)
+    _might_contain = _might_contain.asNondeterministic()
 
     probed = li.select(
         "l_orderkey",
