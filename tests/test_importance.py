@@ -7,36 +7,34 @@ import pyspark.sql.functions as F
 from akka_streams_kinesis_spark.operators import importance as imp
 
 
-def test_bloom_positions_match_spark_expression(spark):
-    """The Python-side (executor UDF) bit positions must equal the
-    Spark-side expression used to BUILD the bitmap — else membership
-    tests probe the wrong bits."""
+def test_bloom_positions_build_probe_roundtrip(spark):
+    """Build and probe share ONE position expression
+    (_bloom_position_cols), so a bitmap built from a shingle set must
+    pass every member through the probe-side bit test (no false
+    negatives — the property the old md5 build/probe parity test pinned
+    when the two sides were separate implementations). Positions must
+    also be valid bit indexes (0 <= pos < M) — pmod, never a signed %."""
     samples = ["a b c d", "join table scan merge", "x" * 50, "", "é ü"]
     df = spark.createDataFrame([(s,) for s in samples], ["s"])
-    rows = (
-        df.select(
-            "s",
-            F.array(
-                *[
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws("#", "s", F.lit(str(i)))
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % imp._BLOOM_M
-                    for i in range(imp._BLOOM_K)
-                ]
-            ).alias("pos"),
-        )
+    rows = df.select(
+        "s", F.array(*imp._bloom_position_cols(F.col("s"))).alias("pos")
     ).collect()
+    bits = bytearray(imp._BLOOM_M // 8)
     for r in rows:
-        assert list(r.pos) == imp._bloom_positions(r.s), r.s
+        assert len(r.pos) == imp._BLOOM_K
+        for p in r.pos:
+            assert 0 <= p < imp._BLOOM_M, (r.s, p)
+            bits[p >> 3] |= 1 << (p & 7)
+    # probe side: identical expression, so every member's bits are set
+    for r in rows:
+        assert all((bits[p >> 3] >> (p & 7)) & 1 for p in r.pos), r.s
+    # determinism: the expression yields the same positions on re-eval
+    rows2 = df.select(
+        "s", F.array(*imp._bloom_position_cols(F.col("s"))).alias("pos")
+    ).collect()
+    assert {r.s: list(r.pos) for r in rows} == {
+        r.s: list(r.pos) for r in rows2
+    }
 
 
 def test_bloom_prefilter_prunes_but_never_drops_leaks(spark, sf_dir):
