@@ -324,8 +324,16 @@ def collect_fit_sample(e: DataFrame, n: int = _FIT_SAMPLE) -> np.ndarray:
 
 def _lloyd(x: np.ndarray, init: np.ndarray, iters: int, tol: float = 1e-7) -> np.ndarray:
     """Plain local Lloyd k-means with empty-cluster keep and early stop on
-    max centroid movement. x: n×d sample, init: K×d. Ties → lowest code."""
+    max centroid movement. x: n×d sample, init: K×d. Ties → lowest code.
+
+    r12: the update step is vectorized (per-dimension bincount sums /
+    counts instead of a Python loop with a boolean-mask mean per
+    cluster) — the K-loop dominated fit_pq's wall clock (16 subspaces ×
+    16 iters × 64 clusters of masked means ≈ 2-3 s per PQ fit at any
+    scale, all driver-side Python). Assignments, ties, empty-cluster
+    keep and the movement-based early stop are unchanged."""
     cents = init.copy()
+    k = cents.shape[0]
     for _ in range(iters):
         d2 = (
             (x ** 2).sum(axis=1, keepdims=True)
@@ -333,13 +341,15 @@ def _lloyd(x: np.ndarray, init: np.ndarray, iters: int, tol: float = 1e-7) -> np
             + (cents ** 2).sum(axis=1)
         )
         a = np.argmin(d2, axis=1)
-        moved = 0.0
-        for j in range(cents.shape[0]):
-            m = a == j
-            if m.any():
-                nc = x[m].mean(axis=0)
-                moved = max(moved, float(np.abs(nc - cents[j]).max()))
-                cents[j] = nc
+        counts = np.bincount(a, minlength=k)
+        sums = np.stack(
+            [np.bincount(a, weights=x[:, j], minlength=k) for j in range(x.shape[1])],
+            axis=1,
+        )
+        nonempty = counts > 0
+        nc = sums[nonempty] / counts[nonempty, None]
+        moved = float(np.abs(nc - cents[nonempty]).max()) if nonempty.any() else 0.0
+        cents[nonempty] = nc
         if moved < tol:
             break
     return cents
@@ -618,28 +628,90 @@ _ANN_GATE_ORACLE = f"""
 """
 
 
+def _exact_gt_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-_PQ_TOPK ground truth for the PQ gate query set,
+    shared.py-cached: BOTH recall gates (similarity_ann_pq,
+    similarity_ann_ivf_pq) verify against the same (query set, corpus)
+    truth, so it is built once per (session, sf_dir).
+
+    r12 shape change (guide §4.2): one Arrow pass over the corpus — a
+    numpy GEMM per batch against the broadcast Q×d query matrix plus a
+    deterministic per-batch partial top-k (lexsort by (dist, vec_id),
+    the same total order as the final window) — replaing the
+    crossJoin(queries) + per-pair JVM zip_with/aggregate fold, which
+    evaluated an interpreted 64-element lambda fold per (row, query).
+    The global window then sees O(#batches × Q × topk) rows, never
+    N × Q."""
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        qrows = e.filter(F.col("vec_id") < _PQ_QUERIES).orderBy("vec_id").collect()
+        qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+        qvecs = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
+        )
+
+        def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                vec_ids = b["vec_id"].to_numpy()
+                x = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                # exact squared L2 via expansion; clamp fp noise at 0
+                d2 = np.maximum(
+                    (x ** 2).sum(axis=1)[None, :]
+                    - 2.0 * qvecs @ x.T
+                    + (qvecs ** 2).sum(axis=1)[:, None],
+                    0.0,
+                )
+                out_q, out_v, out_d = [], [], []
+                for qi in range(len(qids)):
+                    row = d2[qi]
+                    keep = np.flatnonzero(vec_ids != qids[qi])
+                    if len(keep) > _PQ_TOPK:
+                        order = np.lexsort((vec_ids[keep], row[keep]))
+                        keep = keep[order[:_PQ_TOPK]]
+                    out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
+                    out_v.append(vec_ids[keep])
+                    out_d.append(np.sqrt(row[keep]))
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+        partials = fanout(e).mapInPandas(
+            _scan, schema="query_id long, vec_id long, dist double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("vec_id")
+        )
+        return (
+            partials.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _PQ_TOPK)
+            .select("query_id", "vec_id")
+        )
+
+    from ..shared import shared_frame
+
+    return shared_frame(spark, "ann_gate_exact_gt", sf_dir, build)
+
+
 def _ann_recall_gate(
     spark: SparkSession, sf_dir: str, ann: DataFrame, recall_bar: float
 ) -> DataFrame:
     """Invariant summary for an ANN top-k result: exact query-set count
     (hash-matched), completeness (every query returned exactly topk rows),
     and mean recall@k against the exact L2 ground truth computed
-    distributed-side (broadcast query set × corpus, JVM fold, top-k window
-    — the same shape as similarity_cosine_topk's baseline; at 100 TB a
+    distributed-side (one Arrow GEMM pass + per-batch partial top-k,
+    shared across both PQ gates — see _exact_gt_shared; at 100 TB a
     deployment runs this gate on a query/corpus sample, which changes the
     constants, not the plan). The oracle asserts literal TRUE for both
     booleans, so a recall regression below the bar hash-fails the gate."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrows = e.filter(F.col("vec_id") < _PQ_QUERIES).orderBy("vec_id").collect()
-    q_df = spark.createDataFrame(
-        [(int(r["vec_id"]),) for r in qrows], "query_id: long"
-    )
-    all_pairs = (
-        e.select("vec_id")
-        .crossJoin(F.broadcast(q_df))
-        .filter(F.col("vec_id") != F.col("query_id"))
-    )
-    gt = _exact_rerank(spark, e, all_pairs, qrows, _PQ_TOPK)
+    gt = _exact_gt_shared(spark, sf_dir)
     ann = transient_persist(ann)  # feeds the completeness agg AND the recall join
     per_q = ann.groupBy("query_id").agg(F.count("*").alias("n_res"))
     hits = (

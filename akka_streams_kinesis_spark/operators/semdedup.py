@@ -95,15 +95,20 @@ def fit_kmeans(
     x = _unit(collect_fit_sample(e))
     stride = max(len(x) // k, 1)
     cents = x[(np.arange(k) * stride) % len(x)].copy()
+    # r12: vectorized update (per-dimension bincount sums / counts) — the
+    # per-cluster Python mask loop was driver-side wall clock on every
+    # fit; assignments, ties, empty-cluster keep and early stop unchanged
     for _ in range(iters):
         a = np.argmax(x @ cents.T, axis=1)   # ties -> lowest cluster id
-        moved = 0.0
-        for j in range(k):
-            m = a == j
-            if m.any():
-                nc = _unit(x[m].mean(axis=0)[None, :])[0]
-                moved = max(moved, float(np.abs(nc - cents[j]).max()))
-                cents[j] = nc
+        counts = np.bincount(a, minlength=k)
+        sums = np.stack(
+            [np.bincount(a, weights=x[:, j], minlength=k) for j in range(x.shape[1])],
+            axis=1,
+        )
+        nonempty = counts > 0
+        nc = _unit(sums[nonempty] / counts[nonempty, None])
+        moved = float(np.abs(nc - cents[nonempty]).max()) if nonempty.any() else 0.0
+        cents[nonempty] = nc
         if moved < 1e-7:
             break
     return cents
