@@ -75,6 +75,98 @@ def _cap_shingle_df(shingles: DataFrame) -> DataFrame:
     return shingles.join(rare, "h")
 
 
+# ---------------------------------------------------------------------------
+# Shared 3-gram co-occurrence chain (r12): dedup_ngram_jaccard,
+# dedup_shingle_containment and dedup_pair_similarity_histogram each built
+# the IDENTICAL (doc_id, digest(lang, source, shingle)) set, per-doc sizes,
+# df-capped join input, and co-occurrence self-join — the self-join being
+# the most expensive stage of each. The whole chain is shared.py-cached:
+# one build serves all three (guide §2.4 — remove repeated shuffles
+# outright). The shingle key is a PAIR of xxhash64 values (seeds 0/1,
+# 128 bits total — the same collision budget as the md5 hex it replaces,
+# at ~3× less hash cost and half the shuffle/cache width; the digest is a
+# pure equality key, never ordered or emitted, so any injective-in-
+# practice hash family yields identical results, and the oracle's md5
+# keys agree because both only test equality of (lang, source, shingle)).
+# ---------------------------------------------------------------------------
+
+
+def _ngram_shingle_key(*cols) -> list:
+    return [
+        F.xxhash64(F.concat_ws("\x01", *cols)).alias("h1"),
+        F.xxhash64(F.concat_ws("\x01", *cols), F.lit(1)).alias("h2"),
+    ]
+
+
+def ngram_shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h1, h2): distinct (lang, source)-blocked 3-gram digests."""
+
+    def build() -> DataFrame:
+        d = fanout(table(spark, sf_dir, "documents"))
+        toks = d.select(
+            "doc_id", "lang", "source",
+            F.split(normalize_text(F.col("text")), " ").alias("toks"),
+        )
+        return (
+            toks.select(
+                "doc_id", "lang", "source",
+                F.explode(word_shingles("toks", 3)).alias("sh"),
+            )
+            .select(
+                "doc_id",
+                *_ngram_shingle_key(F.col("lang"), F.col("source"), F.col("sh")),
+            )
+            .distinct()
+        )
+
+    return shared_frame(spark, "ngram_shingles", sf_dir, build)
+
+
+def ngram_sizes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh): per-doc distinct shingle counts."""
+
+    def build() -> DataFrame:
+        return (
+            ngram_shingles_shared(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+        )
+
+    return shared_frame(spark, "ngram_sizes", sf_dir, build)
+
+
+def ngram_common_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a < doc_b, n_common): co-occurring-shingle pair counts over
+    the df-capped join input — the sparse similarity self-join all three
+    consumers previously ran separately. Containment derives its ordered
+    (a ≠ b) pairs by unioning the swapped frame (n_common is symmetric)."""
+
+    def build() -> DataFrame:
+        sh = ngram_shingles_shared(spark, sf_dir)
+        rare = (
+            sh.groupBy("h1", "h2")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= _MAX_SHINGLE_DF)
+            .select("h1", "h2")
+        )
+        joinable = sh.join(rare, ["h1", "h2"])
+        a, b = joinable.alias("a"), joinable.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.h1") == F.col("b.h1"))
+                & (F.col("a.h2") == F.col("b.h2"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+
+    return shared_frame(spark, "ngram_common_pairs", sf_dir, build)
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -358,44 +450,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles drive the join (sparse similarity join), then
     |A∩B| / (|A|+|B|-|A∩B|) with a 0.05 floor.
 
-    The (lang, source, shingle) blocking key is collapsed to one md5 digest
-    BEFORE the distinct and the self-join: shuffle rows shrink to
-    (doc_id, 32 chars) regardless of shingle length, and the join key is
-    hash-uniform — no popular-shingle skew. Equality on the digest is
-    equality on the triple for both engines (identical md5 on both sides),
-    so the result set is unchanged. Shingles with df > _MAX_SHINGLE_DF are
-    dropped from the join input (boilerplate guard — see _cap_shingle_df),
-    identically in the oracle."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "lang", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
-    )
-    shingles = (
-        toks.select(
-            "doc_id", "lang", "source", F.explode(word_shingles("toks", 3)).alias("sh")
-        )
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))).alias("h"),
-        )
-        .distinct()
-    )
-    # the shingle set feeds four consumers (sizes, the df cap, both
-    # self-join sides); without a persist each one re-runs the full
-    # explode+distinct pipeline — at 100 TB that is 4 corpus scans
-    shingles = transient_persist(shingles)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    joinable = _cap_shingle_df(shingles)
-    a = joinable.alias("a")
-    b = joinable.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    The (lang, source, shingle) blocking key is collapsed to a 128-bit
+    digest pair BEFORE the distinct and the self-join: shuffle rows
+    shrink to (doc_id, 2×8 bytes) regardless of shingle length, and the
+    join key is hash-uniform — no popular-shingle skew. Equality on the
+    digest is equality on the triple (128-bit collision budget, same as
+    the oracle's md5), so the result set is unchanged. Shingles with
+    df > _MAX_SHINGLE_DF are dropped from the join input (boilerplate
+    guard), identically in the oracle. r12: the whole shingles → sizes →
+    cap → co-occurrence-join chain is shared.py-cached across the three
+    3-gram pair consumers — see ngram_common_shared."""
+    # shared chain (r12): shingles → sizes → df-capped co-occurrence
+    # self-join, built once for the three 3-gram pair consumers
+    common = ngram_common_shared(spark, sf_dir)
+    sizes = ngram_sizes_shared(spark, sf_dir)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
@@ -512,35 +580,19 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurring shingles, and only doc_a's size joins back; same
     _MAX_SHINGLE_DF boilerplate cap on the join input, mirrored in the
     oracle."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "lang", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
-    )
-    shingles = (
-        toks.select(
-            "doc_id", "lang", "source", F.explode(word_shingles("toks", 3)).alias("sh")
+    # shared chain (r12): containment is directional, so the ordered
+    # (a ≠ b) pair counts are the shared unordered (a < b) counts plus
+    # their swap — n_common is symmetric, so this is exactly the old
+    # self-join with doc_id <> doc_id
+    unordered = ngram_common_shared(spark, sf_dir)
+    common = unordered.unionByName(
+        unordered.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "n_common",
         )
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))).alias("h"),
-        )
-        .distinct()
     )
-    # four consumers (sizes, df cap, both join sides) — persist, same
-    # argument as dedup_ngram_jaccard
-    shingles = transient_persist(shingles)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    joinable = _cap_shingle_df(shingles)
-    a = joinable.alias("a")
-    b = joinable.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    sizes = ngram_sizes_shared(spark, sf_dir)
     cont = F.col("n_common").cast("double") / F.col("n_sh")
     return (
         common.join(sizes, F.col("doc_a") == F.col("doc_id"))
@@ -772,37 +824,9 @@ def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     shingles, df-capped posting lists, sparse co-occurrence self-join) but
     the output collapses to ≤21 histogram rows, so this is strictly
     cheaper than the pair listing it summarizes."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "lang", "source",
-        F.split(normalize_text(F.col("text")), " ").alias("toks"),
-    )
-    shingles = (
-        toks.select(
-            "doc_id", "lang", "source",
-            F.explode(word_shingles("toks", 3)).alias("sh"),
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws("\x01", F.col("lang"), F.col("source"), F.col("sh"))
-            ).alias("h"),
-        )
-        .distinct()
-    )
-    shingles = transient_persist(shingles)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    joinable = _cap_shingle_df(shingles)
-    a, b = joinable.alias("a"), joinable.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # shared chain (r12) — see ngram_common_shared
+    common = ngram_common_shared(spark, sf_dir)
+    sizes = ngram_sizes_shared(spark, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     union_sz = F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
     binned = (
