@@ -1516,6 +1516,10 @@ def pipeline_incremental_corpus_refresh(
     )
 
     def _sh(df: DataFrame) -> DataFrame:
+        # digest = xxhash64 pair (128-bit equality key like the oracle's
+        # md5, cheaper + half the shuffle width — r12, same rationale as
+        # dedup.ngram_shingles_shared)
+        key = F.concat_ws("\x01", F.col("lang"), F.col("sh"))
         return (
             df.select("doc_id", "lang", F.split("t", " ").alias("toks"))
             .select(
@@ -1525,7 +1529,8 @@ def pipeline_incremental_corpus_refresh(
             )
             .select(
                 "doc_id",
-                F.md5(F.concat_ws("\x01", F.col("lang"), F.col("sh"))).alias("h"),
+                F.xxhash64(key).alias("h1"),
+                F.xxhash64(key, F.lit(1)).alias("h2"),
             )
             .distinct()
         )
@@ -1537,17 +1542,20 @@ def pipeline_incremental_corpus_refresh(
     stand_sh = transient_persist(_sh(standing))
     df_counts = (
         inc_sh.unionByName(stand_sh)
-        .groupBy("h")
+        .groupBy("h1", "h2")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _ICR_DF_CAP)
-        .select("h")
+        .select("h1", "h2")
     )
-    inc_join = inc_sh.join(df_counts, "h")
-    stand_join = stand_sh.join(df_counts, "h")
+    inc_join = inc_sh.join(df_counts, ["h1", "h2"])
+    stand_join = stand_sh.join(df_counts, ["h1", "h2"])
     inc_sizes = inc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     best = (
         inc_join.alias("a")
-        .join(stand_join.alias("b"), F.col("a.h") == F.col("b.h"))
+        .join(
+            stand_join.alias("b"),
+            (F.col("a.h1") == F.col("b.h1")) & (F.col("a.h2") == F.col("b.h2")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("other")
         )

@@ -482,19 +482,25 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.length("text") - _SPAN_K + 1)
         ).alias("p"),
     )
+    # gram digest = xxhash64 pair (128-bit collision budget like the
+    # oracle's md5, ~3× cheaper per position and half the shuffle/cache
+    # width — this query hashes EVERY character position, so digest cost
+    # and width dominate; the digest is a pure equality key, never
+    # ordered or emitted, so the result set is unchanged)
     grams = pos.select(
         "doc_id",
         "p",
-        F.md5(F.expr(f"substring(text, p, {_SPAN_K})")).alias("dig"),
+        F.xxhash64(F.expr(f"substring(text, p, {_SPAN_K})")).alias("d1"),
+        F.xxhash64(F.expr(f"substring(text, p, {_SPAN_K})"), F.lit(1)).alias("d2"),
     )
     grams = transient_persist(grams)  # two consumers: the df aggregate and the mark-join
     dupdig = (
-        grams.groupBy("dig")
+        grams.groupBy("d1", "d2")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") > 1)
-        .select("dig")
+        .select("d1", "d2")
     )
-    marked = grams.join(dupdig, "dig").select("doc_id", "p")
+    marked = grams.join(dupdig, ["d1", "d2"]).select("doc_id", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     islands = marked.withColumn("island", F.col("p") - F.row_number().over(w))
     spans = islands.groupBy("doc_id", "island").agg(
