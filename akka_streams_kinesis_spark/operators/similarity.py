@@ -1109,6 +1109,11 @@ def similarity_multiprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> Data
             F.expr("bit_count(q_code ^ code)").alias("hamming"),
         )
     )
+    # sims feeds THREE consumers (the exact ranking, the radius fan-out's
+    # window, and the volume aggregate) — without a persist the
+    # brute-force cosine fold over corpus × |Q| runs three times (r12;
+    # the fold is the query's dominant cost)
+    sims = transient_persist(sims)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     exact = (
         sims.withColumn("rnk", F.row_number().over(w))
