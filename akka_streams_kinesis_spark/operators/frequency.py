@@ -46,10 +46,11 @@ _HH_TOPK = 15
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fanout(table(spark, sf_dir, "documents"))
-    return d.select(
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    )
+    # r12: shared normalized-token frame (one corpus explode per session
+    # instead of one per consumer) — see operators/textshared.py
+    from .textshared import doc_tokens_shared
+
+    return doc_tokens_shared(spark, sf_dir).select("tok")
 
 
 def _mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,12 +249,7 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     to sketch at all. The estimate lookup joins the (tiny, broadcast)
     sketch to the (bounded) candidate set. At 100 TB nothing here
     shuffles more than depth·width rows."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = transient_persist(
-        d.select(
-            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-        )
-    )
+    toks = _tokens(spark, sf_dir)  # shared frame (already persisted)
     seeds = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
     sketch = (
         toks.select("tok", F.explode(seeds).alias("seed"))

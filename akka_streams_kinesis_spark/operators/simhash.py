@@ -64,12 +64,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sign vector packs into a BIGINT. Documents sharing a fingerprint are
     near-dup candidates. One explode + one hash aggregate — linear, and the
     shuffle carries only (doc_id, 16 small ints) partial sums."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
-    )
-    toks.createOrReplaceTempView("doc_tokens")
+    from .textshared import doc_tokens_shared
+
+    doc_tokens_shared(spark, sf_dir).createOrReplaceTempView("doc_tokens")
     return spark.sql(_SHARED_AGG_SQL)
 
 

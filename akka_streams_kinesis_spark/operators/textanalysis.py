@@ -83,10 +83,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID: per-language token-hit counts → argmax
     with a deterministic tie order. The scoring SQL text is shared verbatim
     with the DuckDB oracle."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    d.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    ).createOrReplaceTempView("doc_tokens")
+    from .textshared import doc_tokens_shared
+
+    doc_tokens_shared(spark, sf_dir).createOrReplaceTempView("doc_tokens")
     spark.sql(_LANGID_AGG_SQL).createOrReplaceTempView("scored")
     return spark.sql(_LANGID_FINAL_SQL)
 
@@ -151,10 +150,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword density per document (quality-filter staple)."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    )
+    from .textshared import doc_tokens_shared
+
+    toks = doc_tokens_shared(spark, sf_dir)
     is_stop = F.col("tok").isin(*_STOPWORDS).cast("long")
     return toks.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
@@ -182,10 +180,9 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token statistics: top-20 tokens by term frequency with
     document frequency. explode → hash-agg (map-side partials carry the
     heavy lifting) → TakeOrdered top-k."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    )
+    from .textshared import doc_tokens_shared
+
+    toks = doc_tokens_shared(spark, sf_dir)
     return (
         toks.groupBy("tok")
         .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
@@ -554,11 +551,9 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the scoring pass is the same explode → per-doc hash-agg as
     text_language_id (shared SQL text); the matrix is a ≤|langs|² agg
     and the row-share window runs over that tiny aggregate."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    d.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
-    ).createOrReplaceTempView("doc_tokens")
+    from .textshared import doc_tokens_shared
+
+    doc_tokens_shared(spark, sf_dir).createOrReplaceTempView("doc_tokens")
     spark.sql(_LANGID_AGG_SQL).createOrReplaceTempView("scored")
     pred = spark.sql(
         f"SELECT doc_id, {_langid_pick_sql()} AS pred_lang FROM scored"
@@ -614,10 +609,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: token hash-agg → rank window over the (Heaps-law-bounded)
     vocabulary → one regression aggregate; the only full-data pass is
     the token count."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    )
+    from .textshared import doc_tokens_shared
+
+    toks = doc_tokens_shared(spark, sf_dir).select("tok")
     vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
     ranked = vocab.withColumn(
         "rank",
@@ -765,14 +759,12 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     at its FIRST bucket (one token-level hash-agg), so the cumulative
     window only ever sees 10 rows. β comes from the SQL regression
     aggregate over the 10 log-log points — no driver-side fitting."""
+    from .textshared import doc_tokens_shared
+
     d = table(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id").alias("max_id"))
     toks = (
-        fanout(d)
-        .select(
-            "doc_id",
-            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
-        )
+        doc_tokens_shared(spark, sf_dir)
         .crossJoin(F.broadcast(mx))
         .select(
             F.least(
@@ -991,11 +983,9 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    )
-    toks = transient_persist(toks)  # feeds tf AND dl
+    from .textshared import doc_tokens_shared
+
+    toks = doc_tokens_shared(spark, sf_dir)  # shared, persisted; feeds tf AND dl
     tf = transient_persist(
         toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     )

@@ -178,10 +178,9 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream — no shuffle of the token fan-out at all; the only
     doc-keyed shuffle is the final per-doc average.
     """
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    )
+    from .textshared import doc_tokens_shared
+
+    toks = doc_tokens_shared(spark, sf_dir)
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     model = vocab.crossJoin(F.broadcast(total)).select(
