@@ -922,25 +922,84 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the total (lower weighted median; 2*cw >= tw in exact integer
     arithmetic — no float fraction).
 
-    Scale shape: hash-agg → one window sort over the collapsed value
-    table → metadata-sized final agg. Ties and partial-agg order cannot
-    move the answer: weights are int64 and the boundary compare is
-    integer."""
-    li = table(spark, sf_dir, "lineitem")
-    byval = li.groupBy(
-        "l_returnflag", "l_linestatus", F.col("l_extendedprice").alias("v")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    Scale shape (r12 — bucket-then-refine): the old plan windowed the
+    ENTIRE collapsed value table partitioned only by the 6 groups — six
+    single-task sorts of the whole value table, a genuine straggler at
+    scale (guide §2.5: windows get no AQE skew handling). Now a
+    fixed-width value bucketing aggregates per-(group, bucket) weights
+    in one parallel pass (shuffle carries groups × buckets rows), a
+    window over that TINY bucket table locates each group's median
+    bucket exactly (2·cum ≥ tot in int64), and only the median bucket's
+    values are re-aggregated and windowed — per-group work is one bucket
+    of values, never the value table. floor(v / width) is monotone in v
+    (IEEE division is monotone, floor is monotone), so bucket order
+    respects value order and the refined minimum equals the global
+    lower weighted median; all boundary compares stay int64."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    bkt = F.floor(F.col("v") / F.lit(64.0)).cast("long")
+    bw = li.groupBy(
+        "l_returnflag", "l_linestatus", bkt.alias("bkt")
+    ).agg(F.sum("q").cast("long").alias("bw"))
     grp = Window.partitionBy("l_returnflag", "l_linestatus")
-    cum = grp.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cw = byval.select(
+    bcum = grp.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = bw.select(
+        "l_returnflag",
+        "l_linestatus",
+        "bkt",
+        "bw",
+        F.sum("bw").over(bcum).cast("long").alias("bcw"),
+        F.sum("bw").over(grp).cast("long").alias("tw"),
+    )
+    # first bucket whose cumulative weight clears half the total; carry
+    # the cumulative weight BEFORE it so the in-bucket refine continues
+    # the same running sum
+    med_bkt = (
+        marked.filter(F.lit(2) * F.col("bcw") >= F.col("tw"))
+        .groupBy(
+            F.col("l_returnflag").alias("m_rf"),
+            F.col("l_linestatus").alias("m_ls"),
+        )
+        .agg(
+            F.min_by(F.col("bkt"), F.col("bkt")).alias("m_bkt"),
+            F.min_by(F.col("bcw") - F.col("bw"), F.col("bkt")).alias("cum_before"),
+            F.min("tw").alias("tw"),
+        )
+    )
+    in_bucket = li.join(
+        F.broadcast(med_bkt),
+        (F.col("l_returnflag") == F.col("m_rf"))
+        & (F.col("l_linestatus") == F.col("m_ls"))
+        & (bkt == F.col("m_bkt")),
+    ).select(
         "l_returnflag",
         "l_linestatus",
         "v",
-        F.sum("w").over(cum).cast("long").alias("cw"),
-        F.sum("w").over(grp).cast("long").alias("tw"),
+        "q",
+        "cum_before",
+        "tw",
+    )
+    byval = in_bucket.groupBy(
+        "l_returnflag", "l_linestatus", "v", "cum_before", "tw"
+    ).agg(F.sum("q").cast("long").alias("w"))
+    vcum = grp.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    refined = byval.select(
+        "l_returnflag",
+        "l_linestatus",
+        "v",
+        "tw",
+        (F.col("cum_before") + F.sum("w").over(vcum)).cast("long").alias("cw"),
     )
     return (
-        cw.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        refined.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.min("v").alias("weighted_median"),
