@@ -27,8 +27,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import NORM_TEXT_DUCK, div_round4, normalize_text, word_shingles
-from ..io import fanout, table
+from ..functions import NORM_TEXT_DUCK, div_round4, word_shingles
+from ..io import table
 from ..registry import query
 from ..shared import shared_frame, transient_persist
 from .dedup import _band_cap_ctes, _minhash_ctes, minhash_pairs_shared
@@ -360,9 +360,10 @@ def text_repeated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain hash count instead of a count-distinct Expand; the explode runs
     after fanout() so a single-file corpus still uses every core.
     """
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select(
+        "doc_id", F.col("w").alias("toks")
     )
     sh = toks.select(
         "doc_id", F.explode(word_shingles("toks", _BP_N)).alias("shingle")
@@ -483,12 +484,12 @@ def curation_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone; doc_id tie-breaks never cross a score boundary. Summary returns
     only deterministic picks (counts, min/max of 4-dp scores) — no float
     sums to drift between engines."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(normalize_text(F.col("text")), " ")
-    scored = d.select(
+    from .textshared import norm_docs_shared
+
+    scored = norm_docs_shared(spark, sf_dir).select(
         "lang",
         F.round(
-            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
+            F.size(F.array_distinct("w")) * F.lit(1.0) / F.size("w"), 4
         ).alias("score"),
     )
     hist = scored.groupBy("lang", "score").agg(F.count("*").alias("cnt"))
@@ -561,14 +562,15 @@ def curation_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DISTINCT-collapsed before the join — at scale it's the small side
     (test splits are ~10% and dedup'd), which Spark can broadcast, so the
     train-side scan never shuffles its shingles."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select(
+        "doc_id", F.col("w").alias("toks")
     )
     sh = toks.select(
         "doc_id", F.explode(word_shingles("toks", _DECON_N)).alias("s")
     ).distinct()
-    split = table(spark, sf_dir, "documents").select(
+    split = norm_docs_shared(spark, sf_dir).select(
         "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
     )
     test_sh = (
@@ -744,14 +746,10 @@ def curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     labels = cc_labels_shared(spark, sf_dir)
 
-    d = table(spark, sf_dir, "documents")
+    from .textshared import doc_tokens_shared
+
     quality = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.split(normalize_text(F.col("text")), " ")
-            ).alias("tok"),
-        )
+        doc_tokens_shared(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.countDistinct("tok").alias("quality"))
     )
@@ -851,12 +849,9 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination join broadcasts the (dedup'd, ~10%-split) test
     shingle set; the funnel report is a per-language rollup of booleans
     carried through three LEFT joins that all share the doc_id key."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id",
-        "lang",
-        normalize_text(F.col("text")).alias("t"),
-    ).withColumn("w", F.split("t", " "))
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "lang", "t", "w")
     quality = toks.withColumn(
         "q_pass",
         (F.size("w") >= _PREP_MIN_TOKENS)
@@ -873,7 +868,7 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     survivors = transient_persist(deduped.filter("is_canonical").select("doc_id", "w"))
-    split = table(spark, sf_dir, "documents").select(
+    split = norm_docs_shared(spark, sf_dir).select(
         "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
     )
     sh = survivors.select(
@@ -969,10 +964,9 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency aggregate and the per-doc rollup; the join key is a
     16-byte digest, and since both sides come from the same persisted
     frame, the df table arrives co-partitioned on it."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
-    )
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "w")
     sh = (
         toks.select(
             "doc_id", F.explode(word_shingles("w", _NOV_N)).alias("g")
@@ -1150,8 +1144,11 @@ def curation_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     any shuffle; the two-level aggregate (digest pre-group, then source
     rollup) avoids the Expand node a COUNT(DISTINCT) beside COUNT(*)
     would otherwise plan, exactly like curation_dataset_card."""
-    d = table(spark, sf_dir, "documents")
-    digests = d.select("source", F.md5(normalize_text(F.col("text"))).alias("dg"))
+    from .textshared import norm_docs_shared
+
+    digests = norm_docs_shared(spark, sf_dir).select(
+        "source", F.md5("t").alias("dg")
+    )
     # (source, digest) pre-aggregate: carries a per-digest doc count so the
     # rollup gets both totals without a second scan or an Expand
     pre = digests.groupBy("source", "dg").agg(F.count("*").alias("c"))
@@ -1300,16 +1297,15 @@ def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     math (df ≥ 3 AND 50·df ≥ m), so no float-boundary gate risk. The relative
     threshold is what scales: a fixed absolute df would saturate at
     100 TB while 2%-of-source tracks each source's size."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "source",
-        F.split(normalize_text(F.col("text")), " ").alias("toks"),
-    )
+    from .textshared import norm_docs_shared
+
+    nd = norm_docs_shared(spark, sf_dir)
+    toks = nd.select("doc_id", "source", F.col("w").alias("toks"))
     sh = toks.select(
         "doc_id", "source",
         F.explode(word_shingles("toks", _BPS_N)).alias("g"),
     ).distinct()
-    m = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    m = nd.groupBy("source").agg(F.count("*").alias("n_docs"))
     df = sh.groupBy("source", "g").agg(F.count("*").alias("df"))
     bp = df.join(F.broadcast(m), "source").filter(
         (F.col("df") >= _BPS_MIN_DF) & (50 * F.col("df") >= F.col("n_docs"))
@@ -1374,9 +1370,10 @@ def curation_soft_dedup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame
     36-byte digests, not documents, and WindowExec spills — skew-safe at
     100 TB. Weight = div_round4(1, n) (FLOOR idiom — engine-exact at
     every class size)."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    classes = d.select(
-        "doc_id", F.md5(normalize_text(F.col("text"))).alias("dg")
+    from .textshared import norm_docs_shared
+
+    classes = norm_docs_shared(spark, sf_dir).select(
+        "doc_id", F.md5("t").alias("dg")
     )
     w = Window.partitionBy("dg")
     return classes.select(
@@ -1499,12 +1496,13 @@ def pipeline_incremental_corpus_refresh(
     incoming↔standing, so candidate pairs are Σ df_inc·df_stand per
     shingle with df ≤ {_ICR_DF_CAP} — linear in the incoming batch, NOT
     in the standing corpus. The funnel rollup is dimension-sized."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    tagged = d.select(
+    from .textshared import norm_docs_shared
+
+    tagged = norm_docs_shared(spark, sf_dir).select(
         "doc_id",
         "lang",
         "source",
-        normalize_text(F.col("text")).alias("t"),
+        "t",
         (F.col("doc_id") % 5 == 4).alias("incoming"),
     ).withColumn("dg", F.md5("t"))
     tagged = transient_persist(tagged)
@@ -1848,10 +1846,9 @@ def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     the per-pair aggregate output is at most |sources|² rows. Both join
     sides derive from the same frame, arriving co-partitioned on the
     digest."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "source", F.split(normalize_text(F.col("text")), " ").alias("w")
-    )
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select("source", "w")
     sh = (
         toks.select("source", F.explode(word_shingles("w", _SOM_N)).alias("g"))
         .select("source", F.md5("g").alias("h"))

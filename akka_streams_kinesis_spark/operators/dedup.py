@@ -16,8 +16,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
-from ..io import fanout, table
+from ..functions import NORM_TEXT_DUCK, word_shingles
+from ..io import table
 from ..registry import query
 from ..shared import shared_frame, transient_persist
 
@@ -102,10 +102,10 @@ def ngram_shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h1, h2): distinct (lang, source)-blocked 3-gram digests."""
 
     def build() -> DataFrame:
-        d = fanout(table(spark, sf_dir, "documents"))
-        toks = d.select(
-            "doc_id", "lang", "source",
-            F.split(normalize_text(F.col("text")), " ").alias("toks"),
+        from .textshared import norm_docs_shared
+
+        toks = norm_docs_shared(spark, sf_dir).select(
+            "doc_id", "lang", "source", F.col("w").alias("toks")
         )
         return (
             toks.select(
@@ -205,9 +205,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact dedup after text normalization (case/punct/whitespace)."""
-    d = table(spark, sf_dir, "documents")
+    from .textshared import norm_docs_shared
+
     return (
-        d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("norm_hash"))
+        norm_docs_shared(spark, sf_dir)
+        .select("doc_id", F.md5("t").alias("norm_hash"))
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies", "norm_hash")
@@ -218,9 +220,10 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → m0..m7 minhash values (lexicographic min of seeded md5 over
     3-word shingles). String-min of md5 hex is deterministic and engine-
     portable — no integer hash parity issues."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select(
+        "doc_id", F.col("w").alias("toks")
     )
     shingled = toks.select(
         "doc_id", F.explode(word_shingles("toks", 3)).alias("sh")
@@ -655,9 +658,10 @@ def dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a 3-key rollup on top."""
     from .simhash import dedup_simhash as _simhash_sigs
 
-    d = table(spark, sf_dir, "documents")
-    norm = d.select(
-        "doc_id", F.md5(normalize_text(F.col("text"))).alias("nh")
+    from .textshared import norm_docs_shared
+
+    norm = norm_docs_shared(spark, sf_dir).select(
+        "doc_id", F.md5("t").alias("nh")
     )
     exact_flag = norm.select(
         "doc_id",

@@ -30,8 +30,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
-from ..io import fanout, table
+from ..functions import NORM_TEXT_DUCK, word_shingles
+from ..io import table
 from ..registry import query
 from ..shared import transient_persist
 
@@ -97,10 +97,9 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the final per-doc average. At 100 TB: counts partial-agg
     map-side into a bounded table regardless of corpus size — this is the
     whole point of the hashed feature space."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "lang", F.split(normalize_text(F.col("text")), " ").alias("w")
-    )
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "lang", "w")
     grams = (
         toks.select(
             "doc_id", "lang", F.explode(word_shingles("w", 2)).alias("g")
@@ -226,10 +225,9 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives — so the answer equals the exact join's, and the oracle
     computes exactly that. At 100 TB the train side never shuffles its
     shingle fan-out; the bitmap is KBs regardless of corpus size."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
-    )
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "w")
     sh = (
         toks.select(
             "doc_id", F.explode(word_shingles("w", _BLOOM_N)).alias("s")
@@ -237,7 +235,7 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh = transient_persist(sh)
-    split = table(spark, sf_dir, "documents").select(
+    split = norm_docs_shared(spark, sf_dir).select(
         "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
     )
     test_sh = (

@@ -399,10 +399,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the chunk fan-out is bounded by doc length / stride. DuckDB
     1-based LIST slicing == Spark's 1-based F.slice, and both engines cap
     the slice at the array end, so the trailing partial chunk agrees."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
-    )
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "w")
     n_chunks = F.ceil(F.size("w") / float(_STRIDE)).cast("long")
     chunks = toks.select(
         "doc_id", "w",
@@ -676,10 +675,9 @@ def text_ngram_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg (map-side combined) and one per-doc rollup compute it —
     no per-document probability vector ever materializes. The flag
     compares the ROUNDED ratio in both engines."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
-    )
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "w")
     bigrams = toks.filter(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
@@ -860,10 +858,9 @@ def text_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts + FLOOR-1e4 rate; only full {_DCHUNK}-token
     chunks count (FLOOR of len/chunk), so no ragged-tail ambiguity."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "source", F.split(normalize_text(F.col("text")), " ").alias("w")
-    )
+    from .textshared import norm_docs_shared
+
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "source", "w")
     n_chunks = F.floor(F.size("w") / float(_DCHUNK)).cast("long")
     chunks = (
         toks.filter(n_chunks > 0)

@@ -27,10 +27,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import NORM_TEXT_DUCK, normalize_text, word_shingles
-from ..io import fanout, table
+from ..functions import NORM_TEXT_DUCK, word_shingles
+from ..io import table
 from ..registry import query
 from ..shared import transient_persist
+from .textshared import norm_docs_shared
 
 _NORM = NORM_TEXT_DUCK.format(col="text")
 
@@ -98,11 +99,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     both per-doc aggregates join back to the doc list. All shuffle keys
     are doc_id — uniform, skew-free, so the shape holds at corpus scale.
     """
-    d = fanout(table(spark, sf_dir, "documents"))
-    base = d.select(
+    base = norm_docs_shared(spark, sf_dir).select(
         "doc_id",
-        F.split(normalize_text(F.col("text")), " ").alias("toks"),
-        F.char_length(normalize_text(F.col("text"))).alias("n_chars"),
+        F.col("w").alias("toks"),
+        F.char_length("t").alias("n_chars"),
     )
     g2 = base.select("doc_id", F.explode(word_shingles("toks", 2)).alias("g"))
     c2 = g2.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
@@ -374,10 +374,7 @@ def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     model is broadcast — a natural-language bigram table is millions of
     rows regardless of corpus size — so scoring pipelines with the
     stream and the only doc-keyed shuffle is the final average."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
-    )
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "w")
     bigrams = (
         toks.select("doc_id", F.explode(word_shingles("w", 2)).alias("bg"))
         .select(
@@ -491,8 +488,7 @@ def curation_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: one explode → (doc, word) hash-agg → per-doc agg — the
     same two-level shape as the TF-IDF family; per-source rollup is a
     dimension-sized aggregate. Nothing is quadratic, nothing collects."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    norm = d.select("doc_id", "source", normalize_text(F.col("text")).alias("t"))
+    norm = norm_docs_shared(spark, sf_dir).select("doc_id", "source", "t")
     base = norm.select(
         "doc_id",
         "source",
@@ -632,8 +628,7 @@ def quality_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> Data
     Scale shape: one explode → (doc, word) hash-agg → per-doc agg (the
     Gopher shape), then a single global conditional aggregate — output is
     ONE row regardless of corpus size."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    norm = d.select("doc_id", normalize_text(F.col("text")).alias("t"))
+    norm = norm_docs_shared(spark, sf_dir).select("doc_id", "t")
     base = norm.select(
         "doc_id",
         F.size(F.split("t", " ")).alias("n_words"),

@@ -87,3 +87,33 @@ def test_doc_tokens_shared_matches_inline_pipeline(spark, sf_dir):
     shared = doc_tokens_shared(spark, sf_dir)
     assert inline.exceptAll(shared).count() == 0
     assert shared.exceptAll(inline).count() == 0
+
+
+def test_norm_docs_shared_matches_inline_derivation(spark, sf_dir):
+    """The shared normalized-doc frame (and its lazy w column) must be
+    byte-identical to the inline normalize_text/split derivation the
+    ~20 consumer queries previously ran; doc_tokens_shared must equal
+    the explode of its w column."""
+    from akka_streams_kinesis_spark.functions import normalize_text
+    from akka_streams_kinesis_spark.operators.textshared import (
+        doc_tokens_shared,
+        norm_docs_shared,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    t = normalize_text(F.col("text"))
+    inline = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        t.alias("t"),
+        F.split(t, " ").alias("w"),
+    )
+    shared = norm_docs_shared(spark, sf_dir)
+    assert shared.columns == ["doc_id", "source", "lang", "t", "w"]
+    assert inline.exceptAll(shared).count() == 0
+    assert shared.exceptAll(inline).count() == 0
+    from_w = shared.select("doc_id", F.explode("w").alias("tok"))
+    toks = doc_tokens_shared(spark, sf_dir)
+    assert from_w.exceptAll(toks).count() == 0
+    assert toks.exceptAll(from_w).count() == 0
