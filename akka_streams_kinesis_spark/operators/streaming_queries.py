@@ -2596,22 +2596,37 @@ def maintenance_ann_marker_compaction(spark: SparkSession, sf_dir: str) -> DataF
     shutil.copytree(src, work)
     live_pre = read_store(spark, work).count()
     report = compact_markers(spark, work, horizon_seq=3)
-    leftovers = (
+    # all three post-compaction checks come from ONE marker-inclusive
+    # scan (read_store(markers=False) is exactly the live_flag filter
+    # below, see read_store): droppable-marker leftovers, the live row
+    # count, and the live distinct-cell count — was 3 separate jobs
+    # each re-reading the rewritten store
+    live_flag = ~F.coalesce(F.col("deleted"), F.lit(False))
+    post = (
         read_store(spark, work, markers=True)
-        .filter(F.col("deleted") & (F.col("seq") < 3))
-        .count()
+        .agg(
+            F.sum(
+                (F.coalesce(F.col("deleted"), F.lit(False)) & (F.col("seq") < 3))
+                .cast("long")
+            ).alias("leftovers"),
+            F.sum(live_flag.cast("long")).alias("n_live"),
+            F.count_distinct(
+                F.when(live_flag, F.col("c8"))
+            ).alias("n_cells"),
+        )
+        .collect()[0]
     )
+    leftovers = post["leftovers"] or 0
     if leftovers:
         raise RuntimeError(
             f"{leftovers} droppable markers survived compaction"
         )
-    live_post = read_store(spark, work)
-    n_live = live_post.count()
+    n_live = post["n_live"] or 0
     if n_live != live_pre:
         raise RuntimeError(
             f"compaction changed the consumer view: {live_pre} -> {n_live}"
         )
-    n_cells = live_post.select("c8").distinct().count()
+    n_cells = post["n_cells"]
     return spark.createDataFrame(
         [
             (
