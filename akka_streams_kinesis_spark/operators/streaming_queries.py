@@ -2441,23 +2441,40 @@ def stream_ann_index_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_ann_index(upserts, root, os.path.join(scratch, "_ckpt"))
     q.awaitTermination()
 
-    # (1) one row per vec_id, markers included
+    # (1)+(2) in ONE marker-inclusive store scan (was three jobs each
+    # re-reading the store): per-id duplicate detection, dead ids
+    # visible to consumers (read_store(markers=False) is exactly the
+    # live_flag filter below), and retained delete-marker count
     everything = read_store(spark, root, markers=True)
-    dup = (
-        everything.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    dead = (F.col("vec_id") % _ANN_DEL_MOD == 0) & (F.col("vec_id") % 2 == 1)
+    live_flag = ~F.coalesce(F.col("deleted"), F.lit(False))
+    checks = (
+        everything.groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((live_flag & dead).cast("long")).alias("vis_dead"),
+            F.sum(
+                (dead & F.coalesce(F.col("deleted"), F.lit(False))).cast("long")
+            ).alias("markers"),
+        )
+        .agg(
+            F.sum((F.col("n") > 1).cast("long")).alias("dup"),
+            F.sum("vis_dead").alias("visible_dead"),
+            F.sum("markers").alias("n_markers"),
+        )
+        .collect()[0]
     )
+    dup = checks["dup"] or 0
     if dup:
         raise RuntimeError(f"cdc store holds {dup} duplicate vec_ids")
-    # (2) dead ids invisible to consumers, but PRESENT as markers
-    dead = (F.col("vec_id") % _ANN_DEL_MOD == 0) & (F.col("vec_id") % 2 == 1)
-    visible_dead = read_store(spark, root).filter(dead).count()
+    visible_dead = checks["visible_dead"] or 0
     if visible_dead:
         raise RuntimeError(
             f"{visible_dead} deleted ids visible to consumers"
         )
     e = table(spark, sf_dir, "embeddings")
     n_dead = e.filter(dead).count()
-    n_markers = everything.filter(dead & F.col("deleted")).count()
+    n_markers = checks["n_markers"] or 0
     if n_markers != n_dead:
         raise RuntimeError(
             f"expected {n_dead} retained delete markers, found {n_markers} "
