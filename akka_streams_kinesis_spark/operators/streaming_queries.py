@@ -2520,6 +2520,25 @@ def stream_ann_index_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _scratch_copy(src: str, work: str) -> None:
+    """Scratch copy of a cached index tree for an in-place maintenance
+    run: hardlink files instead of copying bytes (metadata-only, O(files)
+    not O(bytes)). Safe because every writer in the index layer publishes
+    via tmp + rename (snapshot_store: ``fs.move`` same-directory replace)
+    and vacuum only unlinks — a replaced or deleted scratch file swaps
+    the scratch DIRECTORY ENTRY while the cached source inode keeps its
+    own link; nothing ever appends to or truncates a published file.
+    Falls back to a byte copy if linking fails (cross-device scratch)."""
+
+    def _link_or_copy(s: str, d: str, *, follow_symlinks: bool = True) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d, follow_symlinks=follow_symlinks)
+
+    shutil.copytree(src, work, copy_function=_link_or_copy)
+
+
 def _ensure_standing_cdc_index(spark: SparkSession, sf_dir: str) -> str:
     """Marker-cached drained CDC index (the compaction query's source
     snapshot): built once per (sf_dir, machine) by draining the shared
@@ -2610,7 +2629,7 @@ def maintenance_ann_marker_compaction(spark: SparkSession, sf_dir: str) -> DataF
     work = _stream_cache_dir(sf_dir, "anncdc_compact_scratch")
     if os.path.exists(work):
         shutil.rmtree(work)
-    shutil.copytree(src, work)
+    _scratch_copy(src, work)
     live_pre = read_store(spark, work).count()
     report = compact_markers(spark, work, horizon_seq=3)
     # all three post-compaction checks come from ONE marker-inclusive
@@ -3284,7 +3303,7 @@ def maintenance_ann_vacuum_retention(
     work = _stream_cache_dir(sf_dir, "annidx_vacuum_scratch")
     if os.path.exists(work):
         shutil.rmtree(work)
-    shutil.copytree(src, work)
+    _scratch_copy(src, work)
     latest = current_version(work)
     if latest is None or latest < 2:
         raise RuntimeError(
