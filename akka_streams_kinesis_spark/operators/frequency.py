@@ -28,7 +28,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import NORM_TEXT_DUCK, normalize_text
+from ..functions import NORM_TEXT_DUCK, explode_ordered_pairs, normalize_text
 from ..io import fanout, table
 from ..registry import query
 from ..shared import transient_persist
@@ -714,41 +714,48 @@ def agg_frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline starts from.
 
     Determinism: integer supports, FLOOR-1e4 confidences."""
+    # ONE fact-scale exchange (groupBy l_orderkey whose map-side partial
+    # collect_set also dedups the (order, part) rows) replaces the old
+    # distinct-groupBy → basket-size window → equi-self-join chain — three
+    # fact-scale exchanges for the same pair list (guide §2.4). Each
+    # basket's sorted part set is exploded into its ordered (a < b) pairs
+    # inline; the basket frame feeds TWO consumers (pairs + singles), so
+    # it is persisted, and the |parts|-bounded singles frame is broadcast
+    # onto the pair list (guide §3.1).
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey", "l_partkey").agg(F.lit(1).alias("_one"))
-    wsize = Window.partitionBy("l_orderkey")
-    kept = (
-        baskets.withColumn("bsize", F.count("*").over(wsize))
-        .filter(F.col("bsize") <= _FIS_MAX_BASKET)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = kept.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = kept.select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("part_b")
+    baskets = transient_persist(
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= _FIS_MAX_BASKET)
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("_ok") == F.col("_ok2")) & (F.col("part_a") < F.col("part_b")),
-        )
+        explode_ordered_pairs(baskets, "parts", u="part_a", v="part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= _FIS_MIN_SUPPORT)
     )
-    singles = kept.groupBy("l_partkey").agg(F.count("*").alias("n_baskets"))
+    singles = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_baskets"))
+    )
     conf = lambda sup, n: F.floor(sup * 10000.0 / n + 0.5) / 10000.0  # noqa: E731
     return (
         pairs.join(
-            singles.select(
-                F.col("l_partkey").alias("part_a"), F.col("n_baskets").alias("_na")
+            F.broadcast(
+                singles.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("n_baskets").alias("_na"),
+                )
             ),
             "part_a",
         )
         .join(
-            singles.select(
-                F.col("l_partkey").alias("part_b"), F.col("n_baskets").alias("_nb")
+            F.broadcast(
+                singles.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("n_baskets").alias("_nb"),
+                )
             ),
             "part_b",
         )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import explode_ordered_pairs
 from ..io import table
 from ..registry import query
 from ..shared import shared_frame, transient_persist
@@ -39,6 +40,8 @@ _TRI_MAX_BASKET = 64
 # exists when shared > μ + 2σ of the all-pairs shared distribution —
 # fixed support degenerates (complete graph at one scale, empty at
 # another) because expected co-occurrence scales with |parts|·deg²/|V|².
+
+
 
 
 def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,32 +282,27 @@ def _cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosupply_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE fact-scale exchange (groupBy partkey with a map-side partial
+    # collect_set that also dedups the raw lines) replaces the old
+    # distinct → degree-count → equi-self-join chain, which paid three
+    # fact-scale exchanges for the same pair list (guide §2.4). Each
+    # part's supplier set is sorted once and its ordered pairs (u < v)
+    # are exploded inline — Σ min(deg, {_TRI_MAX_BASKET})² pair work,
+    # identical to the self-join's a.suppkey < b.suppkey output because
+    # the per-part supplier sets are exactly the old distinct rows.
     baskets = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
-        .distinct()
+        .groupBy("partkey")
+        .agg(F.sort_array(F.collect_set("suppkey")).alias("supps"))
+        .filter(F.size("supps") <= _TRI_MAX_BASKET)
     )
-    sized = (
-        baskets.groupBy("partkey")
-        .agg(F.count("*").alias("basket"))
-        .filter(F.col("basket") <= _TRI_MAX_BASKET)
-        .select("partkey")
-    )
-    # kept feeds both self-join sides; the significance-filtered edge
-    # list feeds FIVE consumers (three closure aliases, the edge count,
-    # and stats); the triangle list feeds four — persist each so the
-    # upstream pipeline runs once per tier, not per consumer
-    kept = transient_persist(baskets.join(sized, "partkey"))
-    a, b = kept.alias("a"), kept.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.partkey") == F.col("b.partkey"))
-            & (F.col("a.suppkey") < F.col("b.suppkey")),
-        )
-        .groupBy(
-            F.col("a.suppkey").alias("u"), F.col("b.suppkey").alias("v")
-        )
+    # the aggregated pair list feeds TWO consumers (the μ+2σ stats agg
+    # and the significance filter) — persist it so the explode pipeline
+    # runs once, not per consumer
+    pairs = transient_persist(
+        explode_ordered_pairs(baskets, "supps")
+        .groupBy("u", "v")
         .agg(F.count("*").alias("shared"))
     )
     stats = pairs.agg(
@@ -614,37 +612,38 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     top-{_LP_TOPK} most-overlapping pairs.
 
     Scale shape: candidate pairs are generated ONLY through shared
-    customers (a self-join on custkey), never suppliers × suppliers, and
-    super-node customers above {_LP_MAX_BASKET} distinct suppliers are
-    dropped first — so pair work is Σ min(deg, {_LP_MAX_BASKET})² and a
-    hub cannot square the pipeline. Degrees are a dimension-sized frame
-    joined back onto the (already aggregated) pair list.
+    customers (each customer's sorted supplier set exploded into its
+    ordered pairs), never suppliers × suppliers, and super-node customers
+    above {_LP_MAX_BASKET} distinct suppliers are dropped first — so pair
+    work is Σ min(deg, {_LP_MAX_BASKET})² and a hub cannot square the
+    pipeline. Degrees are a dimension-sized frame joined back onto the
+    (already aggregated) pair list.
 
     Determinism: the score is the integer (10000·shared) FLOOR-div
     (deg_u + deg_v − shared) — no float crosses the ranking, so the
     top-{_LP_TOPK} cut is bit-identical across engines and partition
     orders (ties broken by shared, then u, v)."""
-    # edges feeds the basket filter AND the kept join; kept feeds THREE
-    # consumers (degrees + both self-join sides) — persist both so the
-    # lineitem ⋈ orders ⋈ distinct pipeline runs once, not four times
-    # (the dedup_minhash_lsh band-frame discipline)
+    # ONE exchange on custkey (groupBy + collect_set over the already
+    # shared-cached edge list) replaces the old degree-count → join →
+    # equi-self-join chain: each customer's sorted supplier set both
+    # enforces the basket cap (size(supps)) and enumerates the pair
+    # candidates inline via explode_ordered_pairs — no second fact-scale
+    # exchange, no join (guide §2.4). The basket frame feeds TWO
+    # consumers (degrees + pairs) — persist it, the old `kept` role.
     edges = _purchase_edges(spark, sf_dir)  # shared-cached
-    sized = (
+    baskets = transient_persist(
         edges.groupBy("custkey")
-        .agg(F.count("*").alias("basket"))
-        .filter(F.col("basket") <= _LP_MAX_BASKET)
-        .select("custkey")
+        .agg(F.sort_array(F.collect_set("suppkey")).alias("supps"))
+        .filter(F.size("supps") <= _LP_MAX_BASKET)
     )
-    kept = transient_persist(edges.join(sized, "custkey"))
-    deg = kept.groupBy("suppkey").agg(F.count("*").alias("d"))
-    a, b = kept.alias("a"), kept.alias("b")
+    deg = (
+        baskets.select(F.explode("supps").alias("suppkey"))
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("d"))
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.custkey") == F.col("b.custkey"))
-            & (F.col("a.suppkey") < F.col("b.suppkey")),
-        )
-        .groupBy(F.col("a.suppkey").alias("u"), F.col("b.suppkey").alias("v"))
+        explode_ordered_pairs(baskets, "supps")
+        .groupBy("u", "v")
         .agg(F.count("*").alias("shared"))
     )
     du = deg.select(F.col("suppkey").alias("u"), F.col("d").alias("deg_u"))

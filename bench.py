@@ -422,6 +422,11 @@ DRIFT_MEDIAN_BASELINE = max(
 # machine speed), so the factor is emitted null there
 DRIFT_BASELINE_SF = 0.1
 
+# The driver's stdout tail capture keeps exactly 2000 bytes (measured in
+# BENCH_r10/r11/r12.json); the final short line must fit it WHOLE with
+# headroom for value digits growing — trim "slowest" before exceeding.
+SHORT_LINE_BUDGET = 1950
+
 # Streaming-runtime queries: every registry name with the stream_ prefix.
 # Each drains a micro-batch stream through a fresh checkpoint
 # (availableNow trigger), so a wall-clock latency next to batch queries
@@ -717,30 +722,48 @@ def main() -> None:
     # drift_sentinel rides in this short line too: the driver's tail
     # capture truncates the long line, and the sentinel is precisely the
     # part a judge needs intact to attribute a total-seconds move.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "n_errors": len(errors),
-                "shared_builds_total": shared_builds_total,
-                "drift_sentinel_total": sentinel_total,
-                "drift_baseline": DRIFT_BASELINE,
-                "drift_factor": drift_factor,
-                "drift_factor_median": drift_factor_median,
-                "drift_median_baseline": DRIFT_MEDIAN_BASELINE,
-                # per-name sentinel values ride the SHORT line from round
-                # 12 on: the r11 driver tail truncated the long line's
-                # "current" section, leaving no per-name r11 history
-                "sentinel_current": sentinel_now,
-                "stream_ingest_rows_per_sec": stream_rate,
-                "sf": float(sf),
-                "queries_file": "BENCH_SUMMARY.json",
-            }
-        )
-    )
+    # round-12 VERDICT ask #1: the driver's tail capture keeps only the
+    # last 2000 bytes of stdout, so a 276-entry queries map can never
+    # reach it — per-query signal for the HEAVY names now rides the short
+    # line as "slowest" (top-15 by seconds) plus "families" (per-family
+    # subtotals), additions only; the byte guard below trims slowest
+    # before ever letting the line outgrow the tail budget.
+    slowest = {
+        n: round(timings[n], 2)
+        for n in sorted(timings, key=lambda n: -timings[n])[:15]
+    }
+    families: dict[str, float] = {}
+    for n, s in timings.items():
+        fam = n.split("_", 1)[0]
+        families[fam] = families.get(fam, 0.0) + s
+    families = {k: round(v, 1) for k, v in sorted(families.items())}
+    short = {
+        "metric": "headline_query_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "shared_builds_total": shared_builds_total,
+        "drift_sentinel_total": sentinel_total,
+        "drift_baseline": DRIFT_BASELINE,
+        "drift_factor": drift_factor,
+        "drift_factor_median": drift_factor_median,
+        "drift_median_baseline": DRIFT_MEDIAN_BASELINE,
+        # per-name sentinel values ride the SHORT line from round
+        # 12 on: the r11 driver tail truncated the long line's
+        # "current" section, leaving no per-name r11 history
+        "sentinel_current": sentinel_now,
+        "slowest": slowest,
+        "families": families,
+        "stream_ingest_rows_per_sec": stream_rate,
+        "sf": float(sf),
+        "queries_file": "BENCH_SUMMARY.json",
+    }
+    line = json.dumps(short)
+    while len(line.encode()) > SHORT_LINE_BUDGET and len(slowest) > 5:
+        slowest.pop(next(reversed(slowest)))
+        line = json.dumps(short)
+    print(line)
     spark.stop()
     sys.exit(1 if errors else 0)
 

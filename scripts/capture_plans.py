@@ -1,9 +1,10 @@
-"""Capture .explain('formatted') for named queries into plans/r12/.
+"""Capture .explain('formatted') for named queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py before|after q1,q2,... [sf_dir]
 
-Writes plans/r12/<query>_<tag>.txt for each query. Uses the bench session
-(engine confs) so the plan matches what bench.py executes.
+Writes plans/$PLANS_ROUND/<query>_<tag>.txt (PLANS_ROUND defaults to r13)
+for each query. Uses the bench session (engine confs) so the plan matches
+what bench.py executes.
 """
 
 from __future__ import annotations
@@ -20,7 +21,11 @@ registry.load_all()
 TAG = sys.argv[1]
 NAMES = sys.argv[2].split(",")
 SF_DIR = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r13"),
+)
 os.makedirs(OUT, exist_ok=True)
 
 
