@@ -646,6 +646,11 @@ def _exact_gt_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         qrows = e.filter(F.col("vec_id") < _PQ_QUERIES).orderBy("vec_id").collect()
+        if not qrows:
+            # degenerate corpus (no query ids below _PQ_QUERIES): empty
+            # ground truth, same as the pre-r12 lazy crossJoin path —
+            # np.stack over zero rows would raise inside the build
+            return spark.createDataFrame([], "query_id long, vec_id long")
         qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
         qvecs = np.stack(
             [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]

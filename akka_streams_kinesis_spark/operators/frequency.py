@@ -28,8 +28,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import NORM_TEXT_DUCK, explode_ordered_pairs, normalize_text
-from ..io import fanout, table
+from ..functions import NORM_TEXT_DUCK, explode_ordered_pairs
+from ..io import table
 from ..registry import query
 from ..shared import transient_persist
 

@@ -806,16 +806,49 @@ def _peel_oracle() -> str:
     """
 
 
-def _degree_threshold(deg: DataFrame) -> DataFrame:
-    """Exact integer percentile threshold over a degree distribution: the
-    smallest degree d with cum_count(<=d) clearing the percentile — a
-    1-row frame derived from degree COUNTS (|distinct degrees| rows, so
-    the single-partition window sees hundreds of rows, never nodes)."""
-    dist = deg.groupBy("d").agg(F.count("*").alias("n"))
-    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
+def _peel_degrees(e: DataFrame) -> DataFrame:
+    """BOTH sides' degree tables in ONE pass over the surviving edge set
+    (r13: was two separate groupBy jobs, i.e. two full scans of the edge
+    frame per peel round): each edge contributes a ('c', custkey) and an
+    ('s', suppkey) row; the hash aggregate's map-side partial collapses
+    the 2|E| exploded rows to |V|-scale before the exchange."""
     return (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("side"), F.col("custkey").alias("key")
+                    ),
+                    F.struct(
+                        F.lit("s").alias("side"), F.col("suppkey").alias("key")
+                    ),
+                )
+            ).alias("sk")
+        )
+        .groupBy(F.col("sk.side").alias("side"), F.col("sk.key").alias("key"))
+        .agg(F.count("*").alias("d"))
+    )
+
+
+def _degree_thresholds(deg: DataFrame) -> dict[str, int]:
+    """Exact integer percentile threshold per side over the combined
+    degree table: the smallest degree d with cum_count(<=d) clearing the
+    percentile — derived from degree COUNTS (|distinct degrees| rows per
+    side, so the per-side window sees hundreds of rows, never nodes) and
+    collected as ONE bounded 2-row job (r13: was two separate collect
+    jobs per round). An empty edge set yields an empty dict — the caller
+    degrades to the oracle's NULL-threshold / 0-alive rows instead of
+    raising (round-12 ADVICE)."""
+    dist = deg.groupBy("side", "d").agg(F.count("*").alias("n"))
+    wcum = (
+        Window.partitionBy("side")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("side")
+    rows = (
         dist.select(
+            "side",
             "d",
             F.sum("n").over(wcum).alias("cum"),
             F.sum("n").over(wall).alias("tot"),
@@ -824,8 +857,11 @@ def _degree_threshold(deg: DataFrame) -> DataFrame:
             F.lit(_PEEL_PCT_DEN) * F.col("cum")
             >= F.lit(_PEEL_PCT_NUM) * F.col("tot")
         )
+        .groupBy("side")
         .agg(F.min("d").alias("k"))
+        .collect()
     )
+    return {r["side"]: int(r["k"]) for r in rows}
 
 
 @query("graph_core_peel_quantile", oracle=_peel_oracle())
@@ -854,28 +890,41 @@ def graph_core_peel_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     erosion audit plateaus."""
     # the shared edge frame is already persisted (constant-depth lineage
     # via its own build); an extra localCheckpoint here would re-copy all
-    # |E| blocks for nothing — rounds checkpoint their own outputs
+    # |E| blocks for nothing — rounds persist their own outputs
     e = _purchase_edges(spark, sf_dir)
     out = None
     for r in range(1, _PEEL_ROUNDS + 1):
-        # cdeg/sdeg each feed TWO consumers (the threshold subquery and
-        # the alive filter) — persist them so each degree count runs once
-        # per round, not twice; every intermediate below stays LAZY and
-        # materializes inside the single per-round localCheckpoint job
-        # (was: 5 eager localCheckpoint jobs per round — kc, ks, alive_c,
-        # alive_s, e — i.e. 15 scheduled jobs for a 3-round peel)
-        cdeg = transient_persist(e.groupBy("custkey").agg(F.count("*").alias("d")))
-        sdeg = transient_persist(e.groupBy("suppkey").agg(F.count("*").alias("d")))
-        # Exact integer percentile thresholds as 1-row metadata collects
-        # (the n_nodes.count() pattern): the threshold table is |distinct
-        # degrees| rows at any scale, so this is bounded. Inlining the
-        # scalar removes the per-round single-partition window Exchange
-        # pair + crossJoin-broadcast machinery from the checkpoint job
-        # (measured: rounds 5.2 s → 4.0 s warm at sf0.1).
-        kc_v = int(_degree_threshold(cdeg).collect()[0]["k"])
-        ks_v = int(_degree_threshold(sdeg).collect()[0]["k"])
-        alive_c = cdeg.filter(F.col("d") >= kc_v).select("custkey")
-        alive_s = sdeg.filter(F.col("d") >= ks_v).select("suppkey")
+        # r13 shape: ONE eager job per round (was three — kc collect, ks
+        # collect, localCheckpoint copy, each scanning the surviving edge
+        # set once). The combined degree table feeds THREE consumers (the
+        # threshold collect, the alive filters, the alive counts) — one
+        # persisted frame, materialized by the threshold collect; the
+        # surviving edge frame keeps the LAZY localCheckpoint below, so
+        # its blocks fill inside the NEXT round's threshold job (or the
+        # final output job for the last round) rather than paying a
+        # dedicated eager block-copy job, while the logical plan is
+        # still truncated to a LogicalRDD per round (a lazy persist here
+        # instead nests each round's full lineage twice per successor —
+        # measured as a ~5000-Exchange explain and growing per-round
+        # planning cost).
+        deg = transient_persist(_peel_degrees(e))
+        # Exact integer percentile thresholds as one bounded 2-row
+        # metadata collect (the n_nodes.count() pattern): the threshold
+        # table is |distinct degrees| rows per side at any scale.
+        # Inlining the scalars keeps the per-round single-partition
+        # window machinery out of the edge-filter plan (r12 measurement).
+        ks = _degree_thresholds(deg)
+        kc_v, ks_v = ks.get("c"), ks.get("s")
+        # degenerate input (empty surviving edge set): thresholds are
+        # undefined — degrade exactly like the oracle's NULL-threshold
+        # CTEs (k NULL, 0 alive on every later round) instead of raising
+        # on the missing side (round-12 ADVICE)
+        alive_c = deg.filter(
+            (F.col("side") == "c") & (F.col("d") >= (kc_v if kc_v is not None else 0))
+        ).select(F.col("key").alias("custkey"))
+        alive_s = deg.filter(
+            (F.col("side") == "s") & (F.col("d") >= (ks_v if ks_v is not None else 0))
+        ).select(F.col("key").alias("suppkey"))
         # alive counts come from the degree filter itself (a passing node
         # can still lose all its edges this round — it stays "alive" until
         # the NEXT round's degree recount drops it, same as the oracle).
@@ -885,7 +934,7 @@ def graph_core_peel_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(F.broadcast(alive_c), "custkey", "left_semi")
             .join(F.broadcast(alive_s), "suppkey", "left_semi")
             .select("custkey", "suppkey")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = (
             e.agg(F.count("*").cast("long").alias("n_edges_alive"))

@@ -13,8 +13,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions import NORM_TEXT_DUCK, normalize_text, simhash_bit_weight_sql
-from ..io import fanout, table
+from ..functions import NORM_TEXT_DUCK, simhash_bit_weight_sql
+from ..io import table
 from ..registry import query
 
 _BITS = 16

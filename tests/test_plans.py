@@ -88,8 +88,8 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "similarity_hard_negative_mining": "broadcasts the constant query/positive set against the corpus scan",
     "similarity_mips_norm_augment": "broadcasts the constant query set against the corpus scan",
     "similarity_multiprobe_recall_sweep": "broadcasts the constant query set at each probe width",
-    "similarity_standing_index_topk": "brute-force hit_exact anchor broadcasts the constant query set (vec_id < _SI_NQ, 8 rows) against the standing-store scan; the ANN path itself is equi-joined on c8",
-    "similarity_standing_index_recall_sweep": "broadcasts the constant query set (8 rows) and the 3-row radii literal against the manifest-pruned standing-store scan; candidate expansion is equi-joined on c8",
+    "similarity_standing_index_topk": "r13: the GEMM exact anchor removed the old query-set BNLJ — entry kept only for the benign scalar crossJoins; the ANN path is equi-joined on c8",
+    "similarity_standing_index_recall_sweep": "broadcasts the 3-row radii literal (dist <= probe_h band join) against dimension-bounded candidate frames; the anchor BNLJ is gone (r13 GEMM), candidate expansion is equi-joined on c8",
     "retrieval_hybrid_rrf": "dense side broadcasts the constant query set (vec_id < N_QUERIES) against the corpus scan",
     "retrieval_eval_system_comparison": "dense side broadcasts the constant query set against the corpus scan (shared with retrieval_hybrid_rrf)",
 }

@@ -187,3 +187,155 @@ def test_bench_short_line_fits_tail_budget():
     # names visible
     assert len(slowest) >= 5
     assert bench.SHORT_LINE_BUDGET <= 1999  # line + newline inside 2000
+
+
+def test_peel_rounds_match_two_sided_reference(spark, sf_dir):
+    """The r13 single-pass combined-degree peel must reproduce the old
+    per-side (cdeg/sdeg + per-side threshold window + localCheckpoint)
+    formulation round for round."""
+    from pyspark.sql import Window
+
+    from akka_streams_kinesis_spark.operators.graph import (
+        _PEEL_PCT_DEN,
+        _PEEL_PCT_NUM,
+        _PEEL_ROUNDS,
+        _purchase_edges,
+    )
+
+    def old_threshold(deg):
+        dist = deg.groupBy("d").agg(F.count("*").alias("n"))
+        wcum = Window.orderBy("d").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wall = Window.partitionBy()
+        return (
+            dist.select(
+                "d",
+                F.sum("n").over(wcum).alias("cum"),
+                F.sum("n").over(wall).alias("tot"),
+            )
+            .filter(
+                F.lit(_PEEL_PCT_DEN) * F.col("cum")
+                >= F.lit(_PEEL_PCT_NUM) * F.col("tot")
+            )
+            .agg(F.min("d").alias("k"))
+        )
+
+    e = _purchase_edges(spark, sf_dir)
+    want = []
+    for r in range(1, _PEEL_ROUNDS + 1):
+        cdeg = e.groupBy("custkey").agg(F.count("*").alias("d")).persist()
+        sdeg = e.groupBy("suppkey").agg(F.count("*").alias("d")).persist()
+        kc = int(old_threshold(cdeg).collect()[0]["k"])
+        ks = int(old_threshold(sdeg).collect()[0]["k"])
+        alive_c = cdeg.filter(F.col("d") >= kc).select("custkey")
+        alive_s = sdeg.filter(F.col("d") >= ks).select("suppkey")
+        e = (
+            e.join(F.broadcast(alive_c), "custkey", "left_semi")
+            .join(F.broadcast(alive_s), "suppkey", "left_semi")
+            .select("custkey", "suppkey")
+            .localCheckpoint()
+        )
+        want.append(
+            (r, kc, ks, alive_c.count(), alive_s.count(), e.count())
+        )
+        cdeg.unpersist()
+        sdeg.unpersist()
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["graph_core_peel_quantile"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_peel_degenerate_empty_edges_yield_null_thresholds(spark):
+    """ADVICE r12: an empty surviving edge set must degrade to the
+    oracle's NULL-threshold semantics, not raise — _degree_thresholds
+    returns an empty dict there."""
+    from akka_streams_kinesis_spark.operators.graph import _degree_thresholds, _peel_degrees
+
+    empty = spark.createDataFrame([], "custkey long, suppkey long")
+    assert _degree_thresholds(_peel_degrees(empty)) == {}
+
+
+def test_standing_exact_anchor_matches_fold_ranking(spark, sf_dir):
+    """The r13 GEMM exact anchor must return exactly the pairs of the
+    old BroadcastNestedLoopJoin + JVM-fold + full-window formulation
+    (same ROUND(sim,6) DESC, vec_id order) — the hit_exact semantics of
+    both standing-index consumers hang off this set."""
+    from pyspark.sql import Window
+
+    from akka_streams_kinesis_spark.operators.similarity import cosine_sim
+    from akka_streams_kinesis_spark.operators.streaming_queries import (
+        _SI_K,
+        _SI_NQ,
+        _ensure_standing_index,
+        _si_exact_anchor,
+    )
+    from akka_streams_kinesis_spark.streaming.ann_index import (
+        load_snapshot,
+        read_store,
+    )
+
+    root = _ensure_standing_index(spark, sf_dir)
+    snap = load_snapshot(root)
+    full = read_store(spark, root, snapshot=snap).select("vec_id", "embedding")
+    q_emb = full.filter(F.col("vec_id") < _SI_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    ref = (
+        full.join(F.broadcast(q_emb), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim("q_emb", "embedding"), 6).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SI_K)
+        .select("query_id", "vec_id")
+    )
+    got = _si_exact_anchor(spark, root, snap, q_emb)
+    want_rows = sorted(map(tuple, ref.collect()))
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == want_rows
+
+
+def test_time_travel_fused_matches_per_version_searches(spark, sf_dir):
+    """The r13 fused two-version time-travel plan must reproduce the old
+    two-independent-searches formulation row for row (both versions)."""
+    from akka_streams_kinesis_spark.operators.streaming_queries import (
+        _TT_SEARCH_COLS,
+        _ensure_tt_index,
+        _standing_search,
+        similarity_standing_index_time_travel,
+    )
+    from akka_streams_kinesis_spark.streaming.ann_index import load_snapshot
+
+    root, _served = _ensure_tt_index(spark, sf_dir)
+    want = []
+    for v, label in ((1, "pre_update"), (2, "post_update")):
+        snap = load_snapshot(root, v)
+        want.extend(
+            map(
+                tuple,
+                _standing_search(spark, root, snapshot=snap, anchor=False)
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit(label).alias("state"),
+                    *_TT_SEARCH_COLS,
+                )
+                .collect(),
+            )
+        )
+    got = list(
+        map(
+            tuple,
+            similarity_standing_index_time_travel(spark, sf_dir).collect(),
+        )
+    )
+    assert sorted(got) == sorted(want)
