@@ -76,9 +76,24 @@ def _purchase_dir_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared.py-cached (round-9 VERDICT ask #3): pagerank, personalized
     pagerank, and label propagation each used to rebuild this identical
     frame — three lineitem ⋈ orders ⋈ distinct pipelines and three
-    localCheckpoint materializations per bench run collapse into one.
-    The localCheckpoint lives INSIDE the build so every iterative
-    consumer starts from constant-depth lineage."""
+    materializations per bench run collapse into one.
+
+    r13 (guide §2.4 — two operations keyed the same way share one
+    exchange): the frame is hash-partitioned on ``dst`` ONCE at build
+    time. Every per-round aggregate of every iterative consumer —
+    PageRank/PPR's contribution sum by dst, LPA's (dst, label) vote
+    count and per-node argmax — clusters on dst, and the per-round
+    vertex-state joins are broadcasts that preserve the streamed side's
+    partitioning, so all of those aggregates now run WITHOUT their own
+    Exchange (partial+final hash-agg straight over the cached
+    partitions; one 2|E| shuffle at build replaces 3 rounds × 3 queries
+    of per-round shuffles whose partial-agg output is up to 2|E| rows in
+    LPA's first round). persist (via shared_frame) rather than
+    localCheckpoint is load-bearing: InMemoryRelation preserves the
+    child's outputPartitioning, Scan ExistingRDD discards it (measured).
+    repartition by COLUMN (no fixed N) keeps the partition count on
+    spark.sql.shuffle.partitions / AQE — scale-adaptive, not a local[32]
+    tune."""
 
     def build() -> DataFrame:
         edges = _purchase_edges(spark, sf_dir)
@@ -93,7 +108,7 @@ def _purchase_dir_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(F.lit("c"), F.col("custkey")).alias("dst"),
                 )
             )
-            .localCheckpoint(eager=True)
+            .repartition("dst")
         )
 
     return shared_frame(spark, "purchase_dir_edges", sf_dir, build)
@@ -1020,14 +1035,14 @@ def graph_label_propagation_communities(
     node is dominated by its own side.
 
     Scale shape: each round is one |E| hash join (edges against the
-    |V|-row label frame, shuffled on the same dst key every round) plus
-    two hash-aggs (neighbor-label counts, then the per-node argmax as a
-    min_by over the (-cnt, label) struct — a partial+final aggregate,
-    no per-node sort window and no extra shuffle). The
-    label frame is localCheckpointed per round: constant-depth lineage,
-    one action per round, the same discipline as PageRank above.
-    Per-round state is |V| rows regardless of |E| — the property that
-    lets LPA run where modularity solvers can't."""
+    |V|-row label frame, broadcast every round) plus two hash-aggs
+    (neighbor-label counts, then the per-node argmax as a min_by over
+    the (-cnt, label) struct — a partial+final aggregate, no per-node
+    sort window). With the shared edge list pre-partitioned on dst
+    (r13), neither aggregate shuffles: every round is map-side work
+    over the cached edge partitions, one lazy plan materialized by the
+    single final action. Per-round state is |V| rows regardless of |E|
+    — the property that lets LPA run where modularity solvers can't."""
     dir_edges = _purchase_dir_edges(spark, sf_dir)  # shared, checkpointed
     labels = _purchase_nodes(spark, sf_dir).select(
         "node", F.col("node").alias("label")
@@ -1048,14 +1063,17 @@ def graph_label_propagation_communities(
         # per-round cut is partial+final agg instead of an extra
         # shuffle+sort (the struct order is total: counts are ints,
         # labels unique per (node, label) row)
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                F.min_by(
-                    "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
-                ).alias("label")
-            )
-            .localCheckpoint(eager=True)
+        # r13: the label frame stays LAZY (the graph_pagerank_purchases
+        # discipline) — each round's |V|-row state is materialized by the
+        # NEXT round's broadcast build inside the single final action,
+        # instead of paying a dedicated eager localCheckpoint job per
+        # round. Lineage grows linearly (one reference per round), and
+        # with dir_edges pre-partitioned on dst neither aggregate below
+        # plans an Exchange.
+        labels = counts.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("label")
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
