@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import NORM_TEXT_DUCK, div_round4, word_shingles
+from ..functions import NORM_TEXT_DUCK, div_round4
 from ..io import table
 from ..registry import query
 from ..shared import shared_frame, transient_persist
@@ -360,14 +360,15 @@ def text_repeated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain hash count instead of a count-distinct Expand; the explode runs
     after fanout() so a single-file corpus still uses every core.
     """
-    from .textshared import norm_docs_shared
+    from .textshared import word_shingles3_shared
 
-    toks = norm_docs_shared(spark, sf_dir).select(
-        "doc_id", F.col("w").alias("toks")
+    # r13: the shared distinct 3-gram frame IS this query's distinct-
+    # (doc, shingle) set (_BP_N == 3; lang/source are doc-functional, so
+    # the distinct grain is identical)
+    assert _BP_N == 3
+    sh = word_shingles3_shared(spark, sf_dir).select(
+        "doc_id", F.col("g").alias("shingle")
     )
-    sh = toks.select(
-        "doc_id", F.explode(word_shingles("toks", _BP_N)).alias("shingle")
-    ).distinct()
     return (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("n_docs"))
@@ -562,14 +563,13 @@ def curation_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DISTINCT-collapsed before the join — at scale it's the small side
     (test splits are ~10% and dedup'd), which Spark can broadcast, so the
     train-side scan never shuffles its shingles."""
-    from .textshared import norm_docs_shared
+    from .textshared import norm_docs_shared, word_shingles4_shared
 
-    toks = norm_docs_shared(spark, sf_dir).select(
-        "doc_id", F.col("w").alias("toks")
-    )
-    sh = toks.select(
-        "doc_id", F.explode(word_shingles("toks", _DECON_N)).alias("s")
-    ).distinct()
+    # r13: the corpus-wide distinct 4-gram frame is shared with the
+    # bloom screen, the novelty score and the pretraining prep
+    # (_DECON_N == 4 == the shared frame's width)
+    assert _DECON_N == 4
+    sh = word_shingles4_shared(spark, sf_dir)
     split = norm_docs_shared(spark, sf_dir).select(
         "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
     )
@@ -871,9 +871,17 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = norm_docs_shared(spark, sf_dir).select(
         "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
     )
-    sh = survivors.select(
-        "doc_id", F.explode(word_shingles("w", _PREP_N)).alias("g")
-    ).distinct()
+    # r13: a doc's distinct 4-gram set does not depend on which other
+    # docs survive — filter the shared corpus-wide frame (_PREP_N == 4)
+    # to the survivor ids instead of re-exploding the survivor texts
+    assert _PREP_N == 4
+    from .textshared import word_shingles4_shared
+
+    sh = (
+        word_shingles4_shared(spark, sf_dir)
+        .join(F.broadcast(survivors.select("doc_id")), "doc_id", "left_semi")
+        .withColumnRenamed("s", "g")
+    )
     test_sh = (
         sh.join(split.filter(F.col("split") == "test"), "doc_id")
         .select("g")
@@ -964,17 +972,20 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency aggregate and the per-doc rollup; the join key is a
     16-byte digest, and since both sides come from the same persisted
     frame, the df table arrives co-partitioned on it."""
-    from .textshared import norm_docs_shared
+    from .textshared import word_shingles4_shared
 
-    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "w")
-    sh = (
-        toks.select(
-            "doc_id", F.explode(word_shingles("w", _NOV_N)).alias("g")
+    # r13: derive the digests from the shared distinct 4-gram frame
+    # (_NOV_N == 4) instead of re-exploding the corpus. The old
+    # md5-then-distinct and the new distinct-then-md5 orders coincide
+    # because md5 is injective on the shingle domain in practice (the
+    # r12 digest-swap argument: h is an internal equality key, never
+    # emitted), so no second distinct exchange is paid here.
+    assert _NOV_N == 4
+    sh = transient_persist(
+        word_shingles4_shared(spark, sf_dir).select(
+            "doc_id", F.md5("s").alias("h")
         )
-        .select("doc_id", F.md5("g").alias("h"))
-        .distinct()
     )
-    sh = transient_persist(sh)
     df = sh.groupBy("h").agg(F.count("*").alias("df"))
     return (
         sh.join(df, "h")
@@ -1297,14 +1308,14 @@ def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     math (df ≥ 3 AND 50·df ≥ m), so no float-boundary gate risk. The relative
     threshold is what scales: a fixed absolute df would saturate at
     100 TB while 2%-of-source tracks each source's size."""
-    from .textshared import norm_docs_shared
+    from .textshared import norm_docs_shared, word_shingles3_shared
 
     nd = norm_docs_shared(spark, sf_dir)
-    toks = nd.select("doc_id", "source", F.col("w").alias("toks"))
-    sh = toks.select(
-        "doc_id", "source",
-        F.explode(word_shingles("toks", _BPS_N)).alias("g"),
-    ).distinct()
+    # r13: the distinct (doc, source, 3-gram) frame is shared with the
+    # source-overlap matrix and the dedup ngram chain (_BPS_N == 3 ==
+    # the shared frame's width); both consumers below read its cache
+    assert _BPS_N == 3
+    sh = word_shingles3_shared(spark, sf_dir).select("doc_id", "source", "g")
     m = nd.groupBy("source").agg(F.count("*").alias("n_docs"))
     df = sh.groupBy("source", "g").agg(F.count("*").alias("df"))
     bp = df.join(F.broadcast(m), "source").filter(
@@ -1513,31 +1524,29 @@ def pipeline_incremental_corpus_refresh(
         incoming.join(standing.select("dg").distinct(), "dg", "left_anti")
     )
 
-    def _sh(df: DataFrame) -> DataFrame:
-        # digest = xxhash64 pair (128-bit equality key like the oracle's
-        # md5, cheaper + half the shuffle width — r12, same rationale as
-        # dedup.ngram_shingles_shared)
-        key = F.concat_ws("\x01", F.col("lang"), F.col("sh"))
-        return (
-            df.select("doc_id", "lang", F.split("t", " ").alias("toks"))
-            .select(
-                "doc_id",
-                "lang",
-                F.explode(word_shingles("toks", 3)).alias("sh"),
-            )
-            .select(
-                "doc_id",
-                F.xxhash64(key).alias("h1"),
-                F.xxhash64(key, F.lit(1)).alias("h2"),
-            )
-            .distinct()
-        )
+    # r13: both sides' digests derive from the shared distinct 3-gram
+    # frame instead of re-exploding their texts (the standing side is
+    # 80% of the corpus — its explode+distinct was this query's biggest
+    # stage). digest = xxhash64 pair over (lang, shingle) — r12, same
+    # rationale as dedup.ngram_shingles_shared; the shared frame's rows
+    # are already (doc, gram)-distinct, so the injective digest needs no
+    # second distinct. The standing side is a pure doc_id predicate
+    # (doc_id % 5 != 4); the exact-screen survivors are a bounded id
+    # set, attached with a broadcast semi-join.
+    from .textshared import word_shingles3_shared
 
-    inc_sh = transient_persist(_sh(s1))
-    # the standing-side shingle explode feeds BOTH the df counter and the
-    # containment join — persist it so the (big-side) normalize→shingle→
-    # distinct pipeline runs once, not twice
-    stand_sh = transient_persist(_sh(standing))
+    _key = F.concat_ws("\x01", F.col("lang"), F.col("g"))
+    digested = word_shingles3_shared(spark, sf_dir).select(
+        "doc_id",
+        F.xxhash64(_key).alias("h1"),
+        F.xxhash64(_key, F.lit(1)).alias("h2"),
+    )
+    inc_sh = transient_persist(
+        digested.join(F.broadcast(s1.select("doc_id")), "doc_id", "left_semi")
+    )
+    # the standing-side digests feed BOTH the df counter and the
+    # containment join — persist so the derivation runs once, not twice
+    stand_sh = transient_persist(digested.filter(F.col("doc_id") % 5 != 4))
     df_counts = (
         inc_sh.unionByName(stand_sh)
         .groupBy("h1", "h2")
@@ -1846,11 +1855,16 @@ def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     the per-pair aggregate output is at most |sources|² rows. Both join
     sides derive from the same frame, arriving co-partitioned on the
     digest."""
-    from .textshared import norm_docs_shared
+    from .textshared import word_shingles3_shared
 
-    toks = norm_docs_shared(spark, sf_dir).select("source", "w")
-    sh = (
-        toks.select("source", F.explode(word_shingles("w", _SOM_N)).alias("g"))
+    # r13: derive the (source, digest) grain from the shared distinct
+    # 3-gram frame (_SOM_N == 3) — one small distinct over already
+    # doc-distinct rows instead of a fresh corpus explode; three
+    # consumers (per-source counts + both self-join sides) read one
+    # registered persist
+    assert _SOM_N == 3
+    sh = transient_persist(
+        word_shingles3_shared(spark, sf_dir)
         .select("source", F.md5("g").alias("h"))
         .distinct()
     )

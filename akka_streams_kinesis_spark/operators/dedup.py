@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import NORM_TEXT_DUCK, word_shingles
+from ..functions import NORM_TEXT_DUCK
 from ..io import table
 from ..registry import query
 from ..shared import shared_frame, transient_persist
@@ -102,21 +102,16 @@ def ngram_shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h1, h2): distinct (lang, source)-blocked 3-gram digests."""
 
     def build() -> DataFrame:
-        from .textshared import norm_docs_shared
+        from .textshared import word_shingles3_shared
 
-        toks = norm_docs_shared(spark, sf_dir).select(
-            "doc_id", "lang", "source", F.col("w").alias("toks")
-        )
-        return (
-            toks.select(
-                "doc_id", "lang", "source",
-                F.explode(word_shingles("toks", 3)).alias("sh"),
-            )
-            .select(
-                "doc_id",
-                *_ngram_shingle_key(F.col("lang"), F.col("source"), F.col("sh")),
-            )
-            .distinct()
+        # r13: derive from the shared distinct (doc, lang, source,
+        # 3-gram) frame instead of re-exploding the corpus. The preimage
+        # rows are already distinct, so the digest projection needs no
+        # second distinct exchange (the injective-digest argument this
+        # chain's key already rests on).
+        return word_shingles3_shared(spark, sf_dir).select(
+            "doc_id",
+            *_ngram_shingle_key(F.col("lang"), F.col("source"), F.col("g")),
         )
 
     return shared_frame(spark, "ngram_shingles", sf_dir, build)
@@ -220,13 +215,14 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → m0..m7 minhash values (lexicographic min of seeded md5 over
     3-word shingles). String-min of md5 hex is deterministic and engine-
     portable — no integer hash parity issues."""
-    from .textshared import norm_docs_shared
+    from .textshared import word_shingles3_shared
 
-    toks = norm_docs_shared(spark, sf_dir).select(
-        "doc_id", F.col("w").alias("toks")
-    )
-    shingled = toks.select(
-        "doc_id", F.explode(word_shingles("toks", 3)).alias("sh")
+    # r13: min(md5(seed:sh)) is duplicate-insensitive, so the DISTINCT
+    # shared 3-gram frame yields bit-identical signatures to the raw
+    # multiset explode this used to run — and the min-agg's input
+    # shrinks to the distinct set
+    shingled = word_shingles3_shared(spark, sf_dir).select(
+        "doc_id", F.col("g").alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")

@@ -225,16 +225,13 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives — so the answer equals the exact join's, and the oracle
     computes exactly that. At 100 TB the train side never shuffles its
     shingle fan-out; the bitmap is KBs regardless of corpus size."""
-    from .textshared import norm_docs_shared
+    from .textshared import norm_docs_shared, word_shingles4_shared
 
-    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "w")
-    sh = (
-        toks.select(
-            "doc_id", F.explode(word_shingles("w", _BLOOM_N)).alias("s")
-        )
-        .distinct()
-    )
-    sh = transient_persist(sh)
+    # r13: the corpus-wide distinct 4-gram frame (already persisted by
+    # shared_frame) is shared with the exact screen, the novelty score
+    # and the pretraining prep (_BLOOM_N == 4 == the frame's width)
+    assert _BLOOM_N == 4
+    sh = word_shingles4_shared(spark, sf_dir)
     split = norm_docs_shared(spark, sf_dir).select(
         "doc_id", F.expr(_SPLIT_CASE.format(st="STRING")).alias("split")
     )

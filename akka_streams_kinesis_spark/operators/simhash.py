@@ -58,16 +58,31 @@ _ORACLE = f"""
 """
 
 
+def simhash_sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): the per-document fingerprint aggregate,
+    shared.py-cached (r13). THREE registry queries run this identical
+    explode + hash aggregate — dedup_simhash, dedup_simhash_buckets and
+    dedup_method_venn — so one persisted copy per (session, sf_dir)
+    replaces three rebuilds (the minhash_pairs_shared discipline)."""
+    from ..shared import shared_frame
+
+    def build() -> DataFrame:
+        from .textshared import doc_tokens_shared
+
+        doc_tokens_shared(spark, sf_dir).createOrReplaceTempView("doc_tokens")
+        return spark.sql(_SHARED_AGG_SQL)
+
+    return shared_frame(spark, "simhash_sigs", sf_dir, build)
+
+
 @query("dedup_simhash", oracle=_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: per-token md5 bits vote ±1 per position;
     the sign vector packs into a BIGINT. Documents sharing a fingerprint are
     near-dup candidates. One explode + one hash aggregate — linear, and the
-    shuffle carries only (doc_id, 16 small ints) partial sums."""
-    from .textshared import doc_tokens_shared
-
-    doc_tokens_shared(spark, sf_dir).createOrReplaceTempView("doc_tokens")
-    return spark.sql(_SHARED_AGG_SQL)
+    shuffle carries only (doc_id, 16 small ints) partial sums. The
+    aggregate itself is shared.py-cached (see simhash_sigs_shared)."""
+    return simhash_sigs_shared(spark, sf_dir)
 
 
 @query(

@@ -70,3 +70,62 @@ def doc_tokens_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return shared_frame(spark, "doc_tokens", sf_dir, build)
+
+
+def word_shingles3_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, g): every document's DISTINCT 3-word
+    shingles with its (functionally dependent) lang/source labels (r13).
+
+    Three pipelines exploded and distinct-collapsed the identical
+    corpus-wide 3-gram set: text_boilerplate_by_source (consumes this
+    frame directly — lang/source ride along for free since both are
+    doc-functional, so the distinct's row count is unchanged),
+    curation_source_overlap_matrix (derives its (source, digest) grain
+    with one small distinct on top), and the dedup family's
+    ngram_shingles_shared build (derives its (lang, source, shingle)
+    digests with a projection — the preimage rows are already distinct,
+    so no second distinct is needed under the r12 injective-digest
+    argument)."""
+
+    def build() -> DataFrame:
+        from ..functions import word_shingles
+
+        return (
+            norm_docs_shared(spark, sf_dir)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.explode(word_shingles("w", 3)).alias("g"),
+            )
+            .distinct()
+        )
+
+    return shared_frame(spark, "word_shingles3", sf_dir, build)
+
+
+def word_shingles4_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): every document's DISTINCT 4-word shingles (r13).
+
+    Four registry queries — curation_decontaminate_train,
+    curation_decontaminate_bloom, curation_ngram_novelty and
+    pipeline_pretraining_prep — each exploded and distinct-collapsed the
+    identical corpus-wide 4-gram set (their _DECON_N/_BLOOM_N/_NOV_N/
+    _PREP_N constants are all 4) before their own joins/aggregates:
+    four full-corpus explodes + four fact-scale distinct exchanges for
+    one logical artifact. One build serves all four; subset consumers
+    (prep screens only its dedup survivors) filter by doc_id — a doc's
+    distinct shingle set does not depend on which other docs survive."""
+
+    def build() -> DataFrame:
+        from ..functions import word_shingles
+
+        return (
+            norm_docs_shared(spark, sf_dir)
+            .select(
+                "doc_id", F.explode(word_shingles("w", 4)).alias("s")
+            )
+            .distinct()
+        )
+
+    return shared_frame(spark, "word_shingles4", sf_dir, build)

@@ -339,3 +339,107 @@ def test_time_travel_fused_matches_per_version_searches(spark, sf_dir):
         )
     )
     assert sorted(got) == sorted(want)
+
+
+def test_word_shingles4_shared_matches_inline_derivations(spark, sf_dir):
+    """The shared distinct 4-gram frame must equal each consumer's old
+    inline derivation: the full-corpus explode+distinct, the md5-digest
+    variant (novelty), and the survivor-filtered subset (prep)."""
+    from akka_streams_kinesis_spark.functions import word_shingles
+    from akka_streams_kinesis_spark.operators.textshared import (
+        norm_docs_shared,
+        word_shingles4_shared,
+    )
+
+    toks = norm_docs_shared(spark, sf_dir).select("doc_id", "w")
+    inline = toks.select(
+        "doc_id", F.explode(word_shingles("w", 4)).alias("s")
+    ).distinct()
+    shared = word_shingles4_shared(spark, sf_dir)
+    assert inline.exceptAll(shared).count() == 0
+    assert shared.exceptAll(inline).count() == 0
+    # novelty's old md5-then-distinct == shared distinct-then-md5
+    old_h = (
+        toks.select("doc_id", F.explode(word_shingles("w", 4)).alias("g"))
+        .select("doc_id", F.md5("g").alias("h"))
+        .distinct()
+    )
+    new_h = shared.select("doc_id", F.md5("s").alias("h"))
+    assert old_h.exceptAll(new_h).count() == 0
+    assert new_h.exceptAll(old_h).count() == 0
+    # prep's survivor filter == re-exploding the survivor texts
+    some = toks.filter(F.col("doc_id") % 3 == 0)
+    old_sub = some.select(
+        "doc_id", F.explode(word_shingles("w", 4)).alias("s")
+    ).distinct()
+    new_sub = shared.join(
+        F.broadcast(some.select("doc_id")), "doc_id", "left_semi"
+    )
+    assert old_sub.exceptAll(new_sub).count() == 0
+    assert new_sub.exceptAll(old_sub).count() == 0
+
+
+def test_word_shingles3_shared_matches_inline_derivations(spark, sf_dir):
+    """The shared distinct 3-gram frame must equal the inline
+    derivations it replaced: the boilerplate (doc, source, g) distinct,
+    the source-overlap (source, md5) distinct, the minhash signature
+    base (min over multiset == min over distinct set), and the corpus-
+    refresh per-side digest sets."""
+    from akka_streams_kinesis_spark.functions import word_shingles
+    from akka_streams_kinesis_spark.operators.textshared import (
+        norm_docs_shared,
+        word_shingles3_shared,
+    )
+
+    nd = norm_docs_shared(spark, sf_dir)
+    toks = nd.select("doc_id", "lang", "source", F.col("w").alias("toks"))
+    shared = word_shingles3_shared(spark, sf_dir)
+    inline = toks.select(
+        "doc_id", "lang", "source",
+        F.explode(word_shingles("toks", 3)).alias("g"),
+    ).distinct()
+    assert inline.exceptAll(shared).count() == 0
+    assert shared.exceptAll(inline).count() == 0
+    # source-overlap grain: md5-then-distinct == distinct-then-md5
+    old_som = (
+        toks.select("source", F.explode(word_shingles("toks", 3)).alias("g"))
+        .select("source", F.md5("g").alias("h"))
+        .distinct()
+    )
+    new_som = shared.select("source", F.md5("g").alias("h")).distinct()
+    assert old_som.exceptAll(new_som).count() == 0
+    assert new_som.exceptAll(old_som).count() == 0
+    # minhash signatures: min(md5(seed:sh)) is duplicate-insensitive
+    raw = toks.select("doc_id", F.explode(word_shingles("toks", 3)).alias("sh"))
+    old_m = raw.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))).alias("m0")
+    )
+    new_m = shared.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("0:"), F.col("g")))).alias("m0")
+    )
+    assert sorted(map(tuple, old_m.collect())) == sorted(
+        map(tuple, new_m.collect())
+    )
+    # corpus-refresh digests: old explode+digest+distinct per side ==
+    # shared-frame projection filtered to the same doc set
+    key_old = F.concat_ws("\x01", F.col("lang"), F.col("sh"))
+    standing = toks.filter(F.col("doc_id") % 5 != 4)
+    old_sh = (
+        standing.select(
+            "doc_id", "lang", F.explode(word_shingles("toks", 3)).alias("sh")
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(key_old).alias("h1"),
+            F.xxhash64(key_old, F.lit(1)).alias("h2"),
+        )
+        .distinct()
+    )
+    key_new = F.concat_ws("\x01", F.col("lang"), F.col("g"))
+    new_sh = shared.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id",
+        F.xxhash64(key_new).alias("h1"),
+        F.xxhash64(key_new, F.lit(1)).alias("h2"),
+    )
+    assert old_sh.exceptAll(new_sh).count() == 0
+    assert new_sh.exceptAll(old_sh).count() == 0
